@@ -1,0 +1,25 @@
+"""seal_tpu — a TPU-native homomorphic-encryption framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the capabilities of Microsoft
+SEAL 4.0 (as forked in shuangyichen/SEAL): the BFV, BGV, and CKKS schemes over
+RNS polynomial rings Z_q[X]/(X^N + 1), including negacyclic NTT/INTT,
+Barrett/Shoup modular arithmetic on 64-bit limb-decomposed coefficient
+tensors, BEHZ RNS multiplication, key switching / relinearization, Galois
+rotations, CKKS rescaling, the modulus-switching chain, seeded-PRNG
+serialization, and multiparty (threshold) extensions.
+
+Design stance (see SURVEY.md §7): host-side Python computes all per-context
+constants with exact big-integer arithmetic; device-side compute runs on
+uint32 limb-pair emulation of 64-bit modular arithmetic (TPU has no native
+u64 multiply), vectorized over [L, N] RNS tensors, with Pallas kernels for
+the hot loops and XLA collectives for multi-chip scaling.
+"""
+
+from seal_tpu.modulus import (
+    CoeffModulus,
+    Modulus,
+    PlainModulus,
+    SecLevelType,
+)
+
+__version__ = "0.1.0"

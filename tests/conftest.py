@@ -1,0 +1,12 @@
+"""Test configuration: run JAX on CPU with a virtual 8-device mesh.
+
+Must run before the first `import jax` anywhere in the test session so the
+multi-chip sharding paths can be exercised without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
