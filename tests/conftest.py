@@ -1,12 +1,18 @@
 """Test configuration: run JAX on CPU with a virtual 8-device mesh.
 
-Must run before the first `import jax` anywhere in the test session so the
-multi-chip sharding paths can be exercised without TPU hardware.
+The sandbox's sitecustomize registers a tunneled remote TPU ("axon") backend
+and hard-sets jax.config jax_platforms="axon,cpu" at interpreter start —
+env vars alone don't override it, and per-dispatch latency to that TPU is
+seconds. Force the CPU backend via jax.config before any backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
