@@ -1,0 +1,241 @@
+"""Negacyclic NTT/INTT over RNS towers, vectorized for the TPU.
+
+Re-derivation of the Harvey/Longa-Naehrig lazy-butterfly NTT that the
+reference implements as scalar loop nests (util/dwthandler.h:94-356,
+util/ntt.cpp:240-474). Parity-critical properties kept exactly:
+
+* the 2n-th root is the *minimal* primitive root (util/ntt.cpp:252-254),
+  so transform values match SEAL bit-for-bit;
+* forward tables hold ψ^i at index bitrev(i) (util/ntt.cpp:267-277);
+  inverse tables hold ψ^{-i} at index bitrev(i-1)+1 (scrambled order,
+  util/ntt.cpp:279-287) and are consumed sequentially per stage;
+* n^{-1} is folded into the last inverse stage (dwthandler.h:283-333);
+* lazy ranges: forward keeps values < 4q, inverse < 2q; the non-lazy
+  entry points fully reduce (util/ntt.cpp:407-474).
+
+TPU design: instead of pointer-walking butterflies, each of the log2(n)
+stages is one fused vectorized op over a [..., L, m, 2, gap] view of the
+coefficient tensor, batched across the whole RNS tower (and any leading
+ciphertext/batch axes) at once. The Pallas kernel variant fuses all stages
+in VMEM (see ntt_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import jax.tree_util
+
+from seal_tpu.modulus import Modulus
+from seal_tpu.ops import limb
+from seal_tpu.ops.modring import ModConsts, make_mod_consts
+from seal_tpu.utils import numth
+
+
+# ---------------------------------------------------------------------------
+# Host-side table construction (exact big-int arithmetic, cached per prime)
+# ---------------------------------------------------------------------------
+
+class NTTTablesHost(NamedTuple):
+    log_n: int
+    modulus: int
+    root: int                     # minimal primitive 2n-th root of unity
+    inv_root: int
+    root_powers: tuple            # [n] ψ^i at index bitrev(i); [0] = 1
+    inv_root_powers: tuple        # [n] ψ^{-i} at index bitrev(i-1)+1; [0] = 1
+    inv_degree: int               # n^{-1} mod q
+    inv_last_scaled: int          # inv_root_powers[n-1] * inv_degree mod q
+
+
+@functools.lru_cache(maxsize=None)
+def build_ntt_tables(log_n: int, modulus: int) -> NTTTablesHost:
+    n = 1 << log_n
+    q = modulus
+    root = numth.try_minimal_primitive_root(2 * n, q)
+    if root is None:
+        raise ValueError(f"modulus {q:#x} does not support NTT of size {n}")
+    inv_root = numth.invert_uint_mod(root, q)
+
+    fwd = [0] * n
+    power = root
+    for i in range(1, n):
+        fwd[numth.reverse_bits(i, log_n)] = power
+        power = (power * root) % q
+    fwd[0] = 1
+
+    inv = [0] * n
+    power = inv_root
+    for i in range(1, n):
+        inv[numth.reverse_bits(i - 1, log_n) + 1] = power
+        power = (power * inv_root) % q
+    inv[0] = 1
+
+    inv_degree = numth.invert_uint_mod(n, q)
+    inv_last_scaled = (inv[n - 1] * inv_degree) % q
+    return NTTTablesHost(
+        log_n, q, root, inv_root, tuple(fwd), tuple(inv), inv_degree, inv_last_scaled
+    )
+
+
+class NTTDeviceTables(NamedTuple):
+    """Device tensors for a tower of L primes at one chain level.
+
+    Root tables are [L, n]; scalar constants are [L, 1]. This NamedTuple is
+    a jax pytree, so it can be passed straight into jitted functions.
+    """
+
+    log_n: int                 # static
+    mc: ModConsts
+    fwd_op: limb.U64Pair       # [L, n]
+    fwd_qt: limb.U64Pair
+    inv_op: limb.U64Pair
+    inv_qt: limb.U64Pair
+    inv_n_op: limb.U64Pair     # [L, 1]
+    inv_n_qt: limb.U64Pair
+    last_op: limb.U64Pair      # [L, 1]: inv_root_powers[n-1] * n^{-1}
+    last_qt: limb.U64Pair
+
+
+jax.tree_util.register_pytree_node(
+    NTTDeviceTables,
+    lambda t: (tuple(t[1:]), t.log_n),
+    lambda log_n, children: NTTDeviceTables(log_n, *children),
+)
+
+
+def build_device_tables(log_n: int, moduli: list[Modulus] | list[int]) -> NTTDeviceTables:
+    qs = [int(m) for m in moduli]
+    L = len(qs)
+    n = 1 << log_n
+    hosts = [build_ntt_tables(log_n, q) for q in qs]
+
+    def table(get_vals, width):
+        ops = [list(get_vals(h)) for h in hosts]
+        qts = [[(v << 64) // h.modulus for v in row] for row, h in zip(ops, hosts)]
+        return (
+            limb.arr_to_u64(ops, shape=(L, width)),
+            limb.arr_to_u64(qts, shape=(L, width)),
+        )
+
+    fwd_op, fwd_qt = table(lambda h: h.root_powers, n)
+    inv_op, inv_qt = table(lambda h: h.inv_root_powers, n)
+    inv_n_op, inv_n_qt = table(lambda h: [h.inv_degree], 1)
+    last_op, last_qt = table(lambda h: [h.inv_last_scaled], 1)
+
+    return NTTDeviceTables(
+        log_n=log_n,
+        mc=make_mod_consts(qs),
+        fwd_op=fwd_op,
+        fwd_qt=fwd_qt,
+        inv_op=inv_op,
+        inv_qt=inv_qt,
+        inv_n_op=inv_n_op,
+        inv_n_qt=inv_n_qt,
+        last_op=last_op,
+        last_qt=last_qt,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device transforms
+# ---------------------------------------------------------------------------
+
+def _guard(x, two_q):
+    """x - 2q if x >= 2q else x (the lazy-range guard)."""
+    return limb.select64(limb.ge64(x, two_q), limb.sub64(x, two_q), x)
+
+
+def _bview(x, m, gap):
+    """Reshape [..., N] -> [..., m, 2, gap]."""
+    return x.reshape(x.shape[:-1] + (m, 2, gap))
+
+
+def _root_slice(op, qt, start, m):
+    """[L, n] root tables -> ([L, m, 1], [L, m, 1]) stage slices."""
+    return (
+        (op[0][:, start:start + m, None], op[1][:, start:start + m, None]),
+        (qt[0][:, start:start + m, None], qt[1][:, start:start + m, None]),
+    )
+
+
+def ntt_forward(x: limb.U64Pair, t: NTTDeviceTables, lazy: bool = False) -> limb.U64Pair:
+    """Negacyclic NTT: natural order in, bit-reversed order out.
+
+    x: u64 tensor [..., L, N] with coefficients < 4q (canonical inputs are
+    < q). Output < q, or < 4q when lazy=True.
+    """
+    n = 1 << t.log_n
+    lo, hi = x
+    # broadcast helpers: [L, 1] consts viewed as [L, 1, 1] against [L, m, gap]
+    q3 = tuple(a[:, :, None] for a in t.mc.q)
+    twoq3 = tuple(a[:, :, None] for a in t.mc.two_q)
+    for s in range(t.log_n):
+        m = 1 << s
+        gap = n >> (s + 1)
+        v_lo = _bview(lo, m, gap)
+        v_hi = _bview(hi, m, gap)
+        x0 = (v_lo[..., 0, :], v_hi[..., 0, :])
+        x1 = (v_lo[..., 1, :], v_hi[..., 1, :])
+        w, wq = _root_slice(t.fwd_op, t.fwd_qt, m, m)
+        u = _guard(x0, twoq3)
+        v = limb.mul_mod_shoup_lazy(x1, w, wq, q3)
+        y0 = limb.add64(u, v)
+        y1 = limb.sub64(limb.add64(u, twoq3), v)
+        lo = jnp.stack([y0[0], y1[0]], axis=-2).reshape(lo.shape)
+        hi = jnp.stack([y0[1], y1[1]], axis=-2).reshape(hi.shape)
+    out = (lo, hi)
+    if not lazy:
+        out = _guard(out, t.mc.two_q)
+        out = limb.cond_sub(out, t.mc.q)
+    return out
+
+
+def ntt_inverse(x: limb.U64Pair, t: NTTDeviceTables, lazy: bool = False) -> limb.U64Pair:
+    """Inverse negacyclic NTT with n^{-1} folded into the last stage.
+
+    x: u64 tensor [..., L, N] in bit-reversed order, values < 2q (canonical
+    < q). Output in natural order, < q (< 2q when lazy=True).
+    """
+    n = 1 << t.log_n
+    lo, hi = x
+    q3 = tuple(a[:, :, None] for a in t.mc.q)
+    twoq3 = tuple(a[:, :, None] for a in t.mc.two_q)
+    offset = 1
+    for s in range(t.log_n - 1, 0, -1):
+        m = 1 << s
+        gap = n >> (s + 1)
+        v_lo = _bview(lo, m, gap)
+        v_hi = _bview(hi, m, gap)
+        u = (v_lo[..., 0, :], v_hi[..., 0, :])
+        v = (v_lo[..., 1, :], v_hi[..., 1, :])
+        w, wq = _root_slice(t.inv_op, t.inv_qt, offset, m)
+        offset += m
+        y0 = _guard(limb.add64(u, v), twoq3)
+        y1 = limb.mul_mod_shoup_lazy(limb.sub64(limb.add64(u, twoq3), v), w, wq, q3)
+        lo = jnp.stack([y0[0], y1[0]], axis=-2).reshape(lo.shape)
+        hi = jnp.stack([y0[1], y1[1]], axis=-2).reshape(hi.shape)
+    # Last stage (m=1, gap=n/2): multiply 1/n into both outputs
+    # (dwthandler.h transform_from_rev scalar branch). View as [..., L, 2,
+    # gap] so the [L, 1] constants align with the L axis, not the m axis.
+    gap = n >> 1
+    v_lo = lo.reshape(lo.shape[:-1] + (2, gap))
+    v_hi = hi.reshape(hi.shape[:-1] + (2, gap))
+    u = (v_lo[..., 0, :], v_hi[..., 0, :])
+    v = (v_lo[..., 1, :], v_hi[..., 1, :])
+    q2 = t.mc.q
+    twoq2 = t.mc.two_q
+    u = _guard(u, twoq2)
+    y0 = limb.mul_mod_shoup_lazy(
+        _guard(limb.add64(u, v), twoq2), t.inv_n_op, t.inv_n_qt, q2
+    )
+    y1 = limb.mul_mod_shoup_lazy(
+        limb.sub64(limb.add64(u, twoq2), v), t.last_op, t.last_qt, q2
+    )
+    lo = jnp.concatenate([y0[0], y1[0]], axis=-1)
+    hi = jnp.concatenate([y0[1], y1[1]], axis=-1)
+    out = (lo, hi)
+    if not lazy:
+        out = limb.cond_sub(out, t.mc.q)
+    return out
