@@ -275,3 +275,95 @@ def mul_mod_shoup(x: U64Pair, y: U64Pair, y_quot: U64Pair, q: U64Pair) -> U64Pai
 def modulo_count_u64(x: U64Pair, q: U64Pair, ratio1: U64Pair) -> U64Pair:
     """Alias for barrett_reduce_64 used when reducing arbitrary u64 data."""
     return barrett_reduce_64(x, q, ratio1)
+
+
+# ---------------------------------------------------------------------------
+# 128-bit accumulation (for base-conversion / keyswitch inner products)
+# ---------------------------------------------------------------------------
+
+def zero128(shape_like):
+    z = jnp.zeros_like(shape_like)
+    return (z, z, z, z)
+
+
+def add128(a, b):
+    """4-limb + 4-limb with carry propagation (mod 2^128)."""
+    s0, c0 = _addc(a[0], b[0])
+    s1a, c1a = _addc(a[1], b[1])
+    s1, c1b = _addc(s1a, c0)
+    c1 = c1a + c1b
+    s2a, c2a = _addc(a[2], b[2])
+    s2, c2b = _addc(s2a, c1)
+    c2 = c2a + c2b
+    s3 = a[3] + b[3] + c2
+    return s0, s1, s2, s3
+
+
+def mul_add_128(acc, a: U64Pair, b: U64Pair):
+    """acc += a * b where acc is a 4-limb accumulator."""
+    return add128(acc, mul64(a, b))
+
+
+def multiply_add_mod(a: U64Pair, b: U64Pair, c: U64Pair, q: U64Pair,
+                     ratio0: U64Pair, ratio1: U64Pair) -> U64Pair:
+    """(a*b + c) mod q via 128-bit intermediate (multiply_add_uint_mod
+    parity, uintarithsmallmod.h)."""
+    p = mul64(a, b)
+    lo, carry = add64c((p[0], p[1]), c)
+    hi = add64((p[2], p[3]), (carry, jnp.zeros_like(carry)))
+    return barrett_reduce_128(lo, hi, q, ratio0, ratio1)
+
+
+def multiply_add_mod_shoup(a: U64Pair, y_op: U64Pair, y_quot: U64Pair,
+                           c: U64Pair, q: U64Pair) -> U64Pair:
+    """(a*y + c) mod q with Shoup pair for y; requires c < q."""
+    return add_mod(mul_mod_shoup(a, y_op, y_quot, q), c, q)
+
+
+# ---------------------------------------------------------------------------
+# Generic small multiword arithmetic (u32 limb vectors, least-significant
+# first) — used for >128-bit fixed-point accumulations.
+# ---------------------------------------------------------------------------
+
+def add_limbs(a, b, out_len=None):
+    """Multiword add with carry; result truncated/zero-extended to out_len."""
+    n = max(len(a), len(b))
+    out_len = out_len or n
+    zeros = jnp.zeros_like(a[0] if len(a) else b[0])
+    out = []
+    carry = zeros
+    for k in range(out_len):
+        x = a[k] if k < len(a) else zeros
+        y = b[k] if k < len(b) else zeros
+        s, c1 = _addc(x, y)
+        s, c2 = _addc(s, carry)
+        carry = c1 + c2
+        out.append(s)
+    return tuple(out)
+
+
+def mul_limbs(a, b):
+    """Schoolbook multiword multiply: len(a)+len(b) limbs out.
+
+    Column sums are accumulated in u64 pairs, so each column may take up to
+    2^32 partial terms without overflow — far above any real operand size.
+    """
+    la, lb = len(a), len(b)
+    zeros = jnp.zeros_like(a[0])
+    # partial products indexed by column
+    cols_lo = [[] for _ in range(la + lb)]
+    cols_hi = [[] for _ in range(la + lb)]
+    for i in range(la):
+        for j in range(lb):
+            lo, hi = mul32(a[i], b[j])
+            cols_lo[i + j].append(lo)
+            cols_hi[i + j + 1].append(hi)
+    out = []
+    carry = (zeros, zeros)  # u64 carry into the current column
+    for k in range(la + lb):
+        acc = carry
+        for term in cols_lo[k] + cols_hi[k]:
+            acc = add64(acc, (term, zeros))
+        out.append(acc[0])
+        carry = (acc[1], zeros)
+    return tuple(out)

@@ -76,10 +76,11 @@ def shoup_pair(values, moduli, shape=None):
     v = np.asarray(values, dtype=object)
     m = np.asarray(moduli, dtype=object)
     quot = np.empty(v.shape, dtype=object)
-    it = np.nditer(np.zeros(v.shape, dtype=np.int8), flags=["multi_index"])
-    for _ in it:
-        idx = it.multi_index
-        quot[idx] = (int(v[idx]) << 64) // int(m[idx]) if int(m[idx]) else 0
+    if v.size:
+        it = np.nditer(np.zeros(v.shape, dtype=np.int8), flags=["multi_index"])
+        for _ in it:
+            idx = it.multi_index
+            quot[idx] = (int(v[idx]) << 64) // int(m[idx]) if int(m[idx]) else 0
     return (
         limb.arr_to_u64(v, shape=shape),
         limb.arr_to_u64(quot, shape=shape),

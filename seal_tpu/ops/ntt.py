@@ -138,6 +138,22 @@ def build_device_tables(log_n: int, moduli: list[Modulus] | list[int]) -> NTTDev
     )
 
 
+def slice_tables(t: NTTDeviceTables, start: int, end: int) -> NTTDeviceTables:
+    """Tables for the prime rows [start, end) of a tower (static bounds)."""
+
+    def s2(pair):
+        return (pair[0][start:end], pair[1][start:end])
+
+    return NTTDeviceTables(
+        log_n=t.log_n,
+        mc=ModConsts(s2(t.mc.q), s2(t.mc.two_q), s2(t.mc.ratio0), s2(t.mc.ratio1)),
+        fwd_op=s2(t.fwd_op), fwd_qt=s2(t.fwd_qt),
+        inv_op=s2(t.inv_op), inv_qt=s2(t.inv_qt),
+        inv_n_op=s2(t.inv_n_op), inv_n_qt=s2(t.inv_n_qt),
+        last_op=s2(t.last_op), last_qt=s2(t.last_qt),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Device transforms
 # ---------------------------------------------------------------------------
