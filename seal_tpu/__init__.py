@@ -21,5 +21,11 @@ from seal_tpu.modulus import (
     PlainModulus,
     SecLevelType,
 )
+from seal_tpu.encryption_params import (
+    EncryptionParameters,
+    SchemeType,
+    parms_id_zero,
+)
+from seal_tpu.context import SEALContext
 
 __version__ = "0.1.0"
