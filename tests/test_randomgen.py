@@ -1,0 +1,75 @@
+"""PRNG byte-exactness vs the reference library.
+
+Vectors in tests/vectors/prng.json were dumped by tools/oracle/
+dump_prng_vectors.cpp from a build of the reference SEAL 4.0 —
+the definitive oracle for SURVEY.md §7 hard part #2 (bit-exact RNG)."""
+
+import json
+import pathlib
+
+from seal_tpu.randomgen import (
+    Blake2xbPRNG,
+    PrngType,
+    Shake256PRNG,
+    UniformRandomGeneratorFactory,
+    blake2xb,
+)
+
+VECTORS = json.loads((pathlib.Path(__file__).parent / "vectors" / "prng.json").read_text())
+SEED = (1, 2, 3, 4, 5, 6, 7, 8)
+
+
+def test_blake2xb_stream_matches_reference():
+    prng = Blake2xbPRNG(SEED)
+    buf = prng.generate(8192)
+    assert buf[:160].hex() == VECTORS["blake2xb_12345678_first8192"]
+    # spans a 4096-byte refill boundary (counter increment)
+    assert buf[4090:4106].hex() == VECTORS["blake2xb_12345678_at4090"]
+
+
+def test_blake2xb_zero_seed():
+    prng = Blake2xbPRNG((0,) * 8)
+    assert prng.generate(64).hex() == VECTORS["blake2xb_zero_first64"]
+
+
+def test_shake256_stream_matches_reference():
+    prng = Shake256PRNG(SEED)
+    assert prng.generate(64).hex() == VECTORS["shake256_12345678_first64"]
+
+
+def test_chunked_reads_equal_bulk():
+    a = Blake2xbPRNG(SEED)
+    b = Blake2xbPRNG(SEED)
+    bulk = a.generate(10000)
+    chunks = b"".join(b.generate(n) for n in [1, 7, 64, 4000, 4001, 1927])
+    assert bulk == chunks
+
+
+def test_factory():
+    f = UniformRandomGeneratorFactory(seed=SEED)
+    assert f.create().generate(32) == f.create().generate(32)
+    f2 = UniformRandomGeneratorFactory()  # unseeded -> random
+    assert f2.create().generate(32) != f2.create().generate(32)
+    sh = UniformRandomGeneratorFactory(PrngType.SHAKE256, seed=SEED).create()
+    assert isinstance(sh, Shake256PRNG)
+
+
+def test_parms_id_matches_reference():
+    from seal_tpu import CoeffModulus, EncryptionParameters, PlainModulus, SchemeType
+
+    p = EncryptionParameters(SchemeType.BFV)
+    p.set_poly_modulus_degree(4096)
+    p.set_coeff_modulus(CoeffModulus.bfv_default(4096))
+    p.set_plain_modulus(PlainModulus.batching(4096, 20))
+    assert list(p.parms_id) == VECTORS["parms_id_bfv_4096_default"]
+
+    p = EncryptionParameters(SchemeType.BFV)
+    p.set_poly_modulus_degree(64)
+    p.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    p.set_plain_modulus(257)
+    assert list(p.parms_id) == VECTORS["parms_id_bfv_64_tiny"]
+
+    p = EncryptionParameters(SchemeType.CKKS)
+    p.set_poly_modulus_degree(8192)
+    p.set_coeff_modulus(CoeffModulus.create(8192, [60, 40, 40, 60]))
+    assert list(p.parms_id) == VECTORS["parms_id_ckks_8192"]
