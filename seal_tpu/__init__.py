@@ -27,5 +27,19 @@ from seal_tpu.encryption_params import (
     parms_id_zero,
 )
 from seal_tpu.context import SEALContext
+from seal_tpu.dtypes import (
+    Ciphertext,
+    GaloisKeys,
+    KSwitchKeys,
+    Plaintext,
+    PublicKey,
+    RelinKeys,
+    SecretKey,
+)
+from seal_tpu.keygenerator import KeyGenerator
+from seal_tpu.encryptor import Encryptor
+from seal_tpu.decryptor import Decryptor
+from seal_tpu.encoders import BatchEncoder
+from seal_tpu.evaluator import Evaluator
 
 __version__ = "0.1.0"

@@ -1,0 +1,200 @@
+"""Decryptor: BFV/CKKS/BGV decryption, noise budget, multiparty partial
+decryption.
+
+Parity: seal::Decryptor (/root/reference/native/src/seal/decryptor.cpp):
+bfv_decrypt :225, ckks_decrypt :265, bgv_decrypt :300,
+dot_product_ct_sk_array :407, invariant_noise_budget :491; fork's
+distributed_decrypt :139 / aggregate_partial_decryption :89.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seal_tpu.context import SEALContext
+from seal_tpu.dtypes import Ciphertext, Plaintext, SecretKey, stack_polys, to_host, to_device
+from seal_tpu.encryption_params import SchemeType, PARMS_ID_ZERO
+from seal_tpu.ops import modring, rns as rns_ops
+from seal_tpu.ops import ntt as ntt_mod
+from seal_tpu.utils import numth
+
+
+class Decryptor:
+    def __init__(self, context: SEALContext, secret_key: SecretKey):
+        self.context = context
+        self.secret_key = secret_key
+        # powers of s over the KEY tower, NTT form
+        self._sk_powers = [secret_key.data]
+
+    def _powers(self, count: int, cd):
+        key_cd = self.context.key_context_data()
+        mc = key_cd.mod_consts
+        while len(self._sk_powers) < count:
+            self._sk_powers.append(
+                modring.dyadic_product(self._sk_powers[-1], self._sk_powers[0], mc)
+            )
+        L = cd.coeff_modulus_size
+        return [(p[0][:L], p[1][:L]) for p in self._sk_powers[:count]]
+
+    def dot_product_ct_sk(self, ct: Ciphertext):
+        """c0 + c1·s + c2·s² + ... over the ct's tower; same domain as ct
+        (parity: decryptor.cpp:407-489)."""
+        cd = self.context.get_context_data(ct.parms_id)
+        mc = cd.mod_consts
+        tables = cd.ntt_tables
+        powers = self._powers(ct.size - 1, cd)
+        acc = None
+        for j in range(1, ct.size):
+            cj = ct.poly(j)
+            if not ct.is_ntt_form:
+                cj = ntt_mod.ntt_forward(cj, tables, lazy=True)
+            term = modring.dyadic_product(cj, powers[j - 1], mc)
+            acc = term if acc is None else modring.add_poly(acc, term, mc)
+        if not ct.is_ntt_form:
+            acc = ntt_mod.ntt_inverse(acc, tables)
+        return modring.add_poly(acc, ct.poly(0), mc)
+
+    # -- scheme decrypt -----------------------------------------------------------
+
+    def decrypt(self, ct: Ciphertext) -> Plaintext:
+        if ct.size < 2:
+            raise ValueError("encrypted is empty")
+        scheme = self.context.key_context_data().parms.scheme
+        if scheme == SchemeType.BFV:
+            return self._bfv_decrypt(ct)
+        if scheme == SchemeType.CKKS:
+            return self._ckks_decrypt(ct)
+        if scheme == SchemeType.BGV:
+            return self._bgv_decrypt(ct)
+        raise ValueError("unsupported scheme")
+
+    def _bfv_decrypt(self, ct: Ciphertext) -> Plaintext:
+        if ct.is_ntt_form:
+            raise ValueError("encrypted cannot be in NTT form")
+        cd = self.context.get_context_data(ct.parms_id)
+        phase = self.dot_product_ct_sk(ct)
+        coeffs = rns_ops.decrypt_scale_and_round(phase, cd.rns_tool_device)
+        vals = to_host(coeffs)[0]
+        return _trimmed_plain(vals)
+
+    def _ckks_decrypt(self, ct: Ciphertext) -> Plaintext:
+        if not ct.is_ntt_form:
+            raise ValueError("encrypted must be in NTT form")
+        phase = self.dot_product_ct_sk(ct)
+        p = Plaintext()
+        p.rns_data = phase
+        p.parms_id = tuple(ct.parms_id)
+        p.scale = ct.scale
+        return p
+
+    def _bgv_decrypt(self, ct: Ciphertext) -> Plaintext:
+        if ct.is_ntt_form:
+            raise ValueError("encrypted cannot be in NTT form")
+        cd = self.context.get_context_data(ct.parms_id)
+        phase = self.dot_product_ct_sk(ct)
+        coeffs = rns_ops.decrypt_modt(phase, cd.rns_tool_device)
+        vals = to_host(coeffs)[0]
+        t = cd.parms.plain_modulus.value
+        if ct.correction_factor != 1:
+            fix = numth.invert_uint_mod(ct.correction_factor, t)
+            vals = (vals.astype(object) * fix % t).astype(np.uint64)
+        return _trimmed_plain(vals)
+
+    # -- noise meter ---------------------------------------------------------------
+
+    def invariant_noise_budget(self, ct: Ciphertext) -> int:
+        """Bits of noise headroom left (parity: decryptor.cpp:491-560)."""
+        scheme = self.context.key_context_data().parms.scheme
+        if scheme not in (SchemeType.BFV, SchemeType.BGV):
+            raise ValueError("unsupported scheme")
+        if ct.is_ntt_form:
+            raise ValueError("encrypted cannot be in NTT form")
+        cd = self.context.get_context_data(ct.parms_id)
+        t = cd.parms.plain_modulus.value
+        phase = to_host(self.dot_product_ct_sk(ct))  # [L, N]
+        Q = cd.total_coeff_modulus
+        base = cd.rns_base
+        norm = 0
+        half_q = Q >> 1
+        for k in range(phase.shape[1]):
+            v = base.compose([int(x) for x in phase[:, k]])
+            if scheme == SchemeType.BFV:
+                v = (v * t) % Q
+            if v > half_q:
+                v = Q - v
+            norm = max(norm, v)
+        diff = cd.total_coeff_modulus_bit_count - norm.bit_length() - 1
+        return max(0, diff)
+
+    # -- fork multiparty surface ------------------------------------------------------
+
+    def distributed_decrypt(self, ct: Ciphertext, smudging_bits: int = 0) -> Ciphertext:
+        """Party-local partial decryption c1·s_i (+ smudging noise), returned
+        as a ciphertext shell (parity: decryptor.cpp:139-187; the reference
+        adds NO smudging noise — documented gap, fixed here via
+        `smudging_bits` > 0)."""
+        if ct.size != 2:
+            raise ValueError("distributed decryption requires size-2 ciphertexts")
+        cd = self.context.get_context_data(ct.parms_id)
+        mc = cd.mod_consts
+        tables = cd.ntt_tables
+        c1 = ct.poly(1)
+        if not ct.is_ntt_form:
+            c1 = ntt_mod.ntt_forward(c1, tables, lazy=True)
+        sk = self._powers(1, cd)[0]
+        part = modring.dyadic_product(c1, sk, mc)
+        if not ct.is_ntt_form:
+            part = ntt_mod.ntt_inverse(part, tables)
+        if smudging_bits > 0:
+            from seal_tpu import rlwe, randomgen
+
+            rng = randomgen.UniformRandomGeneratorFactory().create()
+            moduli = cd.key_moduli()
+            n = cd.parms.poly_modulus_degree
+            raw = np.frombuffer(
+                rng.generate(n * ((smudging_bits + 7) // 8 + 1)), dtype=np.uint8
+            )
+            e = np.zeros(n, dtype=object)
+            nbytes = (smudging_bits + 7) // 8 + 1
+            for i in range(n):
+                chunk = int.from_bytes(raw[i * nbytes:(i + 1) * nbytes].tobytes(), "little")
+                e[i] = (chunk % (1 << (smudging_bits + 1))) - (1 << smudging_bits)
+            rows = np.stack([
+                np.asarray([int(x) % q for x in e], dtype=np.uint64) for q in moduli
+            ])
+            part = modring.add_poly(part, to_device(rows), mc)
+        shell = Ciphertext(
+            stack_polys([part, part]), parms_id=tuple(ct.parms_id),
+            is_ntt_form=ct.is_ntt_form, scale=ct.scale,
+            correction_factor=ct.correction_factor,
+        )
+        return shell
+
+    def aggregate_partial_decryption(self, ct: Ciphertext, partials: list[Ciphertext]) -> Plaintext:
+        """c0 + Σ partials -> plaintext (parity: decryptor.cpp:89-137);
+        works for any number of parties (the reference hard-codes 3)."""
+        cd = self.context.get_context_data(ct.parms_id)
+        mc = cd.mod_consts
+        scheme = self.context.key_context_data().parms.scheme
+        acc = ct.poly(0)
+        for p in partials:
+            acc = modring.add_poly(acc, p.poly(0), mc)
+        if scheme == SchemeType.BFV:
+            coeffs = rns_ops.decrypt_scale_and_round(acc, cd.rns_tool_device)
+            return _trimmed_plain(to_host(coeffs)[0])
+        if scheme == SchemeType.BGV:
+            coeffs = rns_ops.decrypt_modt(acc, cd.rns_tool_device)
+            return _trimmed_plain(to_host(coeffs)[0])
+        p = Plaintext()
+        p.rns_data = acc
+        p.parms_id = tuple(ct.parms_id)
+        p.scale = ct.scale
+        return p
+
+
+def _trimmed_plain(vals: np.ndarray) -> Plaintext:
+    nz = np.nonzero(vals)[0]
+    count = int(nz[-1]) + 1 if len(nz) else 1
+    p = Plaintext(count)
+    p.data[:] = vals[:count]
+    return p

@@ -1,0 +1,258 @@
+"""Scheme data types: Plaintext, Ciphertext, keys.
+
+Parity: seal::{Plaintext, Ciphertext, SecretKey, PublicKey, KSwitchKeys,
+RelinKeys, GaloisKeys} (/root/reference/native/src/seal/*.h). The reference
+stores flat uint64 DynArrays; here the canonical storage is a device-resident
+u32 limb-pair tensor (lo, hi) — `[size, L, N]` for ciphertexts — with
+numpy-uint64 host mirrors only at serialization/sampling boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from seal_tpu.encryption_params import ParmsId, PARMS_ID_ZERO
+
+
+# ---------------------------------------------------------------------------
+# host numpy <-> device limb pair
+# ---------------------------------------------------------------------------
+
+def to_device(arr: np.ndarray):
+    """uint64 ndarray -> (lo, hi) uint32 device pair."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint64)
+    lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (arr >> np.uint64(32)).astype(np.uint32)
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def to_host(pair) -> np.ndarray:
+    """(lo, hi) device pair -> uint64 ndarray."""
+    lo = np.asarray(pair[0], dtype=np.uint64)
+    hi = np.asarray(pair[1], dtype=np.uint64)
+    return lo | (hi << np.uint64(32))
+
+
+def zeros_pair(shape):
+    z = jnp.zeros(shape, dtype=jnp.uint32)
+    return z, jnp.zeros_like(z)
+
+
+# ---------------------------------------------------------------------------
+# Plaintext
+# ---------------------------------------------------------------------------
+
+class Plaintext:
+    """BFV/BGV: ≤N coefficients mod t in a host uint64 vector (non-NTT).
+    CKKS: a full RNS poly in NTT form on device, with a scale.
+    (parity: plaintext.h:56+)"""
+
+    def __init__(self, coeff_count: int = 0):
+        self.data = np.zeros(coeff_count, dtype=np.uint64)   # host form
+        self.rns_data = None                                  # device pair [L, N] (NTT form)
+        self.parms_id: ParmsId = PARMS_ID_ZERO
+        self.scale: float = 1.0
+
+    @property
+    def is_ntt_form(self) -> bool:
+        return self.parms_id != PARMS_ID_ZERO
+
+    @property
+    def coeff_count(self) -> int:
+        return len(self.data) if self.rns_data is None else self.rns_data[0].shape[-1]
+
+    def set_values(self, values):
+        self.data = np.asarray(values, dtype=np.uint64)
+
+    def significant_coeff_count(self) -> int:
+        nz = np.nonzero(self.data)[0]
+        return int(nz[-1]) + 1 if len(nz) else 0
+
+    def to_hex_string(self) -> str:
+        """Polynomial-as-hex-string form used by the reference tests
+        (e.g. '3x^2 + 1x^1 + 2')."""
+        terms = []
+        for i in range(len(self.data) - 1, -1, -1):
+            v = int(self.data[i])
+            if v:
+                terms.append(f"{v:X}x^{i}" if i else f"{v:X}")
+        return " + ".join(terms) if terms else "0"
+
+    @staticmethod
+    def from_hex_string(s: str) -> "Plaintext":
+        s = s.strip()
+        if s == "0" or not s:
+            return Plaintext(0)
+        coeffs = {}
+        for term in s.split("+"):
+            term = term.strip()
+            if "x^" in term:
+                c, e = term.split("x^")
+                coeffs[int(e)] = int(c, 16)
+            else:
+                coeffs[0] = int(term, 16)
+        p = Plaintext(max(coeffs) + 1)
+        for e, c in coeffs.items():
+            p.data[e] = c
+        return p
+
+    def __eq__(self, other):
+        if not isinstance(other, Plaintext):
+            return NotImplemented
+        a, b = self.data, other.data
+        n = max(len(a), len(b))
+        pa = np.zeros(n, dtype=np.uint64)
+        pb = np.zeros(n, dtype=np.uint64)
+        pa[:len(a)] = a
+        pb[:len(b)] = b
+        return bool(np.array_equal(pa, pb)) and (
+            self.rns_data is None) == (other.rns_data is None)
+
+    def __repr__(self):
+        return f"Plaintext({self.to_hex_string() if self.rns_data is None else '<ntt form>'})"
+
+
+# ---------------------------------------------------------------------------
+# Ciphertext
+# ---------------------------------------------------------------------------
+
+class Ciphertext:
+    """size >= 2 polynomials over the level's tower: device pair [size, L, N]
+    (parity: ciphertext.h:701-715)."""
+
+    def __init__(self, data=None, parms_id: ParmsId = PARMS_ID_ZERO,
+                 is_ntt_form: bool = False, scale: float = 1.0,
+                 correction_factor: int = 1):
+        self.data = data                      # (lo, hi) pair [size, L, N]
+        self.parms_id = parms_id
+        self.is_ntt_form = is_ntt_form
+        self.scale = scale
+        self.correction_factor = correction_factor
+        self.seed_info = None                 # (prng_type, seed) for seeded c1
+
+    @property
+    def size(self) -> int:
+        return 0 if self.data is None else self.data[0].shape[0]
+
+    @property
+    def coeff_modulus_size(self) -> int:
+        return 0 if self.data is None else self.data[0].shape[1]
+
+    @property
+    def poly_modulus_degree(self) -> int:
+        return 0 if self.data is None else self.data[0].shape[2]
+
+    def poly(self, j: int):
+        """The j-th polynomial as a [L, N] pair."""
+        return self.data[0][j], self.data[1][j]
+
+    def to_numpy(self) -> np.ndarray:
+        return to_host(self.data)
+
+    def copy(self) -> "Ciphertext":
+        c = Ciphertext(self.data, self.parms_id, self.is_ntt_form, self.scale,
+                       self.correction_factor)
+        c.seed_info = self.seed_info
+        return c
+
+    def is_transparent(self) -> bool:
+        """True when c1 (and above) are all zero: decryptable without the
+        secret key (parity: ciphertext.h is_transparent)."""
+        if self.size < 2:
+            return True
+        lo, hi = self.data
+        return bool(
+            (np.asarray(lo[1:]) == 0).all() and (np.asarray(hi[1:]) == 0).all()
+        )
+
+    def __repr__(self):
+        return (
+            f"Ciphertext(size={self.size}, L={self.coeff_modulus_size}, "
+            f"n={self.poly_modulus_degree}, ntt={self.is_ntt_form}, scale={self.scale})"
+        )
+
+
+def stack_polys(polys) -> tuple:
+    """List of [L, N] pairs -> [size, L, N] pair."""
+    return (
+        jnp.stack([p[0] for p in polys]),
+        jnp.stack([p[1] for p in polys]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keys
+# ---------------------------------------------------------------------------
+
+class SecretKey:
+    """NTT-form RNS poly at key level: device pair [L, N]
+    (parity: secretkey.h — a Plaintext wrapper in the reference)."""
+
+    def __init__(self, data=None, parms_id: ParmsId = PARMS_ID_ZERO):
+        self.data = data
+        self.parms_id = parms_id
+
+    def to_numpy(self) -> np.ndarray:
+        return to_host(self.data)
+
+
+class PublicKey:
+    """A size-2 NTT-form encryption of zero at key level."""
+
+    def __init__(self, ciphertext: Optional[Ciphertext] = None):
+        self.data = ciphertext if ciphertext is not None else Ciphertext()
+
+    @property
+    def parms_id(self) -> ParmsId:
+        return self.data.parms_id
+
+
+class KSwitchKeys:
+    """keys[target][decomp_prime] = size-2 NTT PublicKey over the extended
+    (key-level) tower (parity: kswitchkeys.h). Stored stacked on device:
+    data[k] = pair [L_decomp, 2, L_key, N] for target k."""
+
+    def __init__(self):
+        self.keys: list = []          # per target: (lo, hi) [L_decomp, 2, L_key, N]
+        self.parms_id: ParmsId = PARMS_ID_ZERO
+
+    @property
+    def size(self) -> int:
+        return len(self.keys)
+
+
+class RelinKeys(KSwitchKeys):
+    """Key-switching keys for s^2, s^3, ... (parity: relinkeys.h)."""
+
+    @staticmethod
+    def get_index(key_power: int) -> int:
+        if key_power < 2:
+            raise ValueError("key_power cannot be less than 2")
+        return key_power - 2
+
+    def has_key(self, key_power: int) -> bool:
+        i = self.get_index(key_power)
+        return i < len(self.keys) and self.keys[i] is not None
+
+    def key(self, key_power: int):
+        return self.keys[self.get_index(key_power)]
+
+
+class GaloisKeys(KSwitchKeys):
+    """Key-switching keys indexed by Galois element (parity: galoiskeys.h)."""
+
+    @staticmethod
+    def get_index(galois_elt: int) -> int:
+        if galois_elt < 3 or galois_elt % 2 == 0:
+            raise ValueError("galois_elt is not valid")
+        return (galois_elt - 1) >> 1
+
+    def has_key(self, galois_elt: int) -> bool:
+        i = self.get_index(galois_elt)
+        return i < len(self.keys) and self.keys[i] is not None
+
+    def key(self, galois_elt: int):
+        return self.keys[self.get_index(galois_elt)]

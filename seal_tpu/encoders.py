@@ -1,0 +1,87 @@
+"""Plaintext encoders.
+
+BatchEncoder parity: seal::BatchEncoder (/root/reference/native/src/seal/
+batchencoder.cpp): matrix_reps_index_map (3^i generator order + bit
+reversal, :64-88), encode = scatter + inverse negacyclic NTT mod t
+(:110-149), decode reverses. The CKKSEncoder lives in ckks.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seal_tpu.context import SEALContext
+from seal_tpu.dtypes import Plaintext, to_device, to_host
+from seal_tpu.encryption_params import SchemeType
+from seal_tpu.ops import ntt as ntt_mod
+from seal_tpu.utils import numth
+
+
+class BatchEncoder:
+    """SIMD encoder for BFV/BGV: n slots <-> poly coefficients mod t."""
+
+    def __init__(self, context: SEALContext):
+        if not context.parameters_set:
+            raise ValueError("encryption parameters are not set correctly")
+        cd = context.first_context_data()
+        if cd.parms.scheme not in (SchemeType.BFV, SchemeType.BGV):
+            raise ValueError("unsupported scheme")
+        if not cd.qualifiers.using_batching:
+            raise ValueError("encryption parameters are not valid for batching")
+        self.context = context
+        self.slots = cd.parms.poly_modulus_degree
+        logn = numth.get_power_of_two(self.slots)
+        self._t = cd.parms.plain_modulus.value
+        self._tables = cd.plain_ntt_tables
+
+        # index map: 3^i order (rows) + bit reversal (batchencoder.cpp:64-88)
+        row_size = self.slots >> 1
+        m = self.slots << 1
+        index_map = np.zeros(self.slots, dtype=np.int64)
+        pos = 1
+        for i in range(row_size):
+            index1 = (pos - 1) >> 1
+            index2 = (m - pos - 1) >> 1
+            index_map[i] = numth.reverse_bits(index1, logn)
+            index_map[row_size | i] = numth.reverse_bits(index2, logn)
+            pos = (pos * 3) & (m - 1)
+        self._index_map = index_map
+
+    @property
+    def slot_count(self) -> int:
+        return self.slots
+
+    def encode(self, values) -> Plaintext:
+        values = list(values)
+        if len(values) > self.slots:
+            raise ValueError("values_matrix size is too large")
+        t = self._t
+        coeffs = np.zeros(self.slots, dtype=np.uint64)
+        for i, v in enumerate(values):
+            v = int(v)
+            if v < 0:
+                if -v > (t - 1) // 2:  # allow signed inputs like the int64 overload
+                    raise ValueError("input value is larger than plain_modulus")
+                v = v + t
+            if v >= t:
+                raise ValueError("input value is larger than plain_modulus")
+            coeffs[self._index_map[i]] = v
+        dev = to_device(coeffs.reshape(1, self.slots))
+        out = ntt_mod.ntt_inverse(dev, self._tables)
+        p = Plaintext(self.slots)
+        p.data = to_host(out)[0]
+        return p
+
+    def decode(self, plain: Plaintext, signed: bool = False):
+        if plain.is_ntt_form:
+            raise ValueError("plain cannot be in NTT form")
+        coeffs = np.zeros(self.slots, dtype=np.uint64)
+        coeffs[: len(plain.data)] = plain.data
+        dev = to_device(coeffs.reshape(1, self.slots))
+        out = to_host(ntt_mod.ntt_forward(dev, self._tables))[0]
+        values = out[self._index_map]
+        if signed:
+            t = self._t
+            half = (t + 1) >> 1
+            return [int(v) - t if v >= half else int(v) for v in values]
+        return [int(v) for v in values]

@@ -1,0 +1,163 @@
+"""Encryptor: public- and secret-key encryption for BFV/CKKS/BGV.
+
+Parity: seal::Encryptor (/root/reference/native/src/seal/encryptor.cpp):
+encrypt_zero_internal :88 (with the modulus-switch-down path for data-level
+encryption), encrypt_internal :175-253 (BFV Δ-scaling embed, CKKS NTT-plain
+add, BGV plain add).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seal_tpu import rlwe
+from seal_tpu.context import SEALContext
+from seal_tpu.dtypes import Ciphertext, Plaintext, PublicKey, SecretKey, to_device, to_host
+from seal_tpu.encryption_params import SchemeType
+from seal_tpu.ops import modring, rns as rns_ops
+from seal_tpu.ops import ntt as ntt_mod
+
+
+def _scaled_plain_rows(plain: Plaintext, cd) -> np.ndarray:
+    """Host: Δ·m + rounding fix per RNS row, uint64 [L, N]
+    (parity: util/scalingvariant.cpp:69-113)."""
+    parms = cd.parms
+    t = parms.plain_modulus.value
+    moduli = cd.key_moduli()
+    n = parms.poly_modulus_degree
+    q_mod_t = cd.coeff_modulus_mod_plain_modulus
+    half_t = cd.plain_upper_half_threshold
+    delta = cd.coeff_div_plain_modulus
+    out = np.zeros((len(moduli), n), dtype=np.uint64)
+    for i, m in enumerate(plain.data.tolist()):
+        if i >= n:
+            break
+        fix = (q_mod_t * m + half_t) // t
+        for j, q in enumerate(moduli):
+            out[j, i] = (delta[j] * m + fix) % q
+    return out
+
+
+class Encryptor:
+    def __init__(self, context: SEALContext, key):
+        self.context = context
+        self.public_key: PublicKey | None = None
+        self.secret_key: SecretKey | None = None
+        self.set_key(key)
+
+    def set_key(self, key):
+        if isinstance(key, PublicKey):
+            self.public_key = key
+        elif isinstance(key, SecretKey):
+            self.secret_key = key
+        else:
+            raise TypeError("key must be a PublicKey or SecretKey")
+
+    set_public_key = set_key
+    set_secret_key = set_key
+
+    # -- zero encryption --------------------------------------------------------
+
+    def encrypt_zero(self, parms_id=None, asymmetric: bool = True,
+                     save_seed: bool = False) -> Ciphertext:
+        ctx = self.context
+        if parms_id is None:
+            parms_id = ctx.first_parms_id
+        cd = ctx.get_context_data(parms_id)
+        scheme = cd.parms.scheme
+        is_ntt_form = scheme == SchemeType.CKKS
+
+        if asymmetric:
+            if self.public_key is None:
+                raise RuntimeError("public key is not set")
+            prev_cd = cd.prev_context_data
+            if prev_cd is not None:
+                # encrypt at key level, then switch the modulus down
+                temp = rlwe.encrypt_zero_asymmetric(
+                    self.public_key, ctx, prev_cd.parms_id, is_ntt_form
+                )
+                rt = prev_cd.rns_tool_device
+                polys = []
+                for j in range(temp.size):
+                    p = temp.poly(j)
+                    if is_ntt_form:
+                        p = rns_ops.divide_and_round_q_last_ntt(p, rt, prev_cd.ntt_tables)
+                    elif scheme != SchemeType.BGV:
+                        p = rns_ops.divide_and_round_q_last(p, rt)
+                    else:
+                        p = rns_ops.mod_t_and_divide_q_last(p, rt)
+                    polys.append(p)
+                from seal_tpu.dtypes import stack_polys
+
+                return Ciphertext(
+                    stack_polys(polys), parms_id=tuple(parms_id),
+                    is_ntt_form=is_ntt_form, scale=temp.scale,
+                    correction_factor=temp.correction_factor,
+                )
+            return rlwe.encrypt_zero_asymmetric(self.public_key, ctx, parms_id, is_ntt_form)
+        else:
+            if self.secret_key is None:
+                raise RuntimeError("secret key is not set")
+            return rlwe.encrypt_zero_symmetric(
+                self.secret_key, ctx, parms_id, is_ntt_form, save_seed
+            )
+
+    # -- plaintext encryption ------------------------------------------------------
+
+    def _encrypt_internal(self, plain: Plaintext, asymmetric: bool,
+                          save_seed: bool = False) -> Ciphertext:
+        ctx = self.context
+        scheme = ctx.key_context_data().parms.scheme
+
+        if scheme == SchemeType.BFV:
+            if plain.is_ntt_form:
+                raise ValueError("plain cannot be in NTT form")
+            ct = self.encrypt_zero(ctx.first_parms_id, asymmetric, save_seed)
+            cd = ctx.first_context_data()
+            scaled = to_device(_scaled_plain_rows(plain, cd))
+            c0 = modring.add_poly(ct.poly(0), scaled, cd.mod_consts)
+            ct.data = (
+                ct.data[0].at[0].set(c0[0]),
+                ct.data[1].at[0].set(c0[1]),
+            )
+            return ct
+        elif scheme == SchemeType.CKKS:
+            if not plain.is_ntt_form or plain.rns_data is None:
+                raise ValueError("plain must be in NTT form")
+            cd = ctx.get_context_data(plain.parms_id)
+            if cd is None:
+                raise ValueError("plain is not valid for encryption parameters")
+            ct = self.encrypt_zero(plain.parms_id, asymmetric, save_seed)
+            c0 = modring.add_poly(ct.poly(0), plain.rns_data, cd.mod_consts)
+            ct.data = (
+                ct.data[0].at[0].set(c0[0]),
+                ct.data[1].at[0].set(c0[1]),
+            )
+            ct.scale = plain.scale
+            return ct
+        elif scheme == SchemeType.BGV:
+            if plain.is_ntt_form:
+                raise ValueError("plain cannot be in NTT form")
+            ct = self.encrypt_zero(ctx.first_parms_id, asymmetric, save_seed)
+            cd = ctx.first_context_data()
+            moduli = cd.key_moduli()
+            n = cd.parms.poly_modulus_degree
+            rows = np.zeros((len(moduli), n), dtype=np.uint64)
+            for j, q in enumerate(moduli):
+                vals = plain.data.astype(object)
+                rows[j, :len(vals)] = np.asarray(
+                    [int(v) % q for v in vals], dtype=np.uint64
+                )
+            c0 = modring.add_poly(ct.poly(0), to_device(rows), cd.mod_consts)
+            ct.data = (
+                ct.data[0].at[0].set(c0[0]),
+                ct.data[1].at[0].set(c0[1]),
+            )
+            return ct
+        raise ValueError("unsupported scheme")
+
+    def encrypt(self, plain: Plaintext) -> Ciphertext:
+        return self._encrypt_internal(plain, asymmetric=True)
+
+    def encrypt_symmetric(self, plain: Plaintext, save_seed: bool = False) -> Ciphertext:
+        return self._encrypt_internal(plain, asymmetric=False, save_seed=save_seed)

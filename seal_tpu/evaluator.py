@@ -1,0 +1,777 @@
+"""Evaluator: the homomorphic operation set over device-resident ciphertexts.
+
+Parity: seal::Evaluator (/root/reference/native/src/seal/evaluator.cpp):
+negate/add/sub :124-350, BFV BEHZ multiply :395-567, CKKS multiply :569-708,
+BGV multiply :710-794, relinearize :1104-1159, mod switch :1161-1340,
+rescale :1441-1479, multiply_many :1535, exponentiate :1612, plain ops
+:1692-2031, NTT transforms :2033-2220, apply_galois :2221-2323, rotations
+:2325-2380, switch_key :2382-2677, BGV correction-factor balancing :56-118.
+
+TPU design: ops are pure functions over ciphertext pytrees; the key-switch
+inner product is a batched 128-bit-lazy accumulation over the decomposition
+axis, with all (L+1) extended-modulus rows transformed in a single batched
+NTT.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from seal_tpu.context import ContextData, SEALContext
+from seal_tpu.dtypes import (
+    Ciphertext,
+    GaloisKeys,
+    KSwitchKeys,
+    Plaintext,
+    RelinKeys,
+    stack_polys,
+    to_device,
+    to_host,
+    zeros_pair,
+)
+from seal_tpu.encryption_params import SchemeType
+from seal_tpu.modulus import CIPHERTEXT_SIZE_MAX
+from seal_tpu.ops import limb, modring
+from seal_tpu.ops import ntt as ntt_mod
+from seal_tpu.ops import rns as rns_ops
+from seal_tpu.utils import numth
+
+
+class Evaluator:
+    def __init__(self, context: SEALContext):
+        if not context.parameters_set:
+            raise ValueError("encryption parameters are not set correctly")
+        self.context = context
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _cd(self, ct: Ciphertext) -> ContextData:
+        cd = self.context.get_context_data(ct.parms_id)
+        if cd is None:
+            raise ValueError("ciphertext is not valid for encryption parameters")
+        return cd
+
+    def _scheme(self) -> SchemeType:
+        return self.context.key_context_data().parms.scheme
+
+    def _check_same(self, a: Ciphertext, b: Ciphertext):
+        if a.parms_id != b.parms_id:
+            raise ValueError("encrypted parameters mismatch")
+        if a.is_ntt_form != b.is_ntt_form:
+            raise ValueError("NTT form mismatch")
+
+    def _balance_correction_factors(self, a: Ciphertext, b: Ciphertext, cd):
+        """BGV: bring two ciphertexts to a common correction factor with the
+        smallest balanced multipliers, via extended Euclid on f2/f1 mod t
+        (parity: evaluator.cpp:56-118). Returns (f0, e1, e2): scale a by e1,
+        b by e2, result factor f0."""
+        t = cd.parms.plain_modulus.value
+        f1, f2 = a.correction_factor, b.correction_factor
+        half_t = t // 2
+
+        def sum_abs(x, y):
+            xb = x - t if x > half_t else x
+            yb = y - t if y > half_t else y
+            return abs(xb) + abs(yb)
+
+        ratio = (numth.invert_uint_mod(f1, t) * f2) % t
+        e1, e2 = ratio, 1
+        best = sum_abs(e1, e2)
+        prev_a, aa = t, ratio
+        prev_b, bb = 0, 1
+        while aa != 0:
+            q = prev_a // aa
+            prev_a, aa = aa, prev_a - q * aa
+            prev_b, bb = bb, prev_b - bb * q
+            a_mod = abs(aa) % t
+            if aa < 0:
+                a_mod = (t - a_mod) % t
+            b_mod = abs(bb) % t
+            if bb < 0:
+                b_mod = (t - b_mod) % t
+            if a_mod != 0 and numth.gcd(a_mod, t) == 1:
+                s = sum_abs(a_mod, b_mod)
+                if s < best:
+                    best = s
+                    e1, e2 = a_mod, b_mod
+        return (e1 * f1) % t, e1, e2
+
+    def _scale_poly_host_scalar(self, ct_pair, scalar: int, cd):
+        """Multiply all polys of a ct tensor by an integer scalar mod q."""
+        moduli = cd.key_moduli()
+        L = len(moduli)
+        op, qt = modring.shoup_pair(
+            [[scalar % q] for q in moduli], [[q] for q in moduli], shape=(L, 1)
+        )
+        return limb.mul_mod_shoup(ct_pair, op, qt, cd.mod_consts.q)
+
+    # -- negate / add / sub ------------------------------------------------------
+
+    def negate(self, ct: Ciphertext) -> Ciphertext:
+        cd = self._cd(ct)
+        out = ct.copy()
+        out.data = modring.negate_poly(ct.data, cd.mod_consts)
+        return out
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        self._check_same(a, b)
+        cd = self._cd(a)
+        scheme = cd.parms.scheme
+        f0, fa, fb = a.correction_factor, 1, 1
+        if scheme == SchemeType.BGV and a.correction_factor != b.correction_factor:
+            f0, fa, fb = self._balance_correction_factors(a, b, cd)
+        da, db = a.data, b.data
+        if fa != 1:
+            da = self._scale_poly_host_scalar(da, fa, cd)
+        if fb != 1:
+            db = self._scale_poly_host_scalar(db, fb, cd)
+        if scheme == SchemeType.CKKS and not _scales_close(a.scale, b.scale):
+            raise ValueError("scale mismatch")
+        size = max(a.size, b.size)
+        min_size = min(a.size, b.size)
+        mc = cd.mod_consts
+        lo = []
+        hi = []
+        for j in range(size):
+            if j < min_size:
+                s = modring.add_poly(
+                    (da[0][j], da[1][j]), (db[0][j], db[1][j]), mc
+                )
+            elif j < a.size:
+                s = (da[0][j], da[1][j])
+            else:
+                s = (db[0][j], db[1][j])
+            lo.append(s[0])
+            hi.append(s[1])
+        out = a.copy()
+        out.data = (jnp.stack(lo), jnp.stack(hi))
+        out.correction_factor = f0
+        return out
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        self._check_same(a, b)
+        cd = self._cd(a)
+        scheme = cd.parms.scheme
+        f0, fa, fb = a.correction_factor, 1, 1
+        if scheme == SchemeType.BGV and a.correction_factor != b.correction_factor:
+            f0, fa, fb = self._balance_correction_factors(a, b, cd)
+        da, db = a.data, b.data
+        if fa != 1:
+            da = self._scale_poly_host_scalar(da, fa, cd)
+        if fb != 1:
+            db = self._scale_poly_host_scalar(db, fb, cd)
+        if scheme == SchemeType.CKKS and not _scales_close(a.scale, b.scale):
+            raise ValueError("scale mismatch")
+        size = max(a.size, b.size)
+        min_size = min(a.size, b.size)
+        mc = cd.mod_consts
+        lo, hi = [], []
+        for j in range(size):
+            if j < min_size:
+                s = modring.sub_poly((da[0][j], da[1][j]), (db[0][j], db[1][j]), mc)
+            elif j < a.size:
+                s = (da[0][j], da[1][j])
+            else:
+                s = modring.negate_poly((db[0][j], db[1][j]), mc)
+            lo.append(s[0])
+            hi.append(s[1])
+        out = a.copy()
+        out.data = (jnp.stack(lo), jnp.stack(hi))
+        out.correction_factor = f0
+        return out
+
+    # -- multiplication -------------------------------------------------------------
+
+    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        self._check_same(a, b)
+        scheme = self._scheme()
+        if scheme == SchemeType.BFV:
+            return self._bfv_multiply(a, b)
+        if scheme == SchemeType.CKKS:
+            return self._ckks_multiply(a, b)
+        if scheme == SchemeType.BGV:
+            return self._bgv_multiply(a, b)
+        raise ValueError("unsupported scheme")
+
+    def square(self, a: Ciphertext) -> Ciphertext:
+        return self.multiply(a, a)
+
+    def _bfv_multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """BEHZ 8-step RNS multiplication (evaluator.cpp:395-567)."""
+        if a.is_ntt_form or b.is_ntt_form:
+            raise ValueError("BFV multiply inputs cannot be in NTT form")
+        cd = self._cd(a)
+        rt = cd.rns_tool_device
+        tables = cd.ntt_tables
+        bsk_tables = rt.bsk_ntt
+        mc = cd.mod_consts
+        bsk_mc = rt.bsk_mc
+        t = cd.parms.plain_modulus.value
+        dest_size = a.size + b.size - 1
+
+        def extend(ct):
+            """steps (1)-(3): per input poly, (q NTT form, Bsk NTT form)."""
+            qs, bsks = [], []
+            for j in range(ct.size):
+                p = ct.poly(j)
+                qs.append(ntt_mod.ntt_forward(p, tables))
+                bskm = rns_ops.fastbconv_m_tilde(p, rt)
+                bsk = rns_ops.sm_mrq(bskm, rt)
+                bsks.append(ntt_mod.ntt_forward(bsk, bsk_tables))
+            return qs, bsks
+
+        a_q, a_bsk = extend(a)
+        b_q, b_bsk = extend(b)
+
+        # step (4): dyadic convolution in both bases
+        out_q = [None] * dest_size
+        out_bsk = [None] * dest_size
+        for i in range(a.size):
+            for j in range(b.size):
+                k = i + j
+                pq = modring.dyadic_product(a_q[i], b_q[j], mc)
+                pb = modring.dyadic_product(a_bsk[i], b_bsk[j], bsk_mc)
+                out_q[k] = pq if out_q[k] is None else modring.add_poly(out_q[k], pq, mc)
+                out_bsk[k] = pb if out_bsk[k] is None else modring.add_poly(out_bsk[k], pb, bsk_mc)
+
+        # steps (5)-(8)
+        moduli = cd.key_moduli()
+        bsk_moduli = cd.rns_tool_host.base_Bsk.base
+        t_op_q, t_qt_q = modring.shoup_pair(
+            [[t % q] for q in moduli], [[q] for q in moduli], shape=(len(moduli), 1))
+        t_op_b, t_qt_b = modring.shoup_pair(
+            [[t % q] for q in bsk_moduli], [[q] for q in bsk_moduli], shape=(len(bsk_moduli), 1))
+        polys = []
+        for k in range(dest_size):
+            cq = ntt_mod.ntt_inverse(out_q[k], tables)
+            cb = ntt_mod.ntt_inverse(out_bsk[k], bsk_tables)
+            cq = limb.mul_mod_shoup(cq, t_op_q, t_qt_q, mc.q)
+            cb = limb.mul_mod_shoup(cb, t_op_b, t_qt_b, bsk_mc.q)
+            joined = (
+                jnp.concatenate([cq[0], cb[0]], axis=-2),
+                jnp.concatenate([cq[1], cb[1]], axis=-2),
+            )
+            floored = rns_ops.fast_floor(joined, rt)
+            polys.append(rns_ops.fastbconv_sk(floored, rt))
+
+        out = a.copy()
+        out.data = stack_polys(polys)
+        return out
+
+    def _ckks_multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """NTT-domain dyadic convolution (evaluator.cpp:569-708)."""
+        if not (a.is_ntt_form and b.is_ntt_form):
+            raise ValueError("CKKS multiply inputs must be in NTT form")
+        cd = self._cd(a)
+        mc = cd.mod_consts
+        dest_size = a.size + b.size - 1
+        out = [None] * dest_size
+        for i in range(a.size):
+            for j in range(b.size):
+                k = i + j
+                p = modring.dyadic_product(a.poly(i), b.poly(j), mc)
+                out[k] = p if out[k] is None else modring.add_poly(out[k], p, mc)
+        res = a.copy()
+        res.data = stack_polys(out)
+        res.scale = a.scale * b.scale
+        _check_scale(res.scale, cd)
+        return res
+
+    def _bgv_multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """NTT-convert, dyadic convolution, convert back; correction factors
+        multiply (evaluator.cpp:710-794)."""
+        if a.is_ntt_form or b.is_ntt_form:
+            raise ValueError("BGV multiply inputs cannot be in NTT form")
+        cd = self._cd(a)
+        mc = cd.mod_consts
+        tables = cd.ntt_tables
+        a_ntt = [ntt_mod.ntt_forward(a.poly(j), tables) for j in range(a.size)]
+        b_ntt = [ntt_mod.ntt_forward(b.poly(j), tables) for j in range(b.size)]
+        dest_size = a.size + b.size - 1
+        out = [None] * dest_size
+        for i in range(a.size):
+            for j in range(b.size):
+                k = i + j
+                p = modring.dyadic_product(a_ntt[i], b_ntt[j], mc)
+                out[k] = p if out[k] is None else modring.add_poly(out[k], p, mc)
+        polys = [ntt_mod.ntt_inverse(p, tables) for p in out]
+        res = a.copy()
+        res.data = stack_polys(polys)
+        t = cd.parms.plain_modulus.value
+        res.correction_factor = (a.correction_factor * b.correction_factor) % t
+        return res
+
+    # -- key switching ----------------------------------------------------------------
+
+    def _switch_key(self, ct: Ciphertext, target, keys_tensor) -> Ciphertext:
+        """Key switch `target` (a [L, N] poly at ct's level, same domain as
+        ct) under one kswitch key tensor [L_decomp, 2, L_key, N]; returns a
+        size-2 ciphertext to ADD into ct's (c0, c1)
+        (parity: evaluator.cpp:2382-2677)."""
+        ctx = self.context
+        cd = self._cd(ct)
+        key_cd = ctx.key_context_data()
+        scheme = cd.parms.scheme
+        L = cd.coeff_modulus_size
+        key_moduli = key_cd.key_moduli()
+        L_key = len(key_moduli)
+        key_tables = key_cd.ntt_tables
+        rt_key = key_cd.rns_tool_host
+
+        # extended row indices: decomp primes then the special prime
+        key_indices = list(range(L)) + [L_key - 1]
+        ext_tables = ntt_mod.gather_tables(key_tables, key_indices)
+        ext_moduli = [key_moduli[i] for i in key_indices]
+        ext_mc = modring.make_mod_consts(ext_moduli)
+
+        # t_target in coefficient domain [L, N]
+        t_target = target
+        if scheme == SchemeType.CKKS:
+            t_target = ntt_mod.ntt_inverse(target, cd.ntt_tables)
+
+        # build t_operand[J, I, N]: target row J reduced into extended row I
+        # and NTT'd in row I's domain
+        n = t_target[0].shape[-1]
+        tt_lo = jnp.broadcast_to(t_target[0][:, None, :], (L, L + 1, n))
+        tt_hi = jnp.broadcast_to(t_target[1][:, None, :], (L, L + 1, n))
+        ext_q = tuple(a[None, :, :] for a in ext_mc.q)          # [1, L+1, 1]
+        ext_r1 = tuple(a[None, :, :] for a in ext_mc.ratio1)
+        reduced = limb.barrett_reduce_64((tt_lo, tt_hi), ext_q, ext_r1)
+        # NTT over the extended-tower axis (axis -2), batched over J
+        t_op = ntt_mod.ntt_forward(reduced, ext_tables)          # [J=L, I=L+1, N]
+        if scheme == SchemeType.CKKS:
+            # rows where I == J already exist in NTT form in the input
+            eye = (jnp.arange(L)[:, None] == jnp.arange(L + 1)[None, :])
+            orig_lo = jnp.broadcast_to(target[0][:, None, :], (L, L + 1, n))
+            orig_hi = jnp.broadcast_to(target[1][:, None, :], (L, L + 1, n))
+            t_op = (
+                jnp.where(eye[:, :, None], orig_lo, t_op[0]),
+                jnp.where(eye[:, :, None], orig_hi, t_op[1]),
+            )
+
+        # key rows gathered to the extended tower: [L_decomp(=L), 2, L+1, N]
+        klo, khi = keys_tensor
+        klo = klo[:, :, jnp.asarray(key_indices), :]
+        khi = khi[:, :, jnp.asarray(key_indices), :]
+
+        # inner product over J with 128-bit accumulation: out [2, L+1, N]
+        acc = [
+            tuple(jnp.zeros((L + 1, n), dtype=jnp.uint32) for _ in range(4))
+            for _ in range(2)
+        ]
+        for J in range(L):
+            tj = (t_op[0][J], t_op[1][J])                        # [L+1, N]
+            for c in range(2):
+                kc = (klo[J, c], khi[J, c])                      # [L+1, N]
+                acc[c] = limb.mul_add_128(acc[c], tj, kc)
+        prod = []
+        for c in range(2):
+            prod.append(limb.barrett_reduce_128(
+                (acc[c][0], acc[c][1]), (acc[c][2], acc[c][3]),
+                ext_mc.q, ext_mc.ratio0, ext_mc.ratio1,
+            ))
+
+        # divide by the special prime and emit a size-2 delta ciphertext
+        qk = key_moduli[-1]
+        last_tables = ntt_mod.slice_tables(key_tables, L_key - 1, L_key)
+        lvl_tables = cd.ntt_tables
+        mc = cd.mod_consts
+        out_polys = []
+        if scheme == SchemeType.BGV:
+            t_mod = cd.parms.plain_modulus.value
+            tmc = modring.make_mod_consts([t_mod])
+            qk_inv_qp = rt_key.inv_q_last_mod_t
+            for c in range(2):
+                rows = prod[c]
+                t_last = (rows[0][L:], rows[1][L:])              # [1, N]
+                t_last = ntt_mod.ntt_inverse(t_last, last_tables)
+                k = limb.barrett_reduce_64(t_last, tmc.q, tmc.ratio1)
+                k = limb.neg_mod(k, tmc.q)
+                if qk_inv_qp != 1:
+                    op, qt = modring.shoup_pair([[qk_inv_qp]], [[t_mod]], shape=(1, 1))
+                    k = limb.mul_mod_shoup(k, op, qt, tmc.q)
+                body = ntt_mod.ntt_inverse((rows[0][:L], rows[1][:L]), lvl_tables)
+                delta = limb.barrett_reduce_64(k, mc.q, mc.ratio1)
+                delta = limb.mul_mod(delta, _const_pair(qk), mc.q, mc.ratio0, mc.ratio1)
+                c_mod = limb.barrett_reduce_64(t_last, mc.q, mc.ratio1)
+                summed = limb.add64(
+                    body, limb.sub64(limb.sub64(mc.two_q, delta), c_mod)
+                )
+                op, qt = modring.shoup_pair(
+                    [[v] for v in rt_key.inv_q_last_mod_q[:L]],
+                    [[q] for q in key_moduli[:L]], shape=(L, 1))
+                out_polys.append(limb.mul_mod_shoup(summed, op, qt, mc.q))
+        else:
+            qk_half = qk >> 1
+            last_mc = modring.make_mod_consts([qk])
+            half_mod = [qk_half % q for q in key_moduli[:L]]
+            for c in range(2):
+                rows = prod[c]
+                t_last = (rows[0][L:], rows[1][L:])
+                t_last = ntt_mod.ntt_inverse(t_last, last_tables)
+                t_last = limb.add_mod(
+                    t_last, _const_pair(qk_half), last_mc.q
+                )
+                body = (rows[0][:L], rows[1][:L])                 # NTT domain
+                t_red = limb.barrett_reduce_64(t_last, mc.q, mc.ratio1)
+                fix = limb.sub64(mc.q, to_device(
+                    np.asarray(half_mod, dtype=np.uint64).reshape(L, 1)))
+                t_red = limb.add64(t_red, fix)                    # < 2q_i
+                if scheme == SchemeType.CKKS:
+                    t_red = ntt_mod.ntt_forward(t_red, lvl_tables, lazy=True)
+                else:
+                    body = ntt_mod.ntt_inverse(body, lvl_tables, lazy=True)
+                qi_lazy = limb.shl64(mc.q, 2)
+                summed = limb.sub64(limb.add64(body, qi_lazy), t_red)
+                op, qt = modring.shoup_pair(
+                    [[v] for v in rt_key.inv_q_last_mod_q[:L]],
+                    [[q] for q in key_moduli[:L]], shape=(L, 1))
+                out_polys.append(limb.mul_mod_shoup(summed, op, qt, mc.q))
+
+        return Ciphertext(
+            stack_polys(out_polys), parms_id=ct.parms_id,
+            is_ntt_form=ct.is_ntt_form, scale=ct.scale,
+            correction_factor=ct.correction_factor,
+        )
+
+    def relinearize(self, ct: Ciphertext, relin_keys: RelinKeys) -> Ciphertext:
+        """Reduce ciphertext size back to 2 (evaluator.cpp:1104-1159)."""
+        if relin_keys.parms_id != self.context.key_parms_id:
+            raise ValueError("relin_keys is not valid for encryption parameters")
+        if ct.size == 2:
+            return ct.copy()
+        cd = self._cd(ct)
+        cur = ct
+        while cur.size > 2:
+            size = cur.size
+            target = cur.poly(size - 1)
+            delta = self._switch_key(cur, target, relin_keys.key(size - 1))
+            lo = cur.data[0][:size - 1]
+            hi = cur.data[1][:size - 1]
+            base = Ciphertext((lo, hi), cur.parms_id, cur.is_ntt_form,
+                              cur.scale, cur.correction_factor)
+            mc = cd.mod_consts
+            c0 = modring.add_poly(base.poly(0), delta.poly(0), mc)
+            c1 = modring.add_poly(base.poly(1), delta.poly(1), mc)
+            polys = [c0, c1] + [base.poly(j) for j in range(2, size - 1)]
+            base.data = stack_polys(polys)
+            cur = base
+        if cur.is_transparent():
+            raise ValueError("result ciphertext is transparent")
+        return cur
+
+    # -- modulus switching -----------------------------------------------------------
+
+    def mod_switch_to_next(self, ct: Ciphertext) -> Ciphertext:
+        cd = self._cd(ct)
+        if cd.next_context_data is None:
+            raise ValueError("end of modulus switching chain reached")
+        scheme = self._scheme()
+        next_cd = cd.next_context_data
+        rt = cd.rns_tool_device
+        polys = []
+        for j in range(ct.size):
+            p = ct.poly(j)
+            if scheme == SchemeType.BFV:
+                p = rns_ops.divide_and_round_q_last(p, rt)
+            elif scheme == SchemeType.CKKS:
+                # drop the last RNS row, no scaling (mod_switch_drop_to_next)
+                p = (p[0][:-1], p[1][:-1])
+            else:  # BGV
+                p = rns_ops.mod_t_and_divide_q_last(p, rt)
+            polys.append(p)
+        out = Ciphertext(
+            stack_polys(polys), parms_id=tuple(next_cd.parms_id),
+            is_ntt_form=ct.is_ntt_form, scale=ct.scale,
+            correction_factor=ct.correction_factor,
+        )
+        if scheme == SchemeType.BGV:
+            t = cd.parms.plain_modulus.value
+            inv = cd.rns_tool_host.inv_q_last_mod_t
+            out.correction_factor = (ct.correction_factor * inv) % t
+        return out
+
+    def mod_switch_to(self, ct: Ciphertext, parms_id) -> Ciphertext:
+        cur = ct
+        target = tuple(parms_id)
+        while cur.parms_id != target:
+            cur = self.mod_switch_to_next(cur)
+        return cur
+
+    def rescale_to_next(self, ct: Ciphertext) -> Ciphertext:
+        """CKKS rescaling (evaluator.cpp:1441-1479)."""
+        if self._scheme() != SchemeType.CKKS:
+            raise ValueError("unsupported operation for scheme type")
+        cd = self._cd(ct)
+        if cd.next_context_data is None:
+            raise ValueError("end of modulus switching chain reached")
+        rt = cd.rns_tool_device
+        polys = [
+            rns_ops.divide_and_round_q_last_ntt(ct.poly(j), rt, cd.ntt_tables)
+            for j in range(ct.size)
+        ]
+        next_cd = cd.next_context_data
+        out = Ciphertext(
+            stack_polys(polys), parms_id=tuple(next_cd.parms_id),
+            is_ntt_form=ct.is_ntt_form,
+            scale=ct.scale / cd.key_moduli()[-1],
+            correction_factor=ct.correction_factor,
+        )
+        return out
+
+    def rescale_to(self, ct: Ciphertext, parms_id) -> Ciphertext:
+        cur = ct
+        target = tuple(parms_id)
+        while cur.parms_id != target:
+            cur = self.rescale_to_next(cur)
+        return cur
+
+    # -- plaintext operations -----------------------------------------------------------
+
+    def add_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        return self._plain_add_sub(ct, plain, add=True)
+
+    def sub_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        return self._plain_add_sub(ct, plain, add=False)
+
+    def _plain_add_sub(self, ct: Ciphertext, plain: Plaintext, add: bool) -> Ciphertext:
+        cd = self._cd(ct)
+        scheme = self._scheme()
+        mc = cd.mod_consts
+        out = ct.copy()
+        if scheme == SchemeType.BFV:
+            if plain.is_ntt_form:
+                raise ValueError("plain cannot be in NTT form")
+            from seal_tpu.encryptor import _scaled_plain_rows
+
+            scaled = to_device(_scaled_plain_rows(plain, cd))
+            op = modring.add_poly if add else modring.sub_poly
+            c0 = op(ct.poly(0), scaled, mc)
+        elif scheme == SchemeType.CKKS:
+            if not plain.is_ntt_form or plain.rns_data is None:
+                raise ValueError("plain must be in NTT form")
+            if not _scales_close(ct.scale, plain.scale):
+                raise ValueError("scale mismatch")
+            op = modring.add_poly if add else modring.sub_poly
+            c0 = op(ct.poly(0), plain.rns_data, mc)
+        else:  # BGV: plain scaled by the correction factor
+            if plain.is_ntt_form:
+                raise ValueError("plain cannot be in NTT form")
+            t = cd.parms.plain_modulus.value
+            moduli = cd.key_moduli()
+            n = cd.parms.poly_modulus_degree
+            vals = [
+                (int(v) * ct.correction_factor) % t for v in plain.data.tolist()
+            ]
+            rows = np.zeros((len(moduli), n), dtype=np.uint64)
+            for j, q in enumerate(moduli):
+                rows[j, :len(vals)] = np.asarray([v % q for v in vals], dtype=np.uint64)
+            op = modring.add_poly if add else modring.sub_poly
+            c0 = op(ct.poly(0), to_device(rows), mc)
+        out.data = (
+            ct.data[0].at[0].set(c0[0]),
+            ct.data[1].at[0].set(c0[1]),
+        )
+        return out
+
+    def multiply_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        cd = self._cd(ct)
+        scheme = self._scheme()
+        mc = cd.mod_consts
+        if ct.is_ntt_form and plain.is_ntt_form:
+            # both NTT (CKKS standard path)
+            prod = [
+                modring.dyadic_product(ct.poly(j), plain.rns_data, mc)
+                for j in range(ct.size)
+            ]
+            out = ct.copy()
+            out.data = stack_polys(prod)
+            out.scale = ct.scale * plain.scale
+            _check_scale(out.scale, cd)
+            return out
+        if plain.is_ntt_form or ct.is_ntt_form:
+            raise ValueError("NTT form mismatch")
+        # multiply_plain_normal (evaluator.cpp:1858-1992)
+        if plain.significant_coeff_count() == 0:
+            raise ValueError("plain cannot be zero")
+        rows = _plain_to_rns_rows(plain, cd)
+        plain_ntt = ntt_mod.ntt_forward(to_device(rows), cd.ntt_tables)
+        tables = cd.ntt_tables
+        prod = []
+        for j in range(ct.size):
+            cj = ntt_mod.ntt_forward(ct.poly(j), tables)
+            cj = modring.dyadic_product(cj, plain_ntt, mc)
+            prod.append(ntt_mod.ntt_inverse(cj, tables))
+        out = ct.copy()
+        out.data = stack_polys(prod)
+        if scheme == SchemeType.CKKS:
+            out.scale = ct.scale * plain.scale
+        return out
+
+    # -- NTT transforms ------------------------------------------------------------------
+
+    def transform_to_ntt(self, ct: Ciphertext) -> Ciphertext:
+        if ct.is_ntt_form:
+            raise ValueError("encrypted is already in NTT form")
+        cd = self._cd(ct)
+        out = ct.copy()
+        out.data = ntt_mod.ntt_forward(ct.data, cd.ntt_tables)
+        out.is_ntt_form = True
+        return out
+
+    def transform_from_ntt(self, ct: Ciphertext) -> Ciphertext:
+        if not ct.is_ntt_form:
+            raise ValueError("encrypted is not in NTT form")
+        cd = self._cd(ct)
+        out = ct.copy()
+        out.data = ntt_mod.ntt_inverse(ct.data, cd.ntt_tables)
+        out.is_ntt_form = False
+        return out
+
+    def transform_plain_to_ntt(self, plain: Plaintext, parms_id) -> Plaintext:
+        if plain.is_ntt_form:
+            raise ValueError("plain is already in NTT form")
+        cd = self.context.get_context_data(parms_id)
+        rows = _plain_to_rns_rows(plain, cd)
+        out = Plaintext()
+        out.rns_data = ntt_mod.ntt_forward(to_device(rows), cd.ntt_tables)
+        out.parms_id = tuple(parms_id)
+        out.scale = plain.scale
+        return out
+
+    # -- Galois / rotations -------------------------------------------------------------
+
+    def apply_galois(self, ct: Ciphertext, galois_elt: int, galois_keys: GaloisKeys) -> Ciphertext:
+        """x -> x^elt automorphism followed by key switching
+        (evaluator.cpp:2221-2323)."""
+        cd = self._cd(ct)
+        gt = cd.galois_tool
+        if not galois_keys.has_key(galois_elt):
+            raise ValueError("Galois key not present")
+        if ct.size != 2:
+            raise ValueError("encrypted size must be 2")
+        mc = cd.mod_consts
+        if ct.is_ntt_form:
+            c0 = gt.apply_galois_ntt(ct.poly(0), galois_elt)
+            c1 = gt.apply_galois_ntt(ct.poly(1), galois_elt)
+        else:
+            c0 = gt.apply_galois(ct.poly(0), galois_elt, mc)
+            c1 = gt.apply_galois(ct.poly(1), galois_elt, mc)
+        base = ct.copy()
+        zero = zeros_pair(c1[0].shape)
+        base.data = stack_polys([c0, zero])
+        delta = self._switch_key(base, c1, galois_keys.key(galois_elt))
+        out = base
+        out.data = stack_polys([
+            modring.add_poly(c0, delta.poly(0), mc),
+            delta.poly(1),
+        ])
+        return out
+
+    def rotate_rows(self, ct: Ciphertext, steps: int, galois_keys: GaloisKeys) -> Ciphertext:
+        """BFV/BGV batching row rotation (evaluator.h rotate_rows)."""
+        if self._scheme() not in (SchemeType.BFV, SchemeType.BGV):
+            raise ValueError("unsupported scheme")
+        return self._rotate_internal(ct, steps, galois_keys)
+
+    def rotate_columns(self, ct: Ciphertext, galois_keys: GaloisKeys) -> Ciphertext:
+        if self._scheme() not in (SchemeType.BFV, SchemeType.BGV):
+            raise ValueError("unsupported scheme")
+        return self._conjugate_internal(ct, galois_keys)
+
+    def rotate_vector(self, ct: Ciphertext, steps: int, galois_keys: GaloisKeys) -> Ciphertext:
+        """CKKS slot rotation."""
+        if self._scheme() != SchemeType.CKKS:
+            raise ValueError("unsupported scheme")
+        return self._rotate_internal(ct, steps, galois_keys)
+
+    def complex_conjugate(self, ct: Ciphertext, galois_keys: GaloisKeys) -> Ciphertext:
+        if self._scheme() != SchemeType.CKKS:
+            raise ValueError("unsupported scheme")
+        return self._conjugate_internal(ct, galois_keys)
+
+    def _rotate_internal(self, ct: Ciphertext, steps: int, galois_keys: GaloisKeys) -> Ciphertext:
+        cd = self._cd(ct)
+        gt = cd.galois_tool
+        if steps == 0:
+            return ct.copy()
+        elt = gt.get_elt_from_step(steps)
+        if galois_keys.has_key(elt):
+            return self.apply_galois(ct, elt, galois_keys)
+        # NAF decomposition fallback (evaluator.cpp:2325-2380)
+        naf_steps = numth.naf(steps)
+        if len(naf_steps) == 1:
+            raise ValueError("Galois key not present")
+        cur = ct
+        for s in naf_steps:
+            cur = self._rotate_internal(cur, s, galois_keys)
+        return cur
+
+    def _conjugate_internal(self, ct: Ciphertext, galois_keys: GaloisKeys) -> Ciphertext:
+        cd = self._cd(ct)
+        gt = cd.galois_tool
+        return self.apply_galois(ct, gt.get_elt_from_step(0), galois_keys)
+
+    # -- composite helpers ------------------------------------------------------------------
+
+    def multiply_many(self, cts: list[Ciphertext], relin_keys: RelinKeys) -> Ciphertext:
+        """Binary-tree product (evaluator.cpp:1535+)."""
+        if not cts:
+            raise ValueError("encrypteds cannot be empty")
+        layer = list(cts)
+        while len(layer) > 1:
+            nxt = []
+            for i in range(0, len(layer) - 1, 2):
+                prod = self.relinearize(self.multiply(layer[i], layer[i + 1]), relin_keys)
+                nxt.append(prod)
+            if len(layer) % 2:
+                nxt.append(layer[-1])
+            layer = nxt
+        return layer[0]
+
+    def exponentiate(self, ct: Ciphertext, power: int, relin_keys: RelinKeys) -> Ciphertext:
+        if power < 1:
+            raise ValueError("exponent cannot be 0")
+        if power == 1:
+            return ct.copy()
+        return self.multiply_many([ct] * power, relin_keys)
+
+
+def _scales_close(a: float, b: float) -> bool:
+    return abs(a - b) <= max(abs(a), abs(b)) * 1e-10
+
+
+def _check_scale(scale: float, cd: ContextData):
+    """Scale must stay positive and below the total coeff modulus
+    (evaluator.cpp is_scale_within_bounds)."""
+    if not (scale > 0) or int(scale).bit_length() >= cd.total_coeff_modulus_bit_count:
+        raise ValueError("scale out of bounds")
+
+
+def _const_pair(v: int):
+    return to_device(np.asarray([[v]], dtype=np.uint64))
+
+
+def _plain_to_rns_rows(plain: Plaintext, cd) -> np.ndarray:
+    """Lift a mod-t plaintext into [L, N] RNS rows with upper-half wrap
+    (evaluator.cpp multiply_plain_normal / transform_plain_to_ntt)."""
+    moduli = cd.key_moduli()
+    n = cd.parms.poly_modulus_degree
+    thresh = cd.plain_upper_half_threshold
+    inc = cd.plain_upper_half_increment
+    rows = np.zeros((len(moduli), n), dtype=np.uint64)
+    fast = cd.qualifiers.using_fast_plain_lift
+    if fast:
+        for j in range(len(moduli)):
+            vals = plain.data
+            up = vals >= np.uint64(thresh)
+            rows[j, :len(vals)] = np.where(up, vals + np.uint64(inc[j]), vals)
+    else:
+        Q = cd.total_coeff_modulus
+        t_half = thresh
+        for i, v in enumerate(plain.data.tolist()):
+            lifted = v + (Q - cd.parms.plain_modulus.value) if v >= t_half else v
+            for j, q in enumerate(moduli):
+                rows[j, i] = lifted % q
+    return rows

@@ -1,0 +1,228 @@
+"""Key generation: secret/public keys, relinearization and Galois keys,
+plus the fork's multiparty (threshold) key flows.
+
+Parity: seal::KeyGenerator (/root/reference/native/src/seal/keygenerator.cpp):
+generate_sk :56, fork generate_secret_key :95 / generate_pk_with_sk :132 /
+generate_pk_with_same_c1 :182 / create_common_secret_key :207 /
+create_common_public_key :239, create_relin_keys :272, galois keys :404-580,
+compute_secret_key_array :591, generate_one_kswitch_key :732.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from seal_tpu import rlwe
+from seal_tpu.context import SEALContext
+from seal_tpu.dtypes import (
+    Ciphertext,
+    GaloisKeys,
+    KSwitchKeys,
+    PublicKey,
+    RelinKeys,
+    SecretKey,
+    stack_polys,
+    to_device,
+)
+from seal_tpu.modulus import CIPHERTEXT_SIZE_MAX
+from seal_tpu.ops import limb, modring
+from seal_tpu.ops import ntt as ntt_mod
+
+
+class KeyGenerator:
+    def __init__(self, context: SEALContext, secret_key: SecretKey | None = None):
+        if not context.parameters_set:
+            raise ValueError("encryption parameters are not set correctly")
+        self.context = context
+        if secret_key is not None:
+            self.secret_key_ = secret_key
+        else:
+            self.secret_key_ = self._sample_secret_key()
+        # cache of NTT-form powers of s: [k] holds s^(k+1), device [L, N]
+        self._sk_powers = [self.secret_key_.data]
+
+    # -- secret / public ------------------------------------------------------
+
+    def _sample_secret_key(self) -> SecretKey:
+        cd = self.context.key_context_data()
+        moduli = cd.key_moduli()
+        n = cd.parms.poly_modulus_degree
+        prng = rlwe._prng_for(self.context)
+        sk = to_device(rlwe.sample_poly_ternary(prng, moduli, n))
+        sk = ntt_mod.ntt_forward(sk, cd.ntt_tables)
+        return SecretKey(sk, tuple(cd.parms_id))
+
+    def secret_key(self) -> SecretKey:
+        return self.secret_key_
+
+    def create_public_key(self, save_seed: bool = False) -> PublicKey:
+        cd = self.context.key_context_data()
+        ct = rlwe.encrypt_zero_symmetric(
+            self.secret_key_, self.context, cd.parms_id, is_ntt_form=True,
+            save_seed=save_seed,
+        )
+        pk = PublicKey(ct)
+        return pk
+
+    # -- fork multiparty surface (keygenerator.cpp:95-518) ---------------------
+
+    def generate_secret_key(self) -> SecretKey:
+        """Fresh party secret key (does not replace this generator's key)."""
+        return self._sample_secret_key()
+
+    def create_public_key_with_sk(self, sk: SecretKey, save_seed: bool = False) -> PublicKey:
+        return PublicKey(rlwe.encrypt_zero_symmetric(
+            sk, self.context, self.context.key_parms_id, is_ntt_form=True,
+            save_seed=save_seed,
+        ))
+
+    def create_public_key_with_same_c1(self, sk: SecretKey, ref: PublicKey) -> PublicKey:
+        """Party public key sharing the reference's c1 (common reference
+        string), keygenerator.cpp:182-205."""
+        c1 = ref.data.poly(1)
+        ct = rlwe.encrypt_zero_symmetric(
+            sk, self.context, self.context.key_parms_id, is_ntt_form=True,
+            c1_override=c1, c1_seed=ref.data.seed_info,
+        )
+        return PublicKey(ct)
+
+    def create_common_secret_key(self, sks: list[SecretKey]) -> SecretKey:
+        """csk = Σ party secret keys (keygenerator.cpp:207-238)."""
+        cd = self.context.key_context_data()
+        mc = cd.mod_consts
+        acc = sks[0].data
+        for sk in sks[1:]:
+            acc = modring.add_poly(acc, sk.data, mc)
+        return SecretKey(acc, tuple(cd.parms_id))
+
+    def create_common_public_key(self, pks: list[PublicKey]) -> PublicKey:
+        """cpk = (Σ party c0, shared c1) (keygenerator.cpp:239-270)."""
+        cd = self.context.key_context_data()
+        mc = cd.mod_consts
+        c0 = pks[0].data.poly(0)
+        for pk in pks[1:]:
+            c0 = modring.add_poly(c0, pk.data.poly(0), mc)
+        ct = Ciphertext(
+            stack_polys([c0, pks[0].data.poly(1)]),
+            parms_id=tuple(cd.parms_id), is_ntt_form=True,
+        )
+        return PublicKey(ct)
+
+    # -- secret key powers ------------------------------------------------------
+
+    def _compute_secret_key_powers(self, max_power: int):
+        cd = self.context.key_context_data()
+        mc = cd.mod_consts
+        while len(self._sk_powers) < max_power:
+            nxt = modring.dyadic_product(self._sk_powers[-1], self._sk_powers[0], mc)
+            self._sk_powers.append(nxt)
+
+    # -- key switching keys -------------------------------------------------------
+
+    def _generate_one_kswitch_key(self, new_key, secret_key: SecretKey,
+                                  c1_refs=None) -> tuple:
+        """KSwitch key for `new_key` (NTT [L_key, N] pair): per decomposition
+        prime i, an NTT encryption of zero whose c0's i-th RNS row absorbs
+        new_key_i * (q_special mod q_i) (keygenerator.cpp:732-765).
+
+        Returns a stacked device pair [L_decomp, 2, L_key, N].
+        """
+        ctx = self.context
+        key_cd = ctx.key_context_data()
+        if not ctx.using_keyswitching:
+            raise RuntimeError("keyswitching is not supported by the context")
+        key_moduli = key_cd.key_moduli()
+        decomp_count = len(ctx.first_context_data().key_moduli())
+        q_special = key_moduli[-1]
+        mc = key_cd.mod_consts
+
+        c0s, c1s = [], []
+        for i in range(decomp_count):
+            ct = rlwe.encrypt_zero_symmetric(
+                secret_key, ctx, key_cd.parms_id, is_ntt_form=True,
+                c1_override=c1_refs[i] if c1_refs is not None else None,
+            )
+            factor = q_special % key_moduli[i]
+            f_op, f_qt = modring.shoup_pair([[factor]], [[key_moduli[i]]], shape=(1, 1))
+            row = (new_key[0][i:i + 1], new_key[1][i:i + 1])  # [1, N]
+            mc_i = mc.slice_row(i)
+            temp = limb.mul_mod_shoup(row, f_op, f_qt, mc_i.q)
+            c0, c1 = ct.poly(0), ct.poly(1)
+            new_row = limb.add_mod((c0[0][i:i + 1], c0[1][i:i + 1]), temp, mc_i.q)
+            c0 = (
+                c0[0].at[i:i + 1].set(new_row[0]),
+                c0[1].at[i:i + 1].set(new_row[1]),
+            )
+            c0s.append(c0)
+            c1s.append(c1)
+        lo = jnp.stack([jnp.stack([a[0], b[0]]) for a, b in zip(c0s, c1s)])
+        hi = jnp.stack([jnp.stack([a[1], b[1]]) for a, b in zip(c0s, c1s)])
+        return lo, hi
+
+    def create_relin_keys(self, count: int = 1, save_seed: bool = False) -> RelinKeys:
+        """Keys for s^2, ..., s^(count+1) (keygenerator.cpp:272-310)."""
+        if not (1 <= count <= CIPHERTEXT_SIZE_MAX - 2):
+            raise ValueError("invalid count")
+        self._compute_secret_key_powers(count + 1)
+        rk = RelinKeys()
+        for p in range(2, count + 2):
+            rk.keys.append(
+                self._generate_one_kswitch_key(self._sk_powers[p - 1], self.secret_key_)
+            )
+        rk.parms_id = tuple(self.context.key_parms_id)
+        return rk
+
+    def create_galois_keys(self, galois_elts=None, save_seed: bool = False,
+                           secret_key: SecretKey | None = None,
+                           c1_refs_per_elt=None) -> GaloisKeys:
+        """Keys for the automorphisms x -> x^elt (keygenerator.cpp:520-580);
+        with secret_key/c1 overrides this is the fork's
+        create_galois_keys_with_sk[_c1] (keygenerator.cpp:404-518)."""
+        ctx = self.context
+        key_cd = ctx.key_context_data()
+        gt = key_cd.galois_tool
+        if galois_elts is None:
+            galois_elts = gt.get_elts_all()
+        sk = secret_key if secret_key is not None else self.secret_key_
+        gk = GaloisKeys()
+        for idx, elt in enumerate(galois_elts):
+            if elt % 2 == 0 or elt < 1:
+                raise ValueError("Galois element is not valid")
+            # rotate the secret key: apply_galois in NTT domain
+            rotated = gt.apply_galois_ntt(sk.data, elt)
+            index = GaloisKeys.get_index(elt)
+            while len(gk.keys) <= index:
+                gk.keys.append(None)
+            gk.keys[index] = self._generate_one_kswitch_key(
+                rotated, sk,
+                c1_refs=c1_refs_per_elt[idx] if c1_refs_per_elt is not None else None,
+            )
+        gk.parms_id = tuple(ctx.key_parms_id)
+        return gk
+
+    def aggregate_galois_keys(self, galois_elts, key_shares: list[GaloisKeys]) -> GaloisKeys:
+        """Common rotation keys = elementwise sum of per-party shares
+        (fork's gen_common_galois_keys/aggregate_rot_keys,
+        keygenerator.cpp:312-402)."""
+        key_cd = self.context.key_context_data()
+        mc = key_cd.mod_consts
+        out = GaloisKeys()
+        for elt in galois_elts:
+            index = GaloisKeys.get_index(elt)
+            while len(out.keys) <= index:
+                out.keys.append(None)
+            acc = key_shares[0].keys[index]
+            for share in key_shares[1:]:
+                k = share.keys[index]
+                # sum only the c0 components (c1 is the shared CRS)
+                summed_c0 = limb.add_mod(
+                    (acc[0][:, 0], acc[1][:, 0]), (k[0][:, 0], k[1][:, 0]), mc.q
+                )
+                acc = (
+                    acc[0].at[:, 0].set(summed_c0[0]),
+                    acc[1].at[:, 0].set(summed_c0[1]),
+                )
+            out.keys[index] = acc
+        out.parms_id = tuple(self.context.key_parms_id)
+        return out

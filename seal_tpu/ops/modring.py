@@ -45,6 +45,15 @@ class ModConsts(NamedTuple):
             tuple(a[:count] for a in self.ratio1),
         )
 
+    def slice_row(self, i: int) -> "ModConsts":
+        """Constants for prime row i only, shape [1, 1]."""
+        return ModConsts(
+            tuple(a[i:i + 1] for a in self.q),
+            tuple(a[i:i + 1] for a in self.two_q),
+            tuple(a[i:i + 1] for a in self.ratio0),
+            tuple(a[i:i + 1] for a in self.ratio1),
+        )
+
 
 def make_mod_consts(moduli: list[Modulus] | list[int]) -> ModConsts:
     qs = [int(m) for m in moduli]

@@ -138,6 +138,23 @@ def build_device_tables(log_n: int, moduli: list[Modulus] | list[int]) -> NTTDev
     )
 
 
+def gather_tables(t: NTTDeviceTables, indices: list[int]) -> NTTDeviceTables:
+    """Tables for an arbitrary (static) list of prime rows of a tower."""
+    idx = jnp.asarray(indices)
+
+    def g2(pair):
+        return (pair[0][idx], pair[1][idx])
+
+    return NTTDeviceTables(
+        log_n=t.log_n,
+        mc=ModConsts(g2(t.mc.q), g2(t.mc.two_q), g2(t.mc.ratio0), g2(t.mc.ratio1)),
+        fwd_op=g2(t.fwd_op), fwd_qt=g2(t.fwd_qt),
+        inv_op=g2(t.inv_op), inv_qt=g2(t.inv_qt),
+        inv_n_op=g2(t.inv_n_op), inv_n_qt=g2(t.inv_n_qt),
+        last_op=g2(t.last_op), last_qt=g2(t.last_qt),
+    )
+
+
 def slice_tables(t: NTTDeviceTables, start: int, end: int) -> NTTDeviceTables:
     """Tables for the prime rows [start, end) of a tower (static bounds)."""
 

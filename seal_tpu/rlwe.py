@@ -1,0 +1,261 @@
+"""RLWE samplers and encryptions of zero.
+
+Parity: seal::util samplers and encrypt_zero (/root/reference/native/src/
+seal/util/rlwe.cpp): sample_poly_ternary :21, sample_poly_normal :40,
+sample_poly_cbd :66, sample_poly_uniform :103, encrypt_zero_asymmetric :189,
+encrypt_zero_symmetric :415, fork's encrypt_zero_symmetric_with_c1 :276.
+
+Bit-exactness notes (SURVEY.md §7 hard part #2):
+* ternary sampling goes through std::uniform_int_distribution<uint64_t>(0,2)
+  over a 32-bit adapter; libstdc++ uses Lemire's method, whose rejection for
+  range 3 fires only on a zero 32-bit draw — so the accepted sequence is
+  exactly "the nonzero 32-bit words of the stream", which vectorizes.
+* uniform sampling bulk-fills L*N*8 bytes first, then redraws rejected
+  values (rand >= 2^64 - 2^64 mod q) one at a time, in (prime, coeff) order.
+* CBD noise consumes 6 bytes per coefficient, no rejection.
+
+Samplers run on host (numpy over the PRNG byte stream) and upload once;
+everything after the sample is device compute.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seal_tpu import randomgen
+from seal_tpu.context import ContextData, SEALContext
+from seal_tpu.dtypes import Ciphertext, PublicKey, SecretKey, stack_polys, to_device, to_host
+from seal_tpu.encryption_params import SchemeType
+from seal_tpu.ops import limb
+from seal_tpu.ops import modring
+from seal_tpu.ops import ntt as ntt_mod
+
+NOISE_STANDARD_DEVIATION = 3.2
+NOISE_MAX_DEVIATION = 6 * 3.2  # globals.cpp noise_max_deviation = 128·σ/20? see util/globals.h
+
+
+class _Stream:
+    """Sequential byte cursor over a PRNG, enabling vectorized exact-order
+    consumption."""
+
+    def __init__(self, prng: randomgen.UniformRandomGenerator):
+        self.prng = prng
+
+    def take(self, n: int) -> bytes:
+        return self.prng.generate(n)
+
+
+def sample_poly_ternary(prng, moduli: list[int], n: int) -> np.ndarray:
+    """Ternary {-1,0,1} poly lifted per prime -> uint64 [L, N]."""
+    L = len(moduli)
+    need = n
+    words = np.frombuffer(prng.generate(4 * n), dtype="<u4")
+    accepted = words[words != 0]
+    while len(accepted) < n:
+        extra = np.frombuffer(prng.generate(4 * (n - len(accepted))), dtype="<u4")
+        accepted = np.concatenate([accepted, extra[extra != 0]])
+    accepted = accepted[:n]
+    # Lemire downscale for range 3: r = (w * 3) >> 32
+    r = ((accepted.astype(np.uint64) * np.uint64(3)) >> np.uint64(32)).astype(np.uint64)
+    out = np.empty((L, n), dtype=np.uint64)
+    for j, q in enumerate(moduli):
+        # value = r - 1 mod q: r=0 -> q-1, else r-1
+        out[j] = np.where(r == 0, np.uint64(q - 1), r - np.uint64(1))
+    return out
+
+
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
+
+
+def sample_poly_cbd(prng, moduli: list[int], n: int) -> np.ndarray:
+    """Centered binomial (σ=3.2) noise poly -> uint64 [L, N]."""
+    L = len(moduli)
+    raw = np.frombuffer(prng.generate(6 * n), dtype=np.uint8).reshape(n, 6).copy()
+    raw[:, 2] &= 0x1F
+    raw[:, 5] &= 0x1F
+    w = _POPCNT[raw]
+    noise = (w[:, 0] + w[:, 1] + w[:, 2] - w[:, 3] - w[:, 4] - w[:, 5]).astype(np.int64)
+    out = np.empty((L, n), dtype=np.uint64)
+    for j, q in enumerate(moduli):
+        out[j] = np.where(noise < 0, noise + q, noise).astype(np.uint64)
+    return out
+
+
+def sample_poly_uniform(prng, moduli: list[int], n: int) -> np.ndarray:
+    """Uniform poly mod each prime -> uint64 [L, N] (rejection-exact)."""
+    L = len(moduli)
+    raw = np.frombuffer(prng.generate(L * n * 8), dtype="<u8").reshape(L, n).copy()
+    max_random = 0xFFFFFFFFFFFFFFFF
+    for j, q in enumerate(moduli):
+        max_multiple = max_random - max_random % q - 1 + 1  # = 2^64 - (2^64 mod q)
+        # NB: reference computes max_random - barrett(max_random) - 1 + ...:
+        # max_multiple = (2^64 - 1) - ((2^64 - 1) mod q) - 1? keep exact form:
+        max_multiple = max_random - (max_random % q) - 1
+        rejected = np.nonzero(raw[j] >= max_multiple)[0]
+        for i in rejected:
+            v = int(raw[j, i])
+            while v >= max_multiple:
+                v = int(np.frombuffer(prng.generate(8), dtype="<u8")[0])
+            raw[j, i] = v
+        raw[j] %= np.uint64(q)
+    return raw
+
+
+def sample_poly_normal(prng, moduli: list[int], n: int) -> np.ndarray:
+    """Clipped rounded Gaussian (σ=3.2, bound 6σ) — the non-default noise
+    sampler (SEAL_USE_GAUSSIAN_NOISE). Uses the same Box-Muller construction
+    as util/clipnormal.h via std::normal_distribution; NOT byte-exact vs
+    libstdc++ (documented deviation — the default build uses CBD)."""
+    L = len(moduli)
+    out = np.empty((L, n), dtype=np.uint64)
+    vals = np.empty(n, dtype=np.int64)
+    i = 0
+    while i < n:
+        u = np.frombuffer(prng.generate(16), dtype="<u8").astype(np.float64) / 2**64
+        r = np.sqrt(-2.0 * np.log(max(u[0], 1e-300))) * NOISE_STANDARD_DEVIATION
+        for g in (r * np.cos(2 * np.pi * u[1]), r * np.sin(2 * np.pi * u[1])):
+            if abs(g) <= NOISE_MAX_DEVIATION and i < n:
+                vals[i] = int(round(g))
+                i += 1
+    for j, q in enumerate(moduli):
+        out[j] = np.where(vals < 0, vals + q, vals).astype(np.uint64)
+    return out
+
+
+# The default noise sampler (SEAL_NOISE_SAMPLER with SEAL_USE_GAUSSIAN_NOISE
+# off, util/defines.h): centered binomial.
+sample_noise = sample_poly_cbd
+
+
+# ---------------------------------------------------------------------------
+# Encryptions of zero
+# ---------------------------------------------------------------------------
+
+def _prng_for(context: SEALContext):
+    seed = context.key_context_data().parms.random_seed
+    factory = randomgen.UniformRandomGeneratorFactory(seed=seed)
+    return factory.create()
+
+
+def encrypt_zero_asymmetric(
+    public_key: PublicKey, context: SEALContext, parms_id, is_ntt_form: bool
+) -> Ciphertext:
+    """c_j = u·pk_j + e_j (+t·e_j for BGV) (parity: rlwe.cpp:189-274)."""
+    cd = context.get_context_data(parms_id)
+    parms = cd.parms
+    moduli = cd.key_moduli()
+    n = parms.poly_modulus_degree
+    scheme = parms.scheme
+    tables = cd.ntt_tables
+    mc = cd.mod_consts
+    size = public_key.data.size
+
+    prng = _prng_for(context)
+    u = to_device(sample_poly_ternary(prng, moduli, n))
+    u_ntt = ntt_mod.ntt_forward(u, tables)
+
+    polys = []
+    for j in range(size):
+        cj = modring.dyadic_product(u_ntt, public_key.data.poly(j), mc)
+        if not is_ntt_form:
+            cj = ntt_mod.ntt_inverse(cj, tables)
+        polys.append(cj)
+
+    for j in range(size):
+        e = sample_noise(prng, moduli, n)
+        e_dev = to_device(e)
+        if scheme == SchemeType.BGV:
+            if is_ntt_form:
+                e_dev = ntt_mod.ntt_forward(e_dev, tables, lazy=True)
+            t_op, t_qt = modring.shoup_pair(
+                [[parms.plain_modulus.value % q] for q in moduli],
+                [[q] for q in moduli], shape=(len(moduli), 1),
+            )
+            e_dev = limb.mul_mod_shoup(e_dev, t_op, t_qt, mc.q)
+        else:
+            if is_ntt_form:
+                e_dev = ntt_mod.ntt_forward(e_dev, tables)
+        polys[j] = modring.add_poly(e_dev, polys[j], mc)
+
+    return Ciphertext(
+        stack_polys(polys), parms_id=tuple(parms_id), is_ntt_form=is_ntt_form,
+        scale=1.0, correction_factor=1,
+    )
+
+
+def encrypt_zero_symmetric(
+    secret_key: SecretKey, context: SEALContext, parms_id, is_ntt_form: bool,
+    save_seed: bool = False, c1_override=None, c1_seed=None,
+) -> Ciphertext:
+    """(c0, c1) = (-(a·s + e), a), a uniform (parity: rlwe.cpp:415-545).
+
+    c1_override (device [L, N] NTT pair) reuses a reference c1 — the fork's
+    encrypt_zero_symmetric_with_c1 (rlwe.cpp:276-413) used by the multiparty
+    common-public-key flow.
+    """
+    cd = context.get_context_data(parms_id)
+    parms = cd.parms
+    moduli = cd.key_moduli()
+    n = parms.poly_modulus_degree
+    scheme = parms.scheme
+    tables = cd.ntt_tables
+    mc = cd.mod_consts
+
+    bootstrap_prng = _prng_for(context)
+    public_seed = tuple(
+        np.frombuffer(bootstrap_prng.generate(randomgen.PRNG_SEED_BYTE_COUNT), dtype="<u8").tolist()
+    )
+    ciphertext_prng = randomgen.UniformRandomGeneratorFactory().create(public_seed)
+
+    seed_info = (int(randomgen.PrngType.BLAKE2XB), public_seed)
+    if c1_override is not None:
+        # fork's encrypt_zero_symmetric_with_c1 (rlwe.cpp:276-413): reuse a
+        # reference c1 (caller passes the NTT form)
+        c1_ntt = c1_override
+        c1_out = c1_ntt if is_ntt_form else ntt_mod.ntt_inverse(c1_ntt, tables)
+        if c1_seed is not None:
+            seed_info = c1_seed
+    else:
+        a_raw = to_device(sample_poly_uniform(ciphertext_prng, moduli, n))
+        if is_ntt_form:
+            # sample is the NTT form directly (rlwe.cpp:476-481)
+            c1_ntt = a_raw
+            c1_out = a_raw
+        elif save_seed:
+            # sample is the coefficient form; NTT only for computing c0
+            # (rlwe.cpp:482-491); serialized c1 is just the seed
+            c1_ntt = ntt_mod.ntt_forward(a_raw, tables)
+            c1_out = a_raw
+        else:
+            # sample interpreted as NTT form, output in coefficient form
+            # (rlwe.cpp:529-536)
+            c1_ntt = a_raw
+            c1_out = ntt_mod.ntt_inverse(a_raw, tables)
+
+    noise = sample_noise(bootstrap_prng, moduli, n)
+    noise_dev = to_device(noise)
+
+    # the key-level NTT-form secret key restricted to this level's tower
+    L = len(moduli)
+    sk = (secret_key.data[0][:L], secret_key.data[1][:L])
+    c0 = modring.dyadic_product(sk, c1_ntt, mc)
+    if is_ntt_form:
+        noise_dev = ntt_mod.ntt_forward(noise_dev, tables)
+    else:
+        c0 = ntt_mod.ntt_inverse(c0, tables)
+    if scheme == SchemeType.BGV:
+        t_op, t_qt = modring.shoup_pair(
+            [[parms.plain_modulus.value % q] for q in moduli],
+            [[q] for q in moduli], shape=(len(moduli), 1),
+        )
+        noise_dev = limb.mul_mod_shoup(noise_dev, t_op, t_qt, mc.q)
+    c0 = modring.add_poly(noise_dev, c0, mc)
+    c0 = modring.negate_poly(c0, mc)
+
+    ct = Ciphertext(
+        stack_polys([c0, c1_out]), parms_id=tuple(parms_id),
+        is_ntt_form=is_ntt_form, scale=1.0, correction_factor=1,
+    )
+    if save_seed:
+        ct.seed_info = seed_info
+    return ct
