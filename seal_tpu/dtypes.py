@@ -160,10 +160,16 @@ class Ciphertext:
 
     def is_transparent(self) -> bool:
         """True when c1 (and above) are all zero: decryptable without the
-        secret key (parity: ciphertext.h is_transparent)."""
+        secret key (parity: ciphertext.h is_transparent +
+        SEAL_THROW_ON_TRANSPARENT_CIPHERTEXT). Under jit tracing the data
+        is symbolic, so the check is skipped (returns False)."""
         if self.size < 2:
             return True
+        import jax.core
+
         lo, hi = self.data
+        if isinstance(lo, jax.core.Tracer):
+            return False
         return bool(
             (np.asarray(lo[1:]) == 0).all() and (np.asarray(hi[1:]) == 0).all()
         )
