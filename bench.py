@@ -1,10 +1,12 @@
 """Benchmark runner: prints ONE JSON line for the driver.
 
-Current headline: negacyclic forward NTT throughput per chip at the
-BASELINE.json target shape (n=16384, L=8 tower, batched) — the #1 kernel.
-Will grow to the full CKKS mult+relin+rescale metric as the scheme lands.
+Headline metric (BASELINE.json): CKKS n=16384 L=8 ciphertext
+multiply + relinearize + rescale throughput per chip. The whole pipeline is
+one jitted function over a batch of ciphertexts; context constants are baked
+into the executable.
 
-Run on the real TPU (the environment's default backend); falls back to CPU.
+vs_baseline: the AVX-512/HEXL per-socket comparator is not published by the
+reference (BASELINE.md); 0.0 until the x86 comparator run lands.
 """
 
 from __future__ import annotations
@@ -12,61 +14,57 @@ from __future__ import annotations
 import json
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
 def main():
-    from seal_tpu.modulus import CoeffModulus
-    from seal_tpu.ops import modring, ntt as ntt_mod
-    from seal_tpu.dtypes import to_device
+    import jax
+
+    from seal_tpu import (
+        CoeffModulus, Decryptor, EncryptionParameters, Encryptor, Evaluator,
+        KeyGenerator, SEALContext, SecLevelType,
+    )
+    from seal_tpu.encryption_params import SchemeType
+    from seal_tpu.ckks import CKKSEncoder
 
     n = 16384
-    log_n = 14
-    L = 8
-    batch = 4  # polys transformed per call
-    moduli = [int(m) for m in CoeffModulus.create(n, [50] * L)]
-    tables = ntt_mod.build_device_tables(log_n, moduli)
+    bits = [48] * 8 + [54]  # 8 data primes + special, total 438 = MaxBitCount
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_random_seed((1, 2, 3, 4, 5, 6, 7, 8))
+    ctx = SEALContext(parms)
+    kg = KeyGenerator(ctx)
+    pk = kg.create_public_key()
+    rk = kg.create_relin_keys()
+    enc = Encryptor(ctx, pk)
+    ev = Evaluator(ctx)
+    encoder = CKKSEncoder(ctx)
 
-    rng = np.random.default_rng(0)
-    x_host = np.stack(
-        [rng.integers(0, q, size=(batch, n), dtype=np.uint64) for q in moduli], axis=1
-    )
-    x = to_device(x_host)
+    scale = 2.0 ** 40
+    vals = np.linspace(-1, 1, encoder.slot_count)
+    ct1 = enc.encrypt(encoder.encode(vals, scale))
+    ct2 = enc.encrypt(encoder.encode(vals[::-1], scale))
 
-    iters = 8
+    def pipeline(a, b):
+        return ev.rescale_to_next(ev.relinearize(ev.multiply(a, b), rk))
 
-    def many_ntt(x_pair):
-        def body(i, pair):
-            out = ntt_mod.ntt_forward(pair, tables, lazy=True)
-            # keep values in range so the loop is stable: guard back to < q
-            out = ntt_mod._guard(out, tables.mc.two_q)
-            from seal_tpu.ops import limb
+    fn = jax.jit(pipeline)
+    out = fn(ct1, ct2)
+    jax.block_until_ready(out.data)  # compile + first run
 
-            return limb.cond_sub(out, tables.mc.q)
-
-        return jax.lax.fori_loop(0, iters, body, x_pair)
-
-    fn = jax.jit(many_ntt)
-    out = fn(x)
-    jax.block_until_ready(out)  # compile + first run
-
+    reps = 5
     t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        out = fn(x)
-    jax.block_until_ready(out)
+    outs = [fn(ct1, ct2) for _ in range(reps)]
+    jax.block_until_ready([o.data for o in outs])
     dt = time.perf_counter() - t0
 
-    total_ntts = reps * iters * batch * L  # single-prime n-point NTTs
-    ntts_per_sec = total_ntts / dt
+    ops_per_sec = reps / dt
     platform = jax.devices()[0].platform
-
     print(json.dumps({
-        "metric": f"negacyclic_ntt_n{n}_per_sec ({platform})",
-        "value": round(ntts_per_sec, 2),
-        "unit": "NTT/s/chip",
+        "metric": f"ckks_n{n}_L8_mult_relin_rescale ({platform})",
+        "value": round(ops_per_sec, 3),
+        "unit": "ops/s/chip",
         "vs_baseline": 0.0,
     }))
 

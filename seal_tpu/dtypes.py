@@ -181,6 +181,25 @@ class Ciphertext:
         )
 
 
+# Ciphertext is a jax pytree: data arrays are leaves, metadata is static.
+# This makes whole evaluator pipelines jit/vmap-able over Ciphertext objects.
+import jax.tree_util as _jtu
+
+
+def _ct_flatten(ct: "Ciphertext"):
+    return (ct.data,), (ct.parms_id, ct.is_ntt_form, ct.scale,
+                        ct.correction_factor, ct.seed_info)
+
+
+def _ct_unflatten(aux, children):
+    ct = Ciphertext(children[0], aux[0], aux[1], aux[2], aux[3])
+    ct.seed_info = aux[4]
+    return ct
+
+
+_jtu.register_pytree_node(Ciphertext, _ct_flatten, _ct_unflatten)
+
+
 def stack_polys(polys) -> tuple:
     """List of [L, N] pairs -> [size, L, N] pair."""
     return (
