@@ -27,42 +27,55 @@ def main():
     from seal_tpu.encryption_params import SchemeType
     from seal_tpu.ckks import CKKSEncoder
 
+    # Setup (keygen/encrypt) runs eagerly — pin it to the CPU backend; the
+    # timed pipeline is one jitted function on the default (TPU) backend.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
+    target = jax.devices()[0]
+
     n = 16384
     bits = [48] * 8 + [54]  # 8 data primes + special, total 438 = MaxBitCount
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
     parms.set_coeff_modulus(CoeffModulus.create(n, bits))
     parms.set_random_seed((1, 2, 3, 4, 5, 6, 7, 8))
-    ctx = SEALContext(parms)
-    kg = KeyGenerator(ctx)
-    pk = kg.create_public_key()
-    rk = kg.create_relin_keys()
-    enc = Encryptor(ctx, pk)
-    ev = Evaluator(ctx)
-    encoder = CKKSEncoder(ctx)
 
-    scale = 2.0 ** 40
-    vals = np.linspace(-1, 1, encoder.slot_count)
-    ct1 = enc.encrypt(encoder.encode(vals, scale))
-    ct2 = enc.encrypt(encoder.encode(vals[::-1], scale))
+    with jax.default_device(cpu):
+        ctx = SEALContext(parms)
+        kg = KeyGenerator(ctx)
+        pk = kg.create_public_key()
+        rk = kg.create_relin_keys()
+        enc = Encryptor(ctx, pk)
+        ev = Evaluator(ctx)
+        encoder = CKKSEncoder(ctx)
+        scale = 2.0 ** 40
+        vals = np.linspace(-1, 1, encoder.slot_count)
+        ct1 = enc.encrypt(encoder.encode(vals, scale))
+        ct2 = enc.encrypt(encoder.encode(vals[::-1], scale))
+
+    ct1 = jax.device_put(ct1, target)
+    ct2 = jax.device_put(ct2, target)
+    rk.keys = [jax.device_put(k, target) if k is not None else None for k in rk.keys]
 
     def pipeline(a, b):
         return ev.rescale_to_next(ev.relinearize(ev.multiply(a, b), rk))
 
-    fn = jax.jit(pipeline)
-    out = fn(ct1, ct2)
-    jax.block_until_ready(out.data)  # compile + first run
+    with jax.default_device(target):
+        fn = jax.jit(pipeline)
+        out = fn(ct1, ct2)
+        jax.block_until_ready(out.data)  # compile + first run
 
-    reps = 5
-    t0 = time.perf_counter()
-    outs = [fn(ct1, ct2) for _ in range(reps)]
-    jax.block_until_ready([o.data for o in outs])
-    dt = time.perf_counter() - t0
+        reps = 5
+        t0 = time.perf_counter()
+        outs = [fn(ct1, ct2) for _ in range(reps)]
+        jax.block_until_ready([o.data for o in outs])
+        dt = time.perf_counter() - t0
 
     ops_per_sec = reps / dt
-    platform = jax.devices()[0].platform
     print(json.dumps({
-        "metric": f"ckks_n{n}_L8_mult_relin_rescale ({platform})",
+        "metric": f"ckks_n{n}_L8_mult_relin_rescale ({target.platform})",
         "value": round(ops_per_sec, 3),
         "unit": "ops/s/chip",
         "vs_baseline": 0.0,
