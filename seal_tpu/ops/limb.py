@@ -24,7 +24,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 U32 = jnp.uint32
-_M16 = jnp.uint32(0xFFFF)
+# Plain Python ints (not jnp constants) so Pallas kernels using these
+# helpers do not capture tracer constants; jax weak-typing keeps uint32.
+_M16 = 0xFFFF
 
 U64Pair = tuple  # (lo: u32[...], hi: u32[...])
 

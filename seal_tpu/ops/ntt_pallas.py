@@ -1,0 +1,268 @@
+"""Fused Pallas NTT kernel: all butterfly stages in VMEM, one HBM roundtrip.
+
+The XLA stage-by-stage NTT (ops/ntt.py) pays a relayout per stage; this
+kernel keeps the whole [R=N/128, C=128] coefficient tile resident in VMEM
+and runs all log2(n) Harvey butterfly stages back to back on the VPU.
+
+Formulation (roll + select, guaranteed Mosaic-lowerable):
+* the coefficient tensor is viewed as [R, 128], flat index i = r*128 + c;
+* a stage with gap g pairs i <-> i+g: partners are exchanged with
+  pltpu-friendly rolls along the sublane axis (g >= 128) or lane axis
+  (g < 128), and a ((i >> log2(g)) & 1) mask selects butterfly roles;
+* per-stage root (operand, quotient) pairs are pre-expanded per position
+  on the host ([log_n, R, C] per prime), so no in-kernel gathers;
+* the inverse transform folds n^{-1} into its last stage by storing
+  inv_n / (root * inv_n) in that stage's expanded table (the same fold as
+  util/dwthandler.h:283-333) — every stage is then uniform.
+
+Outputs are fully reduced to [0, q); results are bit-identical to
+ops/ntt.py (and hence to the reference) because every step preserves the
+value mod q.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from seal_tpu.ops import limb
+from seal_tpu.ops.ntt import build_ntt_tables
+from seal_tpu.utils import numth
+
+LANES = 128
+
+
+class PallasNTTTables(NamedTuple):
+    """Expanded per-position root tables for a tower of L primes."""
+
+    log_n: int                  # static
+    fwd: tuple                  # 4 arrays [L, log_n, R, C]: op_lo, op_hi, qt_lo, qt_hi
+    inv: tuple                  # same
+    consts: jnp.ndarray         # u32 [L, 8]: q_lo, q_hi, 2q_lo, 2q_hi, 4q_lo, 4q_hi, 0, 0
+
+
+jax.tree_util.register_pytree_node(
+    PallasNTTTables,
+    lambda t: (tuple(t[1:]), t.log_n),
+    lambda log_n, kids: PallasNTTTables(log_n, *kids),
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _expanded_host_tables(log_n: int, q: int):
+    """Per-stage per-position (operand, quotient) for one prime, fwd + inv."""
+    n = 1 << log_n
+    h = build_ntt_tables(log_n, q)
+    idx = np.arange(n, dtype=np.int64)
+
+    fwd = np.empty((log_n, n), dtype=object)
+    for s in range(log_n):
+        block = idx >> (log_n - s)
+        table_idx = (1 << s) + block
+        fwd[s] = np.asarray([h.root_powers[t] for t in table_idx], dtype=object)
+
+    inv = np.empty((log_n, n), dtype=object)
+    offset = 1
+    row = 0
+    for s in range(log_n - 1, 0, -1):
+        m = 1 << s
+        block = idx >> (log_n - s)
+        inv[row] = np.asarray(
+            [h.inv_root_powers[offset + b] for b in block], dtype=object
+        )
+        offset += m
+        row += 1
+    # final stage: inv_n on the x0 half, root*inv_n on the x1 half
+    half = n >> 1
+    last = np.where(idx < half, h.inv_degree, h.inv_last_scaled)
+    inv[log_n - 1] = last.astype(object)
+
+    def pack(arr):
+        ops = arr
+        quots = np.vectorize(lambda v: (int(v) << 64) // q, otypes=[object])(ops)
+        out = []
+        for val in (ops, quots):
+            lo = np.vectorize(lambda t: int(t) & 0xFFFFFFFF, otypes=[np.uint32])(val)
+            hi = np.vectorize(lambda t: (int(t) >> 32) & 0xFFFFFFFF, otypes=[np.uint32])(val)
+            out.extend([lo, hi])
+        return out  # op_lo, op_hi, qt_lo, qt_hi each [log_n, n]
+
+    return pack(fwd), pack(inv)
+
+
+def build_pallas_tables(log_n: int, moduli) -> PallasNTTTables:
+    qs = [int(m) for m in moduli]
+    n = 1 << log_n
+    R = max(n // LANES, 1)
+    C = min(n, LANES)
+    fwd_all, inv_all = [], []
+    for q in qs:
+        f, i = _expanded_host_tables(log_n, q)
+        fwd_all.append(f)
+        inv_all.append(i)
+
+    def stack(parts, k):
+        return jnp.asarray(
+            np.stack([p[k] for p in parts]).reshape(len(qs), log_n, R, C)
+        )
+
+    consts = np.zeros((len(qs), 8), dtype=np.uint32)
+    for j, q in enumerate(qs):
+        for k, v in enumerate((q, 2 * q, 4 * q)):
+            consts[j, 2 * k] = v & 0xFFFFFFFF
+            consts[j, 2 * k + 1] = (v >> 32) & 0xFFFFFFFF
+    return PallasNTTTables(
+        log_n=log_n,
+        fwd=tuple(stack(fwd_all, k) for k in range(4)),
+        inv=tuple(stack(inv_all, k) for k in range(4)),
+        consts=jnp.asarray(consts),
+    )
+
+
+def _stage_geometry(log_n: int, inverse: bool):
+    """(gap, axis, amount) per stage row in table order."""
+    n = 1 << log_n
+    gaps = []
+    if not inverse:
+        for s in range(log_n):
+            gaps.append(n >> (s + 1))
+    else:
+        for s in range(log_n - 1, 0, -1):
+            gaps.append(n >> (s + 1))
+        gaps.append(n >> 1)
+    return gaps
+
+
+def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
+                *, log_n: int, inverse: bool, lazy: bool):
+    n = 1 << log_n
+    R = max(n // LANES, 1)
+    C = min(n, LANES)
+    l = pl.program_id(1)
+    q = (consts_ref[l, 0], consts_ref[l, 1])
+    two_q = (consts_ref[l, 2], consts_ref[l, 3])
+
+    def bc(pair):
+        return (jnp.full((R, C), pair[0], jnp.uint32),
+                jnp.full((R, C), pair[1], jnp.uint32))
+
+    qb = bc(q)
+    two_qb = bc(two_q)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    flat = row_ids * C + col_ids
+
+    x = (x_lo_ref[0, 0], x_hi_ref[0, 0])
+    w_lo_op, w_hi_op, w_lo_qt, w_hi_qt = w_refs
+
+    gaps = _stage_geometry(log_n, inverse)
+    for row, gap in enumerate(gaps):
+        log_gap = gap.bit_length() - 1
+        if gap >= C:
+            shift_axis, amt, size = 0, gap // C, R
+        else:
+            shift_axis, amt, size = 1, gap, C
+        # partner values (pltpu.roll requires non-negative shifts; rolling
+        # by size-amt moves index i+amt to position i, like np.roll(-amt))
+        fwd_l = pltpu.roll(x[0], size - amt, shift_axis)
+        fwd_h = pltpu.roll(x[1], size - amt, shift_axis)
+        bwd_l = pltpu.roll(x[0], amt, shift_axis)
+        bwd_h = pltpu.roll(x[1], amt, shift_axis)
+        is_x0 = ((flat >> log_gap) & 1) == 0
+        u = (jnp.where(is_x0, x[0], bwd_l), jnp.where(is_x0, x[1], bwd_h))
+        v = (jnp.where(is_x0, fwd_l, x[0]), jnp.where(is_x0, fwd_h, x[1]))
+        w = ((w_lo_op[0, row], w_hi_op[0, row]), (w_lo_qt[0, row], w_hi_qt[0, row]))
+
+        if not inverse:
+            uu = limb.select64(limb.ge64(u, two_qb), limb.sub64(u, two_qb), u)
+            vv = limb.mul_mod_shoup_lazy(v, w[0], w[1], qb)
+            y0 = limb.add64(uu, vv)
+            y1 = limb.sub64(limb.add64(uu, two_qb), vv)
+        else:
+            last = row == log_n - 1
+            if last:
+                u = limb.select64(limb.ge64(u, two_qb), limb.sub64(u, two_qb), u)
+            s0 = limb.add64(u, v)
+            s0 = limb.select64(limb.ge64(s0, two_qb), limb.sub64(s0, two_qb), s0)
+            d = limb.sub64(limb.add64(u, two_qb), v)
+            if last:
+                # multiply both halves by the folded scalar table
+                t = (jnp.where(is_x0, s0[0], d[0]), jnp.where(is_x0, s0[1], d[1]))
+                y = limb.mul_mod_shoup_lazy(t, w[0], w[1], qb)
+                x = y
+                continue
+            y0 = s0
+            y1 = limb.mul_mod_shoup_lazy(d, w[0], w[1], qb)
+        x = (jnp.where(is_x0, y0[0], y1[0]), jnp.where(is_x0, y0[1], y1[1]))
+
+    if not lazy:
+        if not inverse:
+            x = limb.select64(limb.ge64(x, two_qb), limb.sub64(x, two_qb), x)
+        x = limb.select64(limb.ge64(x, qb), limb.sub64(x, qb), x)
+    o_lo_ref[0, 0] = x[0]
+    o_hi_ref[0, 0] = x[1]
+
+
+def _call(x_pair, t: PallasNTTTables, inverse: bool, lazy: bool, interpret: bool):
+    log_n = t.log_n
+    n = 1 << log_n
+    R = max(n // LANES, 1)
+    C = min(n, LANES)
+    lo, hi = x_pair
+    batch_shape = lo.shape[:-1]
+    L = batch_shape[-1]
+    B = int(np.prod(batch_shape[:-1], dtype=np.int64)) if len(batch_shape) > 1 else 1
+    lo4 = lo.reshape(B, L, R, C)
+    hi4 = hi.reshape(B, L, R, C)
+    tables = t.inv if inverse else t.fwd
+
+    kernel = functools.partial(
+        _ntt_kernel, log_n=log_n, inverse=inverse, lazy=lazy)
+
+    grid = (B, L)
+    data_spec = pl.BlockSpec(
+        (1, 1, R, C), lambda b, l: (b, l, 0, 0), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(
+        (1, log_n, R, C), lambda b, l: (l, 0, 0, 0), memory_space=pltpu.VMEM)
+    # full-array SMEM ref; rows are picked by program_id inside the kernel
+    consts_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    # kernel signature: consts, x_lo, x_hi, 4 tables -> out lo, hi
+    def body(consts, xl, xh, w0, w1, w2, w3, ol, oh):
+        kernel(consts, xl, xh, (w0, w1, w2, w3), ol, oh)
+
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[consts_spec, data_spec, data_spec,
+                  table_spec, table_spec, table_spec, table_spec],
+        out_specs=(
+            pl.BlockSpec((1, 1, R, C), lambda b, l: (b, l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R, C), lambda b, l: (b, l, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L, R, C), jnp.uint32),
+            jax.ShapeDtypeStruct((B, L, R, C), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(t.consts, lo4, hi4, *tables)
+    return out[0].reshape(lo.shape), out[1].reshape(hi.shape)
+
+
+def ntt_forward_pallas(x_pair, t: PallasNTTTables, lazy: bool = False,
+                       interpret: bool = False):
+    """Fused forward negacyclic NTT over [..., L, N] limb pairs."""
+    return _call(x_pair, t, inverse=False, lazy=lazy, interpret=interpret)
+
+
+def ntt_inverse_pallas(x_pair, t: PallasNTTTables, lazy: bool = False,
+                       interpret: bool = False):
+    """Fused inverse negacyclic NTT (n^{-1} folded into the last stage)."""
+    return _call(x_pair, t, inverse=True, lazy=lazy, interpret=interpret)

@@ -1,0 +1,54 @@
+"""Pallas fused-NTT kernel vs the XLA reference implementation
+(interpret mode on CPU; the compiled path is exercised on TPU by
+tools/bench_ntt_tpu.py)."""
+
+import random
+
+import pytest
+
+from seal_tpu.modulus import CoeffModulus
+from seal_tpu.ops import limb
+from seal_tpu.ops import ntt as ntt_mod
+from seal_tpu.ops import ntt_pallas as npk
+
+random.seed(11)
+
+
+@pytest.mark.parametrize("log_n", [6, 8, 10])
+def test_pallas_matches_reference(log_n):
+    n = 1 << log_n
+    qs = [int(m) for m in CoeffModulus.create(n, [30, 45])]
+    ref_t = ntt_mod.build_device_tables(log_n, qs)
+    pt = npk.build_pallas_tables(log_n, qs)
+    vals = [[random.randrange(q) for _ in range(n)] for q in qs]
+    x = limb.arr_to_u64(vals, shape=(len(qs), n))
+
+    fwd_ref = limb.u64_to_ints(ntt_mod.ntt_forward(x, ref_t))
+    fwd_got = limb.u64_to_ints(npk.ntt_forward_pallas(x, pt, interpret=True))
+    for i in range(len(qs)):
+        assert list(fwd_got[i]) == list(fwd_ref[i])
+
+    y = ntt_mod.ntt_forward(x, ref_t)
+    inv_ref = limb.u64_to_ints(ntt_mod.ntt_inverse(y, ref_t))
+    inv_got = limb.u64_to_ints(npk.ntt_inverse_pallas(y, pt, interpret=True))
+    for i in range(len(qs)):
+        assert list(inv_got[i]) == list(inv_ref[i])
+
+
+def test_pallas_batched_and_lazy():
+    log_n, n = 7, 128
+    qs = [int(m) for m in CoeffModulus.create(n, [40])]
+    ref_t = ntt_mod.build_device_tables(log_n, qs)
+    pt = npk.build_pallas_tables(log_n, qs)
+    vals = [[[random.randrange(qs[0]) for _ in range(n)]] for _ in range(3)]
+    x = limb.arr_to_u64(vals, shape=(3, 1, n))
+    ref = limb.u64_to_ints(ntt_mod.ntt_forward(x, ref_t))
+    got = limb.u64_to_ints(npk.ntt_forward_pallas(x, pt, interpret=True))
+    for b in range(3):
+        assert list(got[b][0]) == list(ref[b][0])
+    # lazy output differs in range but agrees mod q
+    lazy = limb.u64_to_ints(npk.ntt_forward_pallas(x, pt, lazy=True, interpret=True))
+    q = qs[0]
+    for b in range(3):
+        for a, r in zip(lazy[b][0], ref[b][0]):
+            assert a < 4 * q and a % q == r

@@ -1,0 +1,108 @@
+"""Sharded-vs-unsharded bit-exactness on a virtual 8-device CPU mesh
+(SURVEY.md §4c: integer math makes multi-chip runs exactly comparable)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from seal_tpu import (
+    BatchEncoder,
+    CoeffModulus,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    Plaintext,
+    SEALContext,
+    SchemeType,
+    SecLevelType,
+)
+from seal_tpu.parallel import (
+    HEMesh,
+    batch_ciphertexts,
+    shard_ciphertext,
+    unbatch_ciphertexts,
+    vmap_pipeline,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def bfv():
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    # 4-prime data tower + special prime: tp=2|4 divides data L
+    parms.set_coeff_modulus(CoeffModulus.create(64, [30, 30, 30, 30, 30]))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed((9, 8, 7, 6, 5, 4, 3, 2))
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    pk = kg.create_public_key()
+    rk = kg.create_relin_keys()
+    return dict(ctx=ctx, kg=kg, pk=pk, rk=rk,
+                enc=Encryptor(ctx, pk), dec=Decryptor(ctx, kg.secret_key()),
+                ev=Evaluator(ctx))
+
+
+def test_batched_vmap_multiply_matches_sequential(bfv):
+    ev, enc, rk = bfv["ev"], bfv["enc"], bfv["rk"]
+    cts_a = [enc.encrypt(Plaintext.from_hex_string(f"{i+1:X}")) for i in range(4)]
+    cts_b = [enc.encrypt(Plaintext.from_hex_string(f"{i+2:X}x^1")) for i in range(4)]
+
+    def pipeline(a, b):
+        return ev.relinearize(ev.multiply(a, b), rk)
+
+    seq = [pipeline(a, b) for a, b in zip(cts_a, cts_b)]
+    batched = jax.vmap(pipeline)(batch_ciphertexts(cts_a), batch_ciphertexts(cts_b))
+    outs = unbatch_ciphertexts(batched)
+    for s, o in zip(seq, outs):
+        assert np.array_equal(s.to_numpy(), o.to_numpy())
+
+
+def test_dp_tp_sharded_pipeline_bitexact(bfv):
+    ev, enc, dec, rk = bfv["ev"], bfv["enc"], bfv["dec"], bfv["rk"]
+    B = 4
+    cts_a = [enc.encrypt(Plaintext.from_hex_string(f"{2*i+1:X}")) for i in range(B)]
+    cts_b = [enc.encrypt(Plaintext.from_hex_string(f"3x^2 + {i+1:X}")) for i in range(B)]
+    a, b = batch_ciphertexts(cts_a), batch_ciphertexts(cts_b)
+
+    def pipeline(x, y):
+        return ev.relinearize(ev.multiply(x, y), rk)
+
+    unsharded = jax.jit(jax.vmap(pipeline))(a, b)
+
+    hm = HEMesh(dp=4, tp=2)
+    with hm:
+        a_s = shard_ciphertext(a, hm, batched=True)
+        b_s = shard_ciphertext(b, hm, batched=True)
+        fn = vmap_pipeline(pipeline, hm)
+        sharded = fn(a_s, b_s)
+        jax.block_until_ready(sharded.data)
+
+    assert np.array_equal(unsharded.to_numpy(), sharded.to_numpy())
+    # decrypt a couple to confirm semantics
+    outs = unbatch_ciphertexts(sharded)
+    got = dec.decrypt(outs[1]).to_hex_string()
+    # (3) * (3x^2 + 2) = 9x^2 + 6
+    assert got == "9x^2 + 6"
+
+
+def test_tp_only_mesh_ntt_ops(bfv):
+    """Tower-parallel elementwise path: NTT transform sharded over tp."""
+    ev, enc = bfv["ev"], bfv["enc"]
+    ct = enc.encrypt(Plaintext.from_hex_string("5x^3 + 2"))
+    ref = ev.transform_to_ntt(ct).to_numpy()
+    hm = HEMesh(dp=1, tp=4)
+    with hm:
+        ct_s = shard_ciphertext(ct, hm, batched=False)
+        fn = jax.jit(lambda c: ev.transform_to_ntt(c),
+                     in_shardings=hm.sharding(False),
+                     out_shardings=hm.sharding(False))
+        out = fn(ct_s)
+        jax.block_until_ready(out.data)
+    assert np.array_equal(out.to_numpy(), ref)
