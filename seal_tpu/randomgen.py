@@ -95,11 +95,16 @@ class UniformRandomGenerator:
     def _refill(self) -> bytes:
         raise NotImplementedError
 
+    def _refill_n(self, n_blocks: int) -> bytes:
+        """n_blocks consecutive 4096-byte refills (bulk path hook)."""
+        return b"".join(self._refill() for _ in range(n_blocks))
+
     def generate(self, byte_count: int) -> bytes:
         out = bytearray()
         while byte_count:
             if self._pos == len(self._buffer):
-                self._buffer = self._refill()
+                n_blocks = max(1, byte_count // _BUFFER_SIZE)
+                self._buffer = self._refill_n(n_blocks)
                 self._pos = 0
             take = min(byte_count, len(self._buffer) - self._pos)
             out += self._buffer[self._pos:self._pos + take]
@@ -115,8 +120,20 @@ class Blake2xbPRNG(UniformRandomGenerator):
     prng_type = PrngType.BLAKE2XB
 
     def _refill(self) -> bytes:
-        block = blake2xb(_BUFFER_SIZE, struct.pack("<Q", self._counter), self._seed_bytes)
-        self._counter += 1
+        return self._refill_n(1)
+
+    def _refill_n(self, n_blocks: int) -> bytes:
+        from seal_tpu import native
+
+        block = native.blake2xb_stream(self.seed, self._counter,
+                                       n_blocks * _BUFFER_SIZE)
+        if block is None:
+            block = b"".join(
+                blake2xb(_BUFFER_SIZE, struct.pack("<Q", self._counter + i),
+                         self._seed_bytes)
+                for i in range(n_blocks)
+            )
+        self._counter += n_blocks
         return block
 
 
