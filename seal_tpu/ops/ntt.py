@@ -84,6 +84,8 @@ class NTTDeviceTables(NamedTuple):
 
     Root tables are [L, n]; scalar constants are [L, 1]. This NamedTuple is
     a jax pytree, so it can be passed straight into jitted functions.
+    `pallas` optionally holds the expanded tables for the fused VMEM kernel
+    (ops/ntt_pallas.py), used on TPU backends.
     """
 
     log_n: int                 # static
@@ -96,6 +98,7 @@ class NTTDeviceTables(NamedTuple):
     inv_n_qt: limb.U64Pair
     last_op: limb.U64Pair      # [L, 1]: inv_root_powers[n-1] * n^{-1}
     last_qt: limb.U64Pair
+    pallas: object = None      # Optional[ntt_pallas.PallasNTTTables]
 
 
 jax.tree_util.register_pytree_node(
@@ -124,6 +127,14 @@ def build_device_tables(log_n: int, moduli: list[Modulus] | list[int]) -> NTTDev
     inv_n_op, inv_n_qt = table(lambda h: [h.inv_degree], 1)
     last_op, last_qt = table(lambda h: [h.inv_last_scaled], 1)
 
+    pallas_tables = None
+    from seal_tpu.config import config as _cfg
+
+    if _cfg.use_pallas_ntt != "never" and n >= _cfg.pallas_ntt_min_n:
+        from seal_tpu.ops import ntt_pallas
+
+        pallas_tables = ntt_pallas.build_pallas_tables(log_n, qs)
+
     return NTTDeviceTables(
         log_n=log_n,
         mc=make_mod_consts(qs),
@@ -135,6 +146,20 @@ def build_device_tables(log_n: int, moduli: list[Modulus] | list[int]) -> NTTDev
         inv_n_qt=inv_n_qt,
         last_op=last_op,
         last_qt=last_qt,
+        pallas=pallas_tables,
+    )
+
+
+def _take_pallas(p, idx):
+    if p is None:
+        return None
+    from seal_tpu.ops.ntt_pallas import PallasNTTTables
+
+    return PallasNTTTables(
+        log_n=p.log_n,
+        fwd=tuple(a[idx] for a in p.fwd),
+        inv=tuple(a[idx] for a in p.inv),
+        consts=p.consts[idx],
     )
 
 
@@ -152,6 +177,7 @@ def gather_tables(t: NTTDeviceTables, indices: list[int]) -> NTTDeviceTables:
         inv_op=g2(t.inv_op), inv_qt=g2(t.inv_qt),
         inv_n_op=g2(t.inv_n_op), inv_n_qt=g2(t.inv_n_qt),
         last_op=g2(t.last_op), last_qt=g2(t.last_qt),
+        pallas=_take_pallas(t.pallas, idx),
     )
 
 
@@ -168,6 +194,7 @@ def slice_tables(t: NTTDeviceTables, start: int, end: int) -> NTTDeviceTables:
         inv_op=s2(t.inv_op), inv_qt=s2(t.inv_qt),
         inv_n_op=s2(t.inv_n_op), inv_n_qt=s2(t.inv_n_qt),
         last_op=s2(t.last_op), last_qt=s2(t.last_qt),
+        pallas=_take_pallas(t.pallas, slice(start, end)),
     )
 
 
@@ -193,12 +220,26 @@ def _root_slice(op, qt, start, m):
     )
 
 
+def _dispatch_pallas(t: NTTDeviceTables):
+    from seal_tpu.config import pallas_ntt_enabled
+
+    return t.pallas is not None and pallas_ntt_enabled(1 << t.log_n)
+
+
 def ntt_forward(x: limb.U64Pair, t: NTTDeviceTables, lazy: bool = False) -> limb.U64Pair:
     """Negacyclic NTT: natural order in, bit-reversed order out.
 
     x: u64 tensor [..., L, N] with coefficients < 4q (canonical inputs are
     < q). Output < q, or < 4q when lazy=True.
+
+    Dispatches to the fused Pallas kernel on TPU backends. NOTE on lazy
+    semantics: the Pallas path's lazy output range matches ([0,4q)) and all
+    fully-reduced results are bit-identical.
     """
+    if _dispatch_pallas(t):
+        from seal_tpu.ops import ntt_pallas
+
+        return ntt_pallas.ntt_forward_pallas(x, t.pallas, lazy=lazy)
     n = 1 << t.log_n
     lo, hi = x
     # broadcast helpers: [L, 1] consts viewed as [L, 1, 1] against [L, m, gap]
@@ -231,6 +272,10 @@ def ntt_inverse(x: limb.U64Pair, t: NTTDeviceTables, lazy: bool = False) -> limb
     x: u64 tensor [..., L, N] in bit-reversed order, values < 2q (canonical
     < q). Output in natural order, < q (< 2q when lazy=True).
     """
+    if _dispatch_pallas(t):
+        from seal_tpu.ops import ntt_pallas
+
+        return ntt_pallas.ntt_inverse_pallas(x, t.pallas, lazy=lazy)
     n = 1 << t.log_n
     lo, hi = x
     q3 = tuple(a[:, :, None] for a in t.mc.q)

@@ -46,22 +46,29 @@ def main():
     ok = np.array_equal(np.asarray(inv_got[0]), np.asarray(inv_ref[0]))
     print("pallas inv matches XLA on TPU:", ok)
 
-    def timeit(fn, reps=10):
+    ITERS = 32
+
+    def timeit(fn, reps=5):
         out = fn(x)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(x)
         jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps
+        return (time.perf_counter() - t0) / reps / ITERS
 
-    xla_fn = jax.jit(lambda v: ntt_mod.ntt_forward(v, t))
-    pal_fn = jax.jit(lambda v: npk.ntt_forward_pallas(v, pt))
+    def loop(body):
+        def run(v):
+            return jax.lax.fori_loop(0, ITERS, lambda i, a: body(a), v)
+        return jax.jit(run)
+
+    xla_fn = loop(lambda v: ntt_mod.ntt_forward(v, t))
+    pal_fn = loop(lambda v: npk.ntt_forward_pallas(v, pt))
     t_xla = timeit(xla_fn)
     t_pal = timeit(pal_fn)
     per_ntt = batch * L
-    print(f"XLA NTT:    {t_xla*1e6:.1f} us/call = {per_ntt/t_xla:.0f} NTT/s")
-    print(f"Pallas NTT: {t_pal*1e6:.1f} us/call = {per_ntt/t_pal:.0f} NTT/s")
+    print(f"XLA NTT:    {t_xla*1e6:.1f} us/iter = {per_ntt/t_xla:.0f} NTT/s")
+    print(f"Pallas NTT: {t_pal*1e6:.1f} us/iter = {per_ntt/t_pal:.0f} NTT/s")
     print(f"speedup: {t_xla/t_pal:.2f}x")
 
 
