@@ -5,8 +5,9 @@ multiply + relinearize + rescale throughput per chip. The whole pipeline is
 one jitted function over a batch of ciphertexts; context constants are baked
 into the executable.
 
-vs_baseline: the AVX-512/HEXL per-socket comparator is not published by the
-reference (BASELINE.md); 0.0 until the x86 comparator run lands.
+vs_baseline: measured reference comparator (BASELINE.md "Measured x86
+comparator"): 13.39 ops/s/socket for the same pipeline, reference built
+Release -O3 -march=native (no HEXL; network-fetch forbidden here).
 """
 
 from __future__ import annotations
@@ -15,6 +16,8 @@ import json
 import time
 
 import numpy as np
+
+REFERENCE_OPS_PER_S = 13.394  # tools/oracle/bench_reference.cpp on build host
 
 
 def main():
@@ -78,7 +81,7 @@ def main():
         "metric": f"ckks_n{n}_L8_mult_relin_rescale ({target.platform})",
         "value": round(ops_per_sec, 3),
         "unit": "ops/s/chip",
-        "vs_baseline": 0.0,
+        "vs_baseline": round(ops_per_sec / REFERENCE_OPS_PER_S, 3),
     }))
 
 

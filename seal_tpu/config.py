@@ -32,4 +32,10 @@ def pallas_ntt_enabled(n: int) -> bool:
         return False
     if config.use_pallas_ntt == "always":
         return True
+    # Respect a `with jax.default_device(...)` override (bench.py pins
+    # eager setup to the CPU backend while the jitted pipeline targets the
+    # TPU); fall back to the process default backend.
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform == "tpu"
     return jax.default_backend() == "tpu"

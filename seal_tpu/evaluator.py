@@ -149,6 +149,16 @@ class Evaluator:
         out.correction_factor = f0
         return out
 
+    def add_many(self, cts: list[Ciphertext]) -> Ciphertext:
+        """Sum of ciphertexts (evaluator.h add_many; linear fold as the
+        reference does — sizes may differ, add() resizes)."""
+        if not cts:
+            raise ValueError("cts cannot be empty")
+        out = cts[0]
+        for ct in cts[1:]:
+            out = self.add(out, ct)
+        return out
+
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         self._check_same(a, b)
         cd = self._cd(a)
@@ -195,7 +205,98 @@ class Evaluator:
         raise ValueError("unsupported scheme")
 
     def square(self, a: Ciphertext) -> Ciphertext:
-        return self.multiply(a, a)
+        """Specialized squaring (evaluator.cpp:831-1103): for size-2 inputs
+        the dyadic convolution needs 3 products instead of 4, and BFV
+        base-extends one ciphertext instead of two. Larger sizes fall back
+        to multiply, as the reference does."""
+        if a.size != 2:
+            return self.multiply(a, a)
+        scheme = self._scheme()
+        if scheme == SchemeType.BFV:
+            return self._bfv_square(a)
+        if scheme == SchemeType.CKKS:
+            return self._ckks_square(a)
+        if scheme == SchemeType.BGV:
+            return self._bgv_square(a)
+        raise ValueError("unsupported scheme")
+
+    def _square_dyadic(self, polys, mc):
+        """(c0, c1) NTT-form -> (c0², 2·c0·c1, c1²)."""
+        p00 = modring.dyadic_product(polys[0], polys[0], mc)
+        p01 = modring.dyadic_product(polys[0], polys[1], mc)
+        p11 = modring.dyadic_product(polys[1], polys[1], mc)
+        return [p00, modring.add_poly(p01, p01, mc), p11]
+
+    def _bfv_square(self, a: Ciphertext) -> Ciphertext:
+        if a.is_ntt_form:
+            raise ValueError("BFV square input cannot be in NTT form")
+        cd = self._cd(a)
+        rt = cd.rns_tool_device
+        tables = cd.ntt_tables
+        bsk_tables = rt.bsk_ntt
+        mc = cd.mod_consts
+        bsk_mc = rt.bsk_mc
+        t = cd.parms.plain_modulus.value
+
+        qs, bsks = [], []
+        for j in range(a.size):
+            p = a.poly(j)
+            qs.append(ntt_mod.ntt_forward(p, tables))
+            bskm = rns_ops.fastbconv_m_tilde(p, rt)
+            bsk = rns_ops.sm_mrq(bskm, rt)
+            bsks.append(ntt_mod.ntt_forward(bsk, bsk_tables))
+
+        out_q = self._square_dyadic(qs, mc)
+        out_bsk = self._square_dyadic(bsks, bsk_mc)
+
+        moduli = cd.key_moduli()
+        bsk_moduli = cd.rns_tool_host.base_Bsk.base
+        t_op_q, t_qt_q = modring.shoup_pair(
+            [[t % q] for q in moduli], [[q] for q in moduli], shape=(len(moduli), 1))
+        t_op_b, t_qt_b = modring.shoup_pair(
+            [[t % q] for q in bsk_moduli], [[q] for q in bsk_moduli],
+            shape=(len(bsk_moduli), 1))
+        polys = []
+        for k in range(3):
+            cq = ntt_mod.ntt_inverse(out_q[k], tables)
+            cb = ntt_mod.ntt_inverse(out_bsk[k], bsk_tables)
+            cq = limb.mul_mod_shoup(cq, t_op_q, t_qt_q, mc.q)
+            cb = limb.mul_mod_shoup(cb, t_op_b, t_qt_b, bsk_mc.q)
+            joined = (
+                jnp.concatenate([cq[0], cb[0]], axis=-2),
+                jnp.concatenate([cq[1], cb[1]], axis=-2),
+            )
+            floored = rns_ops.fast_floor(joined, rt)
+            polys.append(rns_ops.fastbconv_sk(floored, rt))
+
+        out = a.copy()
+        out.data = stack_polys(polys)
+        return out
+
+    def _ckks_square(self, a: Ciphertext) -> Ciphertext:
+        if not a.is_ntt_form:
+            raise ValueError("CKKS square input must be in NTT form")
+        cd = self._cd(a)
+        res = a.copy()
+        res.data = stack_polys(self._square_dyadic([a.poly(0), a.poly(1)], cd.mod_consts))
+        res.scale = a.scale * a.scale
+        _check_scale(res.scale, cd)
+        return res
+
+    def _bgv_square(self, a: Ciphertext) -> Ciphertext:
+        if a.is_ntt_form:
+            raise ValueError("BGV square input cannot be in NTT form")
+        cd = self._cd(a)
+        mc = cd.mod_consts
+        tables = cd.ntt_tables
+        a_ntt = [ntt_mod.ntt_forward(a.poly(j), tables) for j in range(2)]
+        out = self._square_dyadic(a_ntt, mc)
+        polys = [ntt_mod.ntt_inverse(p, tables) for p in out]
+        res = a.copy()
+        res.data = stack_polys(polys)
+        t = cd.parms.plain_modulus.value
+        res.correction_factor = (a.correction_factor * a.correction_factor) % t
+        return res
 
     def _bfv_multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         """BEHZ 8-step RNS multiplication (evaluator.cpp:395-567)."""
@@ -497,6 +598,28 @@ class Evaluator:
         target = tuple(parms_id)
         while cur.parms_id != target:
             cur = self.mod_switch_to_next(cur)
+        return cur
+
+    def mod_switch_plain_to_next(self, plain: Plaintext) -> Plaintext:
+        """Drop the last RNS component of an NTT-form (CKKS) plaintext
+        (evaluator.cpp mod_switch_to_next(Plaintext) overload: NTT plaintexts
+        mod-switch by dropping rows, no scaling)."""
+        if not plain.is_ntt_form or plain.rns_data is None:
+            raise ValueError("plain is not in NTT form")
+        cd = self.context.get_context_data(plain.parms_id)
+        if cd.next_context_data is None:
+            raise ValueError("end of modulus switching chain reached")
+        out = Plaintext()
+        out.rns_data = (plain.rns_data[0][:-1], plain.rns_data[1][:-1])
+        out.parms_id = tuple(cd.next_context_data.parms_id)
+        out.scale = plain.scale
+        return out
+
+    def mod_switch_plain_to(self, plain: Plaintext, parms_id) -> Plaintext:
+        cur = plain
+        target = tuple(parms_id)
+        while cur.parms_id != target:
+            cur = self.mod_switch_plain_to_next(cur)
         return cur
 
     def rescale_to_next(self, ct: Ciphertext) -> Ciphertext:

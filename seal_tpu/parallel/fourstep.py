@@ -1,0 +1,360 @@
+"""Coefficient-axis (sequence-parallel) negacyclic NTT via the four-step
+decomposition — the HE analogue of ring-attention-style sequence sharding
+(SURVEY.md §2.11, §5.7). The reference has no distributed backend at all;
+this is new TPU-first design, not a port.
+
+Math. For n = P·M with the coefficient axis split into P contiguous shards
+of M coefficients, the negacyclic NTT out[j] = Σ_i a_i ψ^{i(2·br_n(j)+1)}
+(Harvey bit-reversed output, util/ntt.cpp:240-299 ordering) factors as
+
+    b_i            = a_i · ψ^i                     (local pre-twiddle)
+    c_r[i2]        = Σ_{i1} b[i1·M+i2] · w_P^{i1·r}  (P-point DFT across shards)
+    d_r[i2]        = c_r[i2] · w^{i2·r}            (local twiddle)
+    out shard p    = cyclic M-point NTT of d_r     (natural→bit-reversed)
+
+with w = ψ², w_P = w^M, and r = br_P(p). Because
+br_n(p·M + j2) = br_M(j2)·P + br_P(p), shard p's local result lands exactly
+at global bit-reversed positions — the ONLY communication is one all_gather
+of the pre-twiddled poly over the shard axis (and symmetrically one for the
+inverse). All twiddle tables are pre-permuted by shard index p, so the
+kernel body contains no axis_index lookups: shard_map in_specs do the work.
+
+Bit-exactness: every value is fully reduced mod q at each step, so the
+sharded transform equals the single-chip kernel (ops/ntt.py) bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from seal_tpu.ops import limb
+from seal_tpu.ops.modring import ModConsts, make_mod_consts
+from seal_tpu.ops.ntt import _bview, _guard, _root_slice
+from seal_tpu.utils import numth
+
+
+def _bitrev(i: int, bits: int) -> int:
+    return numth.reverse_bits(i, bits) if bits else 0
+
+
+def _shoup(values, qs, shape):
+    """values: nested list [L][...] of ints -> Shoup (op, quotient) pair."""
+    flat_ops, flat_qts = [], []
+    for row, q in zip(values, qs):
+        flat = np.asarray(row, dtype=object).reshape(-1)
+        flat_ops.append([int(v) for v in flat])
+        flat_qts.append([(int(v) << 64) // q for v in flat])
+    L = len(qs)
+    return (
+        limb.arr_to_u64(flat_ops, shape=(L,) + shape),
+        limb.arr_to_u64(flat_qts, shape=(L,) + shape),
+    )
+
+
+class FourStepTables(NamedTuple):
+    """Device tables for a P-way coefficient-sharded size-n NTT.
+
+    Axes named [L, ...]; tables with a leading shard axis are pre-permuted
+    so that index p (not br(p)) selects the right row, letting shard_map
+    in_specs shard them directly.
+    """
+
+    log_n: int                     # static
+    shards: int                    # static: P
+    mc: ModConsts                  # [L, 1] modulus constants
+    psi_op: limb.U64Pair           # [L, n]   ψ^i natural order (fwd pre-twiddle)
+    psi_qt: limb.U64Pair
+    ipsi_op: limb.U64Pair          # [L, n]   ψ^{-i}·n^{-1}·... see builder
+    ipsi_qt: limb.U64Pair
+    wp_op: limb.U64Pair            # [L, P, P]  w_P^{i1·br(p)}  (row p)
+    wp_qt: limb.U64Pair
+    tw_op: limb.U64Pair            # [L, P, M]  w^{i2·br(p)}    (row p)
+    tw_qt: limb.U64Pair
+    itw_op: limb.U64Pair           # [L, P, M]  w^{-i2·br(p)}   (row p)
+    itw_qt: limb.U64Pair
+    iwp_op: limb.U64Pair           # [L, P, P]  w_P^{-p·r}·P^{-1} (row p, col r)
+    iwp_qt: limb.U64Pair
+    cyc_op: limb.U64Pair           # [L, M] cyclic M-NTT stage tables
+    cyc_qt: limb.U64Pair
+    icyc_op: limb.U64Pair          # [L, M] inverse cyclic stage tables
+    icyc_qt: limb.U64Pair
+    invm_op: limb.U64Pair          # [L, 1] M^{-1}
+    invm_qt: limb.U64Pair
+
+
+jax.tree_util.register_pytree_node(
+    FourStepTables,
+    lambda t: (tuple(t[2:]), (t.log_n, t.shards)),
+    lambda aux, children: FourStepTables(aux[0], aux[1], *children),
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _host_tables(log_n: int, q: int, P: int):
+    """Exact host-side integer tables for one prime."""
+    n = 1 << log_n
+    M = n // P
+    log_p = P.bit_length() - 1
+    log_m = log_n - log_p
+    psi = numth.try_minimal_primitive_root(2 * n, q)
+    if psi is None:
+        raise ValueError(f"modulus {q:#x} does not support NTT of size {n}")
+    ipsi = numth.invert_uint_mod(psi, q)
+    w = (psi * psi) % q
+    iw = numth.invert_uint_mod(w, q)
+    wp = pow(w, M, q)
+    iwp = numth.invert_uint_mod(wp, q)
+    inv_p = numth.invert_uint_mod(P, q)
+    inv_m = numth.invert_uint_mod(M, q)
+
+    psi_pow = [pow(psi, i, q) for i in range(n)]
+    # inverse pre-twiddle: ψ^{-i} applied after the inverse four-step
+    ipsi_pow = [pow(ipsi, i, q) for i in range(n)]
+
+    br_p = [_bitrev(p, log_p) for p in range(P)]
+    wp_rows = [[pow(wp, (i1 * br_p[p]) % P, q) for i1 in range(P)] for p in range(P)]
+    tw_rows = [[pow(w, (i2 * br_p[p]) % n, q) for i2 in range(M)] for p in range(P)]
+    itw_rows = [[pow(iw, (i2 * br_p[p]) % n, q) for i2 in range(M)] for p in range(P)]
+    # column index is the *shard* index p' of the all_gather (shard p' holds
+    # row r' = br(p')), so the weight for column p' is w_P^{-p·br(p')}/P
+    iwp_rows = [[(pow(iwp, (p * br_p[pp]) % P, q) * inv_p) % q for pp in range(P)]
+                for p in range(P)]
+
+    # cyclic M-point stage tables, same layout the ops/ntt.py loops consume:
+    # forward cyc[m+b] = w_M^{br_m(b)·M/(2m)}; inverse consumed sequentially
+    # per stage s = log_m-1..1 as w_M^{-br_m(b)·M/(2m)}, last stage folds 1/M.
+    wm = pow(w, P, q)
+    iwm = numth.invert_uint_mod(wm, q)
+    cyc = [1] * M
+    icyc = [1] * M
+    for s in range(log_m):
+        m = 1 << s
+        for b in range(m):
+            cyc[m + b] = pow(wm, _bitrev(b, s) * (M // (2 * m)), q)
+    offset = 1
+    for s in range(log_m - 1, 0, -1):
+        m = 1 << s
+        for b in range(m):
+            icyc[offset + b] = pow(iwm, _bitrev(b, s) * (M // (2 * m)), q)
+        offset += m
+
+    return dict(
+        psi=psi_pow, ipsi=ipsi_pow, wp=wp_rows, tw=tw_rows, itw=itw_rows,
+        iwp=iwp_rows, cyc=cyc, icyc=icyc, inv_m=inv_m,
+    )
+
+
+def build_fourstep_tables(log_n: int, moduli, num_shards: int) -> FourStepTables:
+    P_ = int(num_shards)
+    if P_ < 2 or (P_ & (P_ - 1)):
+        raise ValueError("num_shards must be a power of two >= 2")
+    n = 1 << log_n
+    if P_ * 4 > n:
+        raise ValueError("shard size must be >= 4 coefficients")
+    qs = [int(m) for m in moduli]
+    hosts = [_host_tables(log_n, q, P_) for q in qs]
+    M = n // P_
+
+    def tab(key, shape):
+        return _shoup([h[key] for h in hosts], qs, shape)
+
+    psi_op, psi_qt = tab("psi", (n,))
+    ipsi_op, ipsi_qt = tab("ipsi", (n,))
+    wp_op, wp_qt = tab("wp", (P_, P_))
+    tw_op, tw_qt = tab("tw", (P_, M))
+    itw_op, itw_qt = tab("itw", (P_, M))
+    iwp_op, iwp_qt = tab("iwp", (P_, P_))
+    cyc_op, cyc_qt = tab("cyc", (M,))
+    icyc_op, icyc_qt = tab("icyc", (M,))
+    invm_op, invm_qt = _shoup([[h["inv_m"]] for h in hosts], qs, (1,))
+
+    return FourStepTables(
+        log_n=log_n, shards=P_, mc=make_mod_consts(qs),
+        psi_op=psi_op, psi_qt=psi_qt, ipsi_op=ipsi_op, ipsi_qt=ipsi_qt,
+        wp_op=wp_op, wp_qt=wp_qt, tw_op=tw_op, tw_qt=tw_qt,
+        itw_op=itw_op, itw_qt=itw_qt, iwp_op=iwp_op, iwp_qt=iwp_qt,
+        cyc_op=cyc_op, cyc_qt=cyc_qt, icyc_op=icyc_op, icyc_qt=icyc_qt,
+        invm_op=invm_op, invm_qt=invm_qt,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local cyclic M-point transforms (same butterfly loops as ops/ntt.py, with
+# cyclic stage tables; fully reduced outputs)
+# ---------------------------------------------------------------------------
+
+def _cyclic_ntt(x, log_m, cyc_op, cyc_qt, mc):
+    lo, hi = x
+    m_total = 1 << log_m
+    q3 = tuple(a[:, :, None] for a in mc.q)
+    twoq3 = tuple(a[:, :, None] for a in mc.two_q)
+    for s in range(log_m):
+        m = 1 << s
+        gap = m_total >> (s + 1)
+        v_lo = _bview(lo, m, gap)
+        v_hi = _bview(hi, m, gap)
+        x0 = (v_lo[..., 0, :], v_hi[..., 0, :])
+        x1 = (v_lo[..., 1, :], v_hi[..., 1, :])
+        w, wq = _root_slice(cyc_op, cyc_qt, m, m)
+        u = _guard(x0, twoq3)
+        v = limb.mul_mod_shoup_lazy(x1, w, wq, q3)
+        y0 = limb.add64(u, v)
+        y1 = limb.sub64(limb.add64(u, twoq3), v)
+        lo = jnp.stack([y0[0], y1[0]], axis=-2).reshape(lo.shape)
+        hi = jnp.stack([y0[1], y1[1]], axis=-2).reshape(hi.shape)
+    out = _guard((lo, hi), mc.two_q)
+    return limb.cond_sub(out, mc.q)
+
+
+def _cyclic_intt(x, log_m, icyc_op, icyc_qt, invm_op, invm_qt, mc):
+    """Inverse cyclic M-NTT, bit-reversed in / natural out, 1/M folded into
+    the last stage (both outputs: cyclic last twiddle is 1)."""
+    lo, hi = x
+    m_total = 1 << log_m
+    q3 = tuple(a[:, :, None] for a in mc.q)
+    twoq3 = tuple(a[:, :, None] for a in mc.two_q)
+    offset = 1
+    for s in range(log_m - 1, 0, -1):
+        m = 1 << s
+        gap = m_total >> (s + 1)
+        v_lo = _bview(lo, m, gap)
+        v_hi = _bview(hi, m, gap)
+        u = (v_lo[..., 0, :], v_hi[..., 0, :])
+        v = (v_lo[..., 1, :], v_hi[..., 1, :])
+        w, wq = _root_slice(icyc_op, icyc_qt, offset, m)
+        offset += m
+        y0 = _guard(limb.add64(u, v), twoq3)
+        y1 = limb.mul_mod_shoup_lazy(limb.sub64(limb.add64(u, twoq3), v), w, wq, q3)
+        lo = jnp.stack([y0[0], y1[0]], axis=-2).reshape(lo.shape)
+        hi = jnp.stack([y0[1], y1[1]], axis=-2).reshape(hi.shape)
+    gap = m_total >> 1
+    v_lo = lo.reshape(lo.shape[:-1] + (2, gap))
+    v_hi = hi.reshape(hi.shape[:-1] + (2, gap))
+    u = (v_lo[..., 0, :], v_hi[..., 0, :])
+    v = (v_lo[..., 1, :], v_hi[..., 1, :])
+    u = _guard(u, mc.two_q)
+    y0 = limb.mul_mod_shoup_lazy(
+        _guard(limb.add64(u, v), mc.two_q), invm_op, invm_qt, mc.q)
+    y1 = limb.mul_mod_shoup_lazy(
+        limb.sub64(limb.add64(u, mc.two_q), v), invm_op, invm_qt, mc.q)
+    lo = jnp.concatenate([y0[0], y1[0]], axis=-1)
+    hi = jnp.concatenate([y0[1], y1[1]], axis=-1)
+    return limb.cond_sub((lo, hi), mc.q)
+
+
+# ---------------------------------------------------------------------------
+# shard_map kernels: local block shapes are [L, M] (+[p-row] table slices)
+# ---------------------------------------------------------------------------
+
+def _fwd_local(x_lo, x_hi, psi_op, psi_qt, wp_op, wp_qt, tw_op, tw_qt,
+               t: FourStepTables, axis: str):
+    mc = t.mc
+    P_ = t.shards
+    log_m = t.log_n - (P_.bit_length() - 1)
+    # step 1: b = a·ψ^i (local slice of ψ powers)
+    b = limb.mul_mod_shoup((x_lo, x_hi), (psi_op[0], psi_op[1]),
+                           (psi_qt[0], psi_qt[1]), mc.q)
+    # step 2: one all_gather over the shard axis -> [P, L, M]
+    g_lo = jax.lax.all_gather(b[0], axis)
+    g_hi = jax.lax.all_gather(b[1], axis)
+    # step 3: P-point DFT across shards at this shard's row r = br(p):
+    # c[i2] = Σ_{i1} g[i1]·w_P^{i1·r}; wp row slice is [1(L?), ...] -> [L,1]
+    c = None
+    for i1 in range(P_):
+        term = limb.mul_mod_shoup(
+            (g_lo[i1], g_hi[i1]),
+            (wp_op[0][:, 0, i1, None], wp_op[1][:, 0, i1, None]),
+            (wp_qt[0][:, 0, i1, None], wp_qt[1][:, 0, i1, None]),
+            mc.q,
+        )
+        c = term if c is None else limb.add_mod(c, term, mc.q)
+    # step 4: local twiddle w^{i2·r}
+    d = limb.mul_mod_shoup(
+        c, (tw_op[0][:, 0], tw_op[1][:, 0]), (tw_qt[0][:, 0], tw_qt[1][:, 0]),
+        mc.q,
+    )
+    # step 5: local cyclic M-NTT
+    out = _cyclic_ntt(d, log_m, t.cyc_op, t.cyc_qt, mc)
+    return out[0], out[1]
+
+
+def _inv_local(x_lo, x_hi, ipsi_op, ipsi_qt, iwp_op, iwp_qt, itw_op, itw_qt,
+               t: FourStepTables, axis: str):
+    mc = t.mc
+    P_ = t.shards
+    log_m = t.log_n - (P_.bit_length() - 1)
+    # inverse of step 5: local inverse cyclic M-NTT (1/M folded)
+    e = _cyclic_intt((x_lo, x_hi), log_m, t.icyc_op, t.icyc_qt,
+                     t.invm_op, t.invm_qt, mc)
+    # inverse of step 4: untwiddle w^{-i2·r}
+    e = limb.mul_mod_shoup(
+        e, (itw_op[0][:, 0], itw_op[1][:, 0]), (itw_qt[0][:, 0], itw_qt[1][:, 0]),
+        mc.q,
+    )
+    # inverse of step 3: all_gather e, combine with w_P^{-p·r}·P^{-1}
+    g_lo = jax.lax.all_gather(e[0], axis)
+    g_hi = jax.lax.all_gather(e[1], axis)
+    b = None
+    for r in range(P_):
+        term = limb.mul_mod_shoup(
+            (g_lo[r], g_hi[r]),
+            (iwp_op[0][:, 0, r, None], iwp_op[1][:, 0, r, None]),
+            (iwp_qt[0][:, 0, r, None], iwp_qt[1][:, 0, r, None]),
+            mc.q,
+        )
+        b = term if b is None else limb.add_mod(b, term, mc.q)
+    # inverse of step 1: a = b·ψ^{-i}
+    out = limb.mul_mod_shoup(b, (ipsi_op[0], ipsi_op[1]),
+                             (ipsi_qt[0], ipsi_qt[1]), mc.q)
+    return out[0], out[1]
+
+
+def _specs(t: FourStepTables, axis: str):
+    """(x, psi-like [L,n], row tables [L,P,*]) partition specs."""
+    x_spec = P(None, axis)          # [L, N] sharded on coefficients
+    n_spec = P(None, axis)          # [L, n] tables sharded the same way
+    row_spec = P(None, axis, None)  # [L, P, *]: row p -> shard p
+    return x_spec, n_spec, row_spec
+
+
+def ntt_forward_sharded(x: limb.U64Pair, t: FourStepTables, mesh: Mesh,
+                        axis: str = "sp") -> limb.U64Pair:
+    """Forward negacyclic NTT of [L, N] u64 tensors whose coefficient axis
+    is sharded P ways over `axis`. Natural order in, SEAL bit-reversed order
+    out, fully reduced — bit-identical to ops/ntt.ntt_forward."""
+    x_spec, n_spec, row_spec = _specs(t, axis)
+    fn = shard_map(
+        functools.partial(_fwd_local, t=t, axis=axis),
+        mesh=mesh,
+        in_specs=(x_spec, x_spec, n_spec, n_spec, row_spec, row_spec,
+                  row_spec, row_spec),
+        out_specs=(x_spec, x_spec),
+    )
+    lo, hi = fn(x[0], x[1], t.psi_op, t.psi_qt, t.wp_op, t.wp_qt,
+                t.tw_op, t.tw_qt)
+    return lo, hi
+
+
+def ntt_inverse_sharded(x: limb.U64Pair, t: FourStepTables, mesh: Mesh,
+                        axis: str = "sp") -> limb.U64Pair:
+    """Inverse negacyclic NTT, bit-reversed in / natural out, fully reduced
+    — bit-identical to ops/ntt.ntt_inverse."""
+    x_spec, n_spec, row_spec = _specs(t, axis)
+    fn = shard_map(
+        functools.partial(_inv_local, t=t, axis=axis),
+        mesh=mesh,
+        in_specs=(x_spec, x_spec, n_spec, n_spec, row_spec, row_spec,
+                  row_spec, row_spec),
+        out_specs=(x_spec, x_spec),
+    )
+    lo, hi = fn(x[0], x[1], t.ipsi_op, t.ipsi_qt, t.iwp_op, t.iwp_qt,
+                t.itw_op, t.itw_qt)
+    return lo, hi

@@ -1,0 +1,128 @@
+"""Evaluator API surface beyond the bit-exact golden suites: specialized
+squares (== multiply(a,a) bit-for-bit), add_many, plaintext mod-switch.
+Reference parity: evaluator.cpp bfv/ckks/bgv_square :831-1103, add_many,
+mod_switch_to_next(Plaintext)."""
+
+import numpy as np
+import pytest
+
+from seal_tpu import (
+    BatchEncoder,
+    CoeffModulus,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    SEALContext,
+    SchemeType,
+    SecLevelType,
+)
+from seal_tpu.ckks import CKKSEncoder
+
+SEED = (1, 2, 3, 4, 5, 6, 7, 8)
+
+
+def _ct_equal(a, b):
+    np.testing.assert_array_equal(np.asarray(a.data[0]), np.asarray(b.data[0]))
+    np.testing.assert_array_equal(np.asarray(a.data[1]), np.asarray(b.data[1]))
+
+
+def _make(scheme, plain_mod=None):
+    parms = EncryptionParameters(scheme)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    if plain_mod is not None:
+        parms.set_plain_modulus(plain_mod)
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    pk = kg.create_public_key()
+    return ctx, kg, Encryptor(ctx, pk), Evaluator(ctx), Decryptor(ctx, kg.secret_key())
+
+
+class TestSquare:
+    def test_bfv_square_equals_multiply(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        be = BatchEncoder(ctx)
+        vals = list(range(be.slot_count))
+        ct = enc.encrypt(be.encode(vals))
+        _ct_equal(ev.square(ct), ev.multiply(ct, ct))
+
+    def test_bgv_square_equals_multiply(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BGV, plain_mod=257)
+        be = BatchEncoder(ctx)
+        vals = list(range(be.slot_count))
+        ct = enc.encrypt(be.encode(vals))
+        sq = ev.square(ct)
+        mu = ev.multiply(ct, ct)
+        _ct_equal(sq, mu)
+        assert sq.correction_factor == mu.correction_factor
+
+    def test_ckks_square_equals_multiply(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.CKKS)
+        encd = CKKSEncoder(ctx)
+        scale = 2.0 ** 30
+        vals = np.linspace(-1, 1, encd.slot_count)
+        ct = enc.encrypt(encd.encode(vals, scale))
+        sq = ev.square(ct)
+        mu = ev.multiply(ct, ct)
+        _ct_equal(sq, mu)
+        assert sq.scale == mu.scale
+
+    def test_bfv_square_decrypts(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        be = BatchEncoder(ctx)
+        vals = [v % 257 for v in range(be.slot_count)]
+        ct = enc.encrypt(be.encode(vals))
+        rk = kg.create_relin_keys()
+        out = be.decode(dec.decrypt(ev.relinearize(ev.square(ct), rk)))
+        assert list(out) == [(v * v) % 257 for v in vals]
+
+
+class TestAddMany:
+    def test_add_many_bfv(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        be = BatchEncoder(ctx)
+        cts = [enc.encrypt(be.encode([i + 1] * be.slot_count)) for i in range(4)]
+        out = be.decode(dec.decrypt(ev.add_many(cts)))
+        assert list(out) == [10] * be.slot_count
+
+    def test_add_many_empty_raises(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        with pytest.raises(ValueError):
+            ev.add_many([])
+
+
+class TestPlainModSwitch:
+    def test_ckks_plain_mod_switch_tracks_ciphertext(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.CKKS)
+        encd = CKKSEncoder(ctx)
+        # after dropping one prime a single 40-bit prime remains, so the
+        # product scale 2^36 must stay below it
+        scale = 2.0 ** 18
+        vals = np.linspace(-1, 1, encd.slot_count)
+        plain = encd.encode(vals, scale)
+        ct = enc.encrypt(plain)
+        ct2 = ev.mod_switch_to_next(ct)
+        p2 = ev.mod_switch_plain_to_next(plain)
+        assert p2.parms_id == ct2.parms_id
+        # multiply_plain at the switched level still decodes correctly
+        prod = ev.multiply_plain(ct2, p2)
+        got = encd.decode(dec.decrypt(prod))
+        np.testing.assert_allclose(got.real, vals * vals, atol=1e-2)
+
+    def test_plain_mod_switch_to(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.CKKS)
+        encd = CKKSEncoder(ctx)
+        plain = encd.encode(np.zeros(encd.slot_count), 2.0 ** 30)
+        last = ctx.last_parms_id
+        p = ev.mod_switch_plain_to(plain, last)
+        assert p.parms_id == tuple(last)
+
+    def test_non_ntt_plain_raises(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        be = BatchEncoder(ctx)
+        plain = be.encode([1] * be.slot_count)
+        with pytest.raises(ValueError):
+            ev.mod_switch_plain_to_next(plain)

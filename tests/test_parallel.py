@@ -106,3 +106,60 @@ def test_tp_only_mesh_ntt_ops(bfv):
         out = fn(ct_s)
         jax.block_until_ready(out.data)
     assert np.array_equal(out.to_numpy(), ref)
+
+
+# ---------------------------------------------------------------------------
+# Four-step coefficient-sharded NTT (sequence-parallel axis)
+# ---------------------------------------------------------------------------
+
+class TestFourStepNTT:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from jax.sharding import Mesh
+        from seal_tpu.modulus import CoeffModulus as CM
+        from seal_tpu.ops import limb
+        from seal_tpu.ops import ntt as ntt_mod
+        from seal_tpu.parallel import fourstep
+
+        log_n = 8  # n=256, P=8 -> M=32 local
+        n = 1 << log_n
+        moduli = [m.value for m in CM.create(n, [40, 41, 42])]
+        t_ref = ntt_mod.build_device_tables(log_n, moduli)
+        devs = np.asarray(jax.devices()[:8])
+        mesh = Mesh(devs, ("sp",))
+        t4 = fourstep.build_fourstep_tables(log_n, moduli, num_shards=8)
+        rng = np.random.default_rng(7)
+        vals = [[int(rng.integers(0, q)) for _ in range(n)] for q in moduli]
+        x = limb.arr_to_u64(vals, shape=(len(moduli), n))
+        return dict(log_n=log_n, moduli=moduli, t_ref=t_ref, mesh=mesh,
+                    t4=t4, x=x, limb=limb, ntt_mod=ntt_mod, fourstep=fourstep)
+
+    def _assert_eq(self, a, b):
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    def test_forward_matches_single_chip(self, setup):
+        s = setup
+        ref = s["ntt_mod"].ntt_forward(s["x"], s["t_ref"])
+        got = s["fourstep"].ntt_forward_sharded(s["x"], s["t4"], s["mesh"])
+        self._assert_eq(got, ref)
+
+    def test_inverse_matches_single_chip(self, setup):
+        s = setup
+        fwd = s["ntt_mod"].ntt_forward(s["x"], s["t_ref"])
+        ref = s["ntt_mod"].ntt_inverse(fwd, s["t_ref"])
+        got = s["fourstep"].ntt_inverse_sharded(fwd, s["t4"], s["mesh"])
+        self._assert_eq(got, ref)
+        # and the roundtrip returns the input exactly
+        self._assert_eq(got, s["x"])
+
+    def test_shard_count_4(self, setup):
+        from jax.sharding import Mesh
+        from seal_tpu.parallel import fourstep
+
+        s = setup
+        mesh4 = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+        t4 = fourstep.build_fourstep_tables(s["log_n"], s["moduli"], num_shards=4)
+        ref = s["ntt_mod"].ntt_forward(s["x"], s["t_ref"])
+        got = fourstep.ntt_forward_sharded(s["x"], t4, mesh4)
+        self._assert_eq(got, ref)
