@@ -126,3 +126,41 @@ class TestPlainModSwitch:
         plain = be.encode([1] * be.slot_count)
         with pytest.raises(ValueError):
             ev.mod_switch_plain_to_next(plain)
+
+
+class TestHoistedRotations:
+    def test_bfv_hoisted_matches_rotate_rows(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        be = BatchEncoder(ctx)
+        gk = kg.create_galois_keys()
+        vals = [v % 257 for v in range(be.slot_count)]
+        ct = enc.encrypt(be.encode(vals))
+        steps = [1, 2, -1, 0]
+        hoisted = ev.rotate_batch_hoisted(ct, steps, gk)
+        for s, h in zip(steps, hoisted):
+            ref = ev.rotate_rows(ct, s, gk) if s else ct
+            assert list(be.decode(dec.decrypt(h))) == \
+                list(be.decode(dec.decrypt(ref))), f"step {s}"
+
+    def test_ckks_hoisted_matches_rotate_vector(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.CKKS)
+        encd = CKKSEncoder(ctx)
+        gk = kg.create_galois_keys()
+        scale = 2.0 ** 30
+        vals = np.arange(encd.slot_count, dtype=float) / encd.slot_count
+        ct = enc.encrypt(encd.encode(vals, scale))
+        steps = [1, 2, -2]
+        hoisted = ev.rotate_batch_hoisted(ct, steps, gk)
+        for s, h in zip(steps, hoisted):
+            got = encd.decode(dec.decrypt(h)).real
+            want = np.roll(vals, -s)
+            np.testing.assert_allclose(got, want, atol=1e-5), f"step {s}"
+
+    def test_missing_key_raises(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        be = BatchEncoder(ctx)
+        gt = ctx.key_context_data().galois_tool
+        gk = kg.create_galois_keys(gt.get_elts_from_steps([1]))
+        ct = enc.encrypt(be.encode([0] * be.slot_count))
+        with pytest.raises(ValueError):
+            ev.rotate_batch_hoisted(ct, [1, 5], gk)
