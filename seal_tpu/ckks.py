@@ -118,13 +118,23 @@ class CKKSEncoder:
         Q = cd.total_coeff_modulus
         base = cd.rns_base
         half = cd.upper_half_threshold
-        vals = np.empty(n, dtype=np.float64)
         inv_scale = 1.0 / plain.scale
-        for i in range(n):
-            v = base.compose([int(x) for x in rows[:, i]])
-            if v >= half:
-                v -= Q
-            vals[i] = float(v) * inv_scale
+        # native C++ CRT composition when available (seal_tpu.native);
+        # exact-big-int Python fallback otherwise
+        composer = getattr(cd, "_crt_composer", None)
+        if composer is None:
+            from seal_tpu.native import CRTComposer
+
+            composer = CRTComposer(base)
+            cd._crt_composer = composer
+        vals = composer.compose_center_f64(rows, inv_scale)
+        if vals is None:
+            vals = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                v = base.compose([int(x) for x in rows[:, i]])
+                if v >= half:
+                    v -= Q
+                vals[i] = float(v) * inv_scale
         # ev_k = m(ψ^{2k+1}) = n · IFFT(c_j ψ^j)_k
         ev = n * np.fft.ifft(vals * self._twist)
         out = ev[self._slot_bins]

@@ -29,12 +29,19 @@ class Decryptor:
     def _powers(self, count: int, cd):
         key_cd = self.context.key_context_data()
         mc = key_cd.mod_consts
-        while len(self._sk_powers) < count:
-            self._sk_powers.append(
-                modring.dyadic_product(self._sk_powers[-1], self._sk_powers[0], mc)
+        powers = list(self._sk_powers)
+        while len(powers) < count:
+            powers.append(
+                modring.dyadic_product(powers[-1], powers[0], mc)
             )
+        # cache only concrete arrays — a power first computed inside a jit
+        # trace is a tracer and must not escape the trace scope
+        import jax.core
+
+        if not isinstance(powers[-1][0], jax.core.Tracer):
+            self._sk_powers = powers
         L = cd.coeff_modulus_size
-        return [(p[0][:L], p[1][:L]) for p in self._sk_powers[:count]]
+        return [(p[0][:L], p[1][:L]) for p in powers[:count]]
 
     def dot_product_ct_sk(self, ct: Ciphertext):
         """c0 + c1·s + c2·s² + ... over the ct's tower; same domain as ct

@@ -15,7 +15,7 @@ import subprocess
 import threading
 
 _here = pathlib.Path(__file__).parent
-_src = _here / "blake2_native.cpp"
+_srcs = [_here / "blake2_native.cpp", _here / "rns_native.cpp"]
 _so = _here / "libsealtpu_native.so"
 _lock = threading.Lock()
 _lib = None
@@ -25,7 +25,7 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", str(_src), "-o", str(_so)],
+            ["g++", "-O3", "-shared", "-fPIC", *map(str, _srcs), "-o", str(_so)],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -40,7 +40,9 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _so.exists() or _so.stat().st_mtime < _src.stat().st_mtime:
+        if not _so.exists() or any(
+            _so.stat().st_mtime < s.stat().st_mtime for s in _srcs
+        ):
             if not _build():
                 return None
         try:
@@ -52,6 +54,18 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
         ]
         lib.sealtpu_blake2xb_stream.restype = None
+        c_u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.sealtpu_crt_compose_center_f64.argtypes = [
+            c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p, c_u64p,
+            c_u64p, c_u64p, c_u64p, ctypes.c_size_t, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.sealtpu_crt_compose_center_f64.restype = None
+        lib.sealtpu_crt_compose_words.argtypes = [
+            c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p, c_u64p,
+            c_u64p, c_u64p, ctypes.c_size_t, c_u64p,
+        ]
+        lib.sealtpu_crt_compose_words.restype = None
         _lib = lib
         return _lib
 
@@ -67,3 +81,71 @@ def blake2xb_stream(seed, counter: int, n_bytes: int) -> bytes | None:
     out = (ctypes.c_uint8 * n_bytes)()
     lib.sealtpu_blake2xb_stream(seed_arr, counter, out, n_bytes)
     return bytes(out)
+
+
+def _int_to_words(v: int, width: int):
+    import numpy as np
+
+    out = np.empty(width, dtype=np.uint64)
+    for w in range(width):
+        out[w] = v & 0xFFFFFFFFFFFFFFFF
+        v >>= 64
+    return out
+
+
+class CRTComposer:
+    """Precomputed native CRT composition for one RNSBase (host hot path of
+    CKKS decode; parity rns.cpp:321-399). None-safe: check `.available`."""
+
+    def __init__(self, rns_base):
+        import numpy as np
+
+        self.available = get_lib() is not None
+        self.L = rns_base.size
+        self.W = (rns_base.base_prod.bit_length() + 63) // 64
+        self.moduli = np.asarray(rns_base.base, dtype=np.uint64)
+        self.y_mul = np.asarray(rns_base.inv_punctured_prod, dtype=np.uint64)
+        self.qhat = np.stack(
+            [_int_to_words(p, self.W) for p in rns_base.punctured_prod])
+        self.Q = _int_to_words(rns_base.base_prod, self.W)
+        self.half = _int_to_words((rns_base.base_prod + 1) >> 1, self.W)
+
+    def _ptr(self, arr):
+        import numpy as np
+
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+    def compose_center_f64(self, rows, inv_scale: float):
+        """rows: np.uint64 [L, n] residues -> centered doubles * inv_scale,
+        or None if the native library is unavailable."""
+        import numpy as np
+
+        if not self.available:
+            return None
+        rows = np.ascontiguousarray(rows, dtype=np.uint64)
+        n = rows.shape[1]
+        out = np.empty(n, dtype=np.float64)
+        get_lib().sealtpu_crt_compose_center_f64(
+            self._ptr(rows), self.L, n, self._ptr(self.y_mul),
+            self._ptr(self.moduli), self._ptr(self.qhat), self._ptr(self.Q),
+            self._ptr(self.half), self.W, ctypes.c_double(inv_scale),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out
+
+    def compose_words(self, rows):
+        """rows: np.uint64 [L, n] -> np.uint64 [n, W] little-endian words,
+        or None if unavailable."""
+        import numpy as np
+
+        if not self.available:
+            return None
+        rows = np.ascontiguousarray(rows, dtype=np.uint64)
+        n = rows.shape[1]
+        out = np.empty((n, self.W), dtype=np.uint64)
+        get_lib().sealtpu_crt_compose_words(
+            self._ptr(rows), self.L, n, self._ptr(self.y_mul),
+            self._ptr(self.moduli), self._ptr(self.qhat), self._ptr(self.Q),
+            self.W, self._ptr(out),
+        )
+        return out

@@ -80,7 +80,9 @@ class GaloisTool:
                 index_raw = (galois_elt * reversed_i) >> 1
                 index_raw &= n - 1
                 idx[i - n] = numth.reverse_bits(index_raw, logn)
-            tab = jnp.asarray(idx)
+            # cache as NUMPY: a jnp array created while tracing would be a
+            # tracer and leak out of the jit scope on reuse
+            tab = idx
             self._ntt_tables[galois_elt] = tab
         return tab
 
@@ -98,7 +100,7 @@ class GaloisTool:
                 src[index] = i
                 neg[index] = bool((index_raw >> self.coeff_count_power) & 1)
                 index_raw += galois_elt
-            tab = (jnp.asarray(src), jnp.asarray(neg))
+            tab = (src, neg)  # numpy, not jnp: see _ntt_table cache note
             self._coeff_tables[galois_elt] = tab
         return tab
 

@@ -10,7 +10,9 @@ map for the TPU rebuild:
          NTT and elementwise ops are per-prime independent, while base
          conversion / key-switch inner products contract over L and XLA
          inserts the psum/all-gather collectives over ICI.
-* SP   — (coefficient axis, four-step NTT with all_to_all) — future work.
+* SP   — the coefficient axis, via the four-step NTT (parallel/fourstep.py):
+         one all_gather per transform, local cyclic sub-NTTs, bit-identical
+         to the single-chip kernel.
 
 Everything rides jax.sharding + jit: pick the mesh, annotate shardings, let
 XLA place collectives (no custom transport). Multi-host: the same code under
