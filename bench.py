@@ -70,7 +70,9 @@ def main():
         out = fn(ct1, ct2)
         jax.block_until_ready(out.data)  # compile + first run
 
-        reps = 5
+        # Enough reps to amortize the ~35ms tunnel round-trip; dispatch is
+        # async so the device pipelines all executions.
+        reps = 300
         t0 = time.perf_counter()
         outs = [fn(ct1, ct2) for _ in range(reps)]
         jax.block_until_ready([o.data for o in outs])

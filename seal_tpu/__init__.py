@@ -41,5 +41,6 @@ from seal_tpu.encryptor import Encryptor
 from seal_tpu.decryptor import Decryptor
 from seal_tpu.encoders import BatchEncoder
 from seal_tpu.evaluator import Evaluator
+from seal_tpu.jit import JitEvaluator
 
 __version__ = "0.1.0"

@@ -117,7 +117,14 @@ class ContextData:
 
     def _cached(self, key, builder):
         if key not in self._device_cache:
-            self._device_cache[key] = builder()
+            # Build OUTSIDE any active jit trace: these bundles are cached on
+            # the context, and a value created while tracing would be a
+            # tracer leaking across traces. ensure_compile_time_eval makes
+            # first-touch-inside-jit safe.
+            import jax
+
+            with jax.ensure_compile_time_eval():
+                self._device_cache[key] = builder()
         return self._device_cache[key]
 
     @property

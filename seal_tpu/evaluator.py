@@ -15,6 +15,7 @@ NTT.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -887,25 +888,68 @@ class Evaluator:
 
         t_op = self._switch_key_decompose(ct, ct.poly(1))
         c0 = ct.poly(0)
-        outs = []
-        for s, elt in zip(steps, elts):
-            if s == 0:
-                outs.append(ct.copy())
-                continue
-            tab = gt._ntt_table(elt)
-            t_op_g = (t_op[0][..., tab], t_op[1][..., tab])
-            delta = self._switch_key_inner(ct, t_op_g, galois_keys.key(elt))
-            if ct.is_ntt_form:
-                c0_g = gt.apply_galois_ntt(c0, elt)
-            else:
-                c0_g = gt.apply_galois(c0, elt, mc)
+        live = [(s, e) for s, e in zip(steps, elts) if s != 0]
+
+        if len(live) <= 1:
+            by_step = {}
+            for s, elt in live:
+                by_step[s] = self._hoisted_one(ct, t_op, c0, elt, gt, mc,
+                                               galois_keys)
+            return [by_step[s] if s != 0 else ct.copy() for s in steps]
+
+        # lax.scan over the rotation axis: the compiled program holds ONE
+        # keyswitch inner product, not k unrolled copies (program size —
+        # and remote-compile payload — stays O(1) in the batch size).
+        perm = jnp.asarray(np.stack([gt._ntt_table(e) for _, e in live]))
+        if ct.is_ntt_form:
+            csrc = perm
+            cneg = jnp.zeros(perm.shape, dtype=bool)
+        else:
+            coeff = [gt._coeff_table(e) for _, e in live]
+            csrc = jnp.asarray(np.stack([c[0] for c in coeff]))
+            cneg = jnp.asarray(np.stack([c[1] for c in coeff]))
+        klo = jnp.stack([galois_keys.key(e)[0] for _, e in live])
+        khi = jnp.stack([galois_keys.key(e)[1] for _, e in live])
+
+        def body(_, xs):
+            p, src, neg, kl, kh = xs
+            t_op_g = (t_op[0][..., p], t_op[1][..., p])
+            delta = self._switch_key_inner(ct, t_op_g, (kl, kh))
+            g = (c0[0][..., src], c0[1][..., src])
+            if not ct.is_ntt_form:
+                negated = limb.neg_mod(g, mc.q)
+                g = limb.select64(neg, negated, g)
+            new0 = modring.add_poly(g, delta.poly(0), mc)
+            new1 = delta.poly(1)
+            return None, (new0[0], new0[1], new1[0], new1[1])
+
+        _, (o0l, o0h, o1l, o1h) = jax.lax.scan(
+            body, None, (perm, csrc, cneg, klo, khi))
+
+        by_step = {}
+        for i, (s, _) in enumerate(live):
             out = ct.copy()
-            out.data = stack_polys([
-                modring.add_poly(c0_g, delta.poly(0), mc),
-                delta.poly(1),
-            ])
-            outs.append(out)
-        return outs
+            out.data = (
+                jnp.stack([o0l[i], o1l[i]]),
+                jnp.stack([o0h[i], o1h[i]]),
+            )
+            by_step[s] = out
+        return [by_step[s] if s != 0 else ct.copy() for s in steps]
+
+    def _hoisted_one(self, ct, t_op, c0, elt, gt, mc, galois_keys):
+        tab = gt._ntt_table(elt)
+        t_op_g = (t_op[0][..., tab], t_op[1][..., tab])
+        delta = self._switch_key_inner(ct, t_op_g, galois_keys.key(elt))
+        if ct.is_ntt_form:
+            c0_g = gt.apply_galois_ntt(c0, elt)
+        else:
+            c0_g = gt.apply_galois(c0, elt, mc)
+        out = ct.copy()
+        out.data = stack_polys([
+            modring.add_poly(c0_g, delta.poly(0), mc),
+            delta.poly(1),
+        ])
+        return out
 
     def multiply_many(self, cts: list[Ciphertext], relin_keys: RelinKeys) -> Ciphertext:
         """Binary-tree product (evaluator.cpp:1535+)."""

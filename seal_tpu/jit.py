@@ -1,0 +1,119 @@
+"""JitEvaluator: the Evaluator with per-op compiled-function caching.
+
+SURVEY.md §7 hard part 4: the modulus chain changes L per level and the
+ciphertext size changes on multiply, so one compiled program cannot serve
+every call — SEAL never faces this because it interprets loop nests
+(evaluator.cpp dispatches per call). Here every op is wrapped in jax.jit;
+the cache key is (op name, static argument signature), and jax itself
+retraces per (parms_id, size, shapes) because Ciphertext metadata is static
+pytree aux data (dtypes.py _ct_flatten).
+
+Key-switching keys are passed as *dynamic* pytree arguments (their device
+tensors are inputs, not baked-in constants), so one compiled relinearize
+serves any relin-keys value of the same shape.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from seal_tpu.context import SEALContext
+from seal_tpu.dtypes import Ciphertext, KSwitchKeys, Plaintext
+from seal_tpu.evaluator import Evaluator
+
+_DYN = 0      # Ciphertext / Plaintext: dynamic pytree arg
+_KEYS = 1     # KSwitchKeys subclass: tensors dynamic, class + parms_id static
+_STATIC = 2   # anything else: part of the cache key, closed over
+
+
+class JitEvaluator:
+    """Evaluator facade whose methods run as cached jit-compiled programs.
+
+    Usage:
+        jev = JitEvaluator(context)
+        ct3 = jev.multiply(ct1, ct2)
+        ct3 = jev.relinearize(ct3, relin_keys)
+
+    Any public Evaluator method is available. Compilation happens on first
+    use per (op, level, size, key shapes) and is reused afterwards.
+    """
+
+    def __init__(self, context: SEALContext):
+        self.evaluator = Evaluator(context)
+        self.context = context
+        self._cache: dict = {}
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        method = getattr(self.evaluator, name)
+        if not callable(method):
+            return method
+
+        def call(*args):
+            return self._dispatch(name, args)
+
+        call.__name__ = name
+        return call
+
+    def _dispatch(self, name: str, args):
+        # Plaintext-taking ops run eagerly: BFV/BGV plaintexts hold host
+        # uint64 coefficient vectors that are not jit-traceable leaves (and
+        # plain ops are cheap relative to ciphertext ops).
+        if any(isinstance(a, Plaintext) for a in args):
+            return getattr(self.evaluator, name)(*args)
+        spec = []
+        dyn = []
+        statics = []
+        key_parts = [name]
+        for a in args:
+            if isinstance(a, (Ciphertext, Plaintext)):
+                spec.append(_DYN)
+                dyn.append(a)
+            elif isinstance(a, KSwitchKeys):
+                spec.append(_KEYS)
+                dyn.append(a.keys)
+                statics.append((type(a), tuple(a.parms_id)))
+                key_parts.append(("keys", type(a).__name__, tuple(a.parms_id)))
+            elif isinstance(a, list) and a and isinstance(a[0], Ciphertext):
+                # e.g. add_many / multiply_many inputs
+                spec.append(_DYN)
+                dyn.append(a)
+            else:
+                spec.append(_STATIC)
+                v = tuple(a) if isinstance(a, (list, tuple)) else a
+                statics.append(v)
+                key_parts.append(("static", v))
+        key = tuple(key_parts)
+        fn = self._cache.get(key)
+        if fn is None:
+            method = getattr(self.evaluator, name)
+            spec_t = tuple(spec)
+            statics_t = tuple(statics)
+
+            def wrapped(dyn_args):
+                it_d = iter(dyn_args)
+                it_s = iter(statics_t)
+                full = []
+                for kind in spec_t:
+                    if kind == _DYN:
+                        full.append(next(it_d))
+                    elif kind == _KEYS:
+                        cls, parms_id = next(it_s)
+                        k = cls()
+                        k.keys = next(it_d)
+                        k.parms_id = parms_id
+                        full.append(k)
+                    else:
+                        full.append(next(it_s))
+                return method(*full)
+
+            fn = jax.jit(wrapped)
+            self._cache[key] = fn
+        return fn(tuple(dyn))
+
+    def cache_size(self) -> int:
+        return len(self._cache)
+
+    def clear_cache(self):
+        self._cache.clear()

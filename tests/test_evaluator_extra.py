@@ -164,3 +164,48 @@ class TestHoistedRotations:
         ct = enc.encrypt(be.encode([0] * be.slot_count))
         with pytest.raises(ValueError):
             ev.rotate_batch_hoisted(ct, [1, 5], gk)
+
+
+class TestJitEvaluator:
+    def test_ops_match_eager_and_cache(self):
+        from seal_tpu.jit import JitEvaluator
+
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        be = BatchEncoder(ctx)
+        rk = kg.create_relin_keys()
+        gk = kg.create_galois_keys()
+        jev = JitEvaluator(ctx)
+        vals = [v % 257 for v in range(be.slot_count)]
+        ct = enc.encrypt(be.encode(vals))
+
+        jit_out = jev.relinearize(jev.multiply(ct, ct), rk)
+        eager_out = ev.relinearize(ev.multiply(ct, ct), rk)
+        _ct_equal(jit_out, eager_out)
+
+        n0 = jev.cache_size()
+        jev.relinearize(jev.multiply(ct, ct), rk)   # cache hit
+        assert jev.cache_size() == n0
+
+        r_jit = jev.rotate_rows(ct, 1, gk)
+        r_eager = ev.rotate_rows(ct, 1, gk)
+        _ct_equal(r_jit, r_eager)
+        assert jev.cache_size() == n0 + 1
+
+        # static args distinguish cache entries
+        jev.rotate_rows(ct, 2, gk)
+        assert jev.cache_size() == n0 + 2
+
+    def test_level_changes_recompile_transparently(self):
+        from seal_tpu.jit import JitEvaluator
+
+        ctx, kg, enc, ev, dec = _make(SchemeType.CKKS)
+        encd = CKKSEncoder(ctx)
+        rk = kg.create_relin_keys()
+        jev = JitEvaluator(ctx)
+        vals = np.linspace(-1, 1, encd.slot_count)
+        # scale must survive the rescale division by the ~2^40 last prime
+        ct = enc.encrypt(encd.encode(vals, 2.0 ** 36))
+        ct2 = jev.rescale_to_next(jev.relinearize(jev.multiply(ct, ct), rk))
+        assert ct2.parms_id != ct.parms_id
+        got = encd.decode(dec.decrypt(ct2))
+        np.testing.assert_allclose(got.real, vals * vals, atol=1e-2)

@@ -77,33 +77,34 @@ def main():
     rk.keys = [jax.device_put(k, target) if k is not None else None for k in rk.keys]
     gk.keys = [jax.device_put(k, target) if k is not None else None for k in gk.keys]
 
+    # JitEvaluator passes key tensors as jit ARGUMENTS (device parameters),
+    # not closure constants — closure key stacks get serialized into the
+    # remote-compile payload and blow its size limit.
+    from seal_tpu import JitEvaluator
+
+    jev = JitEvaluator(ctx)
+    jev.evaluator = ev
+
     results = {}
     with jax.default_device(target):
-        mul = jax.jit(lambda a, b: ev.multiply(a, b))
-        results["multiply"] = time_op(mul, (ct1, ct2), args.reps)
-        ct3 = mul(ct1, ct2)
+        results["multiply"] = time_op(jev.multiply, (ct1, ct2), args.reps)
+        ct3 = jev.multiply(ct1, ct2)
 
-        relin = jax.jit(lambda c: ev.relinearize(c, rk))
-        results["relinearize"] = time_op(relin, (ct3,), args.reps)
-        ct4 = relin(ct3)
+        results["relinearize"] = time_op(jev.relinearize, (ct3, rk), args.reps)
+        ct4 = jev.relinearize(ct3, rk)
 
-        resc = jax.jit(lambda c: ev.rescale_to_next(c))
-        results["rescale"] = time_op(resc, (ct4,), args.reps)
+        results["rescale"] = time_op(jev.rescale_to_next, (ct4,), args.reps)
+        results["square"] = time_op(jev.square, (ct1,), args.reps)
 
-        sq = jax.jit(lambda a: ev.square(a))
-        results["square"] = time_op(sq, (ct1,), args.reps)
+        results["rotate_one"] = time_op(
+            jev.rotate_vector, (ct1, 1, gk), args.reps)
 
-        rot1 = jax.jit(lambda c: ev.rotate_vector(c, 1, gk))
-        results["rotate_one"] = time_op(rot1, (ct1,), args.reps)
-
-        # unhoisted k-rotation cost = k sequential single rotations (one
-        # fused jit of k keyswitches exceeds the remote-compile size limit)
+        # unhoisted k-rotation cost = k sequential single rotations
         results[f"rotate_{args.rotations}_unhoisted"] = (
             results["rotate_one"] * args.rotations)
 
-        hoist = jax.jit(lambda c: ev.rotate_batch_hoisted(c, steps, gk))
         results[f"rotate_{args.rotations}_hoisted"] = time_op(
-            hoist, (ct1,), args.reps)
+            jev.rotate_batch_hoisted, (ct1, steps, gk), args.reps)
 
         cd = ctx.first_context_data()
         from seal_tpu.ops import ntt as ntt_mod
