@@ -890,7 +890,13 @@ class Evaluator:
         c0 = ct.poly(0)
         live = [(s, e) for s, e in zip(steps, elts) if s != 0]
 
-        if len(live) <= 1:
+        # Unrolled path (default): each rotation is a STATIC-index gather on
+        # t_op — XLA compiles those into cheap shuffles, where the scan
+        # path's dynamic-index gathers hit the slow gather unit. Program
+        # size grows linearly in the batch, so very large batches fall back
+        # to lax.scan (pass key tensors as jit arguments, e.g. via
+        # JitEvaluator, to keep the unrolled program payload small).
+        if len(live) <= 16:
             by_step = {}
             for s, elt in live:
                 by_step[s] = self._hoisted_one(ct, t_op, c0, elt, gt, mc,
@@ -937,19 +943,48 @@ class Evaluator:
         return [by_step[s] if s != 0 else ct.copy() for s in steps]
 
     def _hoisted_one(self, ct, t_op, c0, elt, gt, mc, galois_keys):
-        tab = gt._ntt_table(elt)
-        t_op_g = (t_op[0][..., tab], t_op[1][..., tab])
-        delta = self._switch_key_inner(ct, t_op_g, galois_keys.key(elt))
-        if ct.is_ntt_form:
-            c0_g = gt.apply_galois_ntt(c0, elt)
-        else:
-            c0_g = gt.apply_galois(c0, elt, mc)
+        """One hoisted rotation with PRE-PERMUTED keys: the automorphism
+        commutes with the NTT-domain dyadic product, so
+        perm(Σ_J t_op_J ⊙ perm⁻¹(key_J)) = Σ_J perm(t_op_J) ⊙ key_J — the
+        per-rotation gather moves from the decomposed [L, L+1, N] tensor to
+        the [2, L, N] output (≈9× fewer gathered elements; gathers are the
+        TPU bottleneck for rotations, not the inner product). The special-
+        prime divide commutes with the coefficient permutation up to its
+        rounding tie-break, i.e. noise-level only — decryption agrees with
+        apply_galois (which stays bit-exact to the reference)."""
+        delta = self._switch_key_inner(
+            ct, t_op, self._permuted_keys(galois_keys, elt, gt))
         out = ct.copy()
-        out.data = stack_polys([
-            modring.add_poly(c0_g, delta.poly(0), mc),
-            delta.poly(1),
-        ])
+        if ct.is_ntt_form:
+            out0 = gt.apply_galois_ntt(
+                modring.add_poly(c0, delta.poly(0), mc), elt)
+            out1 = gt.apply_galois_ntt(delta.poly(1), elt)
+        else:
+            out0 = gt.apply_galois(
+                modring.add_poly(c0, delta.poly(0), mc), elt, mc)
+            out1 = gt.apply_galois(delta.poly(1), elt, mc)
+        out.data = stack_polys([out0, out1])
         return out
+
+    @staticmethod
+    def _permuted_keys(galois_keys, elt, gt):
+        """galois key for `elt` gathered by the INVERSE NTT-domain
+        permutation, cached on the key object (static per elt)."""
+        cache = getattr(galois_keys, "_perm_cache", None)
+        if cache is None:
+            cache = {}
+            galois_keys._perm_cache = cache
+        pk = cache.get(elt)
+        if pk is None:
+            inv = np.argsort(gt._ntt_table(elt), kind="stable")
+            klo, khi = galois_keys.key(elt)
+            pk = (jnp.asarray(klo)[..., inv], jnp.asarray(khi)[..., inv])
+            import jax.core
+
+            if not isinstance(klo, jax.core.Tracer):
+                pk = tuple(jax.block_until_ready(p) for p in pk)
+                cache[elt] = pk
+        return pk
 
     def multiply_many(self, cts: list[Ciphertext], relin_keys: RelinKeys) -> Ciphertext:
         """Binary-tree product (evaluator.cpp:1535+)."""

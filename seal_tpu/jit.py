@@ -62,6 +62,8 @@ class JitEvaluator:
         # plain ops are cheap relative to ciphertext ops).
         if any(isinstance(a, Plaintext) for a in args):
             return getattr(self.evaluator, name)(*args)
+        if name == "rotate_batch_hoisted":
+            self._warm_perm_cache(args)
         spec = []
         dyn = []
         statics = []
@@ -72,9 +74,14 @@ class JitEvaluator:
                 dyn.append(a)
             elif isinstance(a, KSwitchKeys):
                 spec.append(_KEYS)
-                dyn.append(a.keys)
+                # key tensors AND the pre-permuted rotation cache ride as
+                # dynamic pytree args (device parameters, not baked-in
+                # constants); the cache is warmed eagerly above so traced
+                # rotations reuse concrete pre-permuted keys
+                dyn.append((a.keys, getattr(a, "_perm_cache", {})))
                 statics.append((type(a), tuple(a.parms_id)))
-                key_parts.append(("keys", type(a).__name__, tuple(a.parms_id)))
+                key_parts.append(("keys", type(a).__name__, tuple(a.parms_id),
+                                  tuple(sorted(getattr(a, "_perm_cache", {})))))
             elif isinstance(a, list) and a and isinstance(a[0], Ciphertext):
                 # e.g. add_many / multiply_many inputs
                 spec.append(_DYN)
@@ -101,7 +108,7 @@ class JitEvaluator:
                     elif kind == _KEYS:
                         cls, parms_id = next(it_s)
                         k = cls()
-                        k.keys = next(it_d)
+                        k.keys, k._perm_cache = next(it_d)
                         k.parms_id = parms_id
                         full.append(k)
                     else:
@@ -111,6 +118,26 @@ class JitEvaluator:
             fn = jax.jit(wrapped)
             self._cache[key] = fn
         return fn(tuple(dyn))
+
+    def _warm_perm_cache(self, args):
+        """Eagerly pre-permute galois keys for rotate_batch_hoisted so the
+        traced program gathers the small output, not the big key tensors."""
+        ct = args[0]
+        steps = args[1]
+        gks = [a for a in args if isinstance(a, KSwitchKeys)]
+        if not gks:
+            return
+        gk = gks[0]
+        cd = self.context.get_context_data(ct.parms_id)
+        if cd is None:
+            return
+        gt = cd.galois_tool
+        for s in steps:
+            if s == 0:
+                continue
+            elt = gt.get_elt_from_step(s)
+            if gk.has_key(elt):
+                self.evaluator._permuted_keys(gk, elt, gt)
 
     def cache_size(self) -> int:
         return len(self._cache)

@@ -101,6 +101,46 @@ def sample_poly_uniform(prng, moduli: list[int], n: int) -> np.ndarray:
     return raw
 
 
+def sample_poly_uniform_seal_3_5(prng, moduli: list[int], n: int) -> np.ndarray:
+    """Legacy uniform sampler matching Microsoft SEAL <= 3.5 byte-for-byte
+    (rlwe.cpp sample_poly_uniform_seal_3_5): strictly sequential per-element
+    64-bit draws built from two 32-bit adapter reads, high word first."""
+    L = len(moduli)
+    out = np.empty((L, n), dtype=np.uint64)
+    max_random = 0xFFFFFFFFFFFFFFFF
+    for j, q in enumerate(moduli):
+        max_multiple = max_random - (max_random % q) - 1
+        for i in range(n):
+            while True:
+                a = int.from_bytes(prng.generate(4), "little")
+                b = int.from_bytes(prng.generate(4), "little")
+                rand = (a << 32) | b
+                if rand < max_multiple:
+                    break
+            out[j, i] = rand % q
+    return out
+
+
+def sample_poly_uniform_seal_3_4(prng, moduli: list[int], n: int) -> np.ndarray:
+    """Legacy uniform sampler matching Microsoft SEAL <= 3.4 byte-for-byte
+    (rlwe.cpp sample_poly_uniform_seal_3_4): 63-bit draws assembled as
+    (u32 << 31) | (u32 >> 1)."""
+    L = len(moduli)
+    out = np.empty((L, n), dtype=np.uint64)
+    max_random = 0x7FFFFFFFFFFFFFFF
+    for j, q in enumerate(moduli):
+        max_multiple = max_random - (max_random % q) - 1
+        for i in range(n):
+            while True:
+                a = int.from_bytes(prng.generate(4), "little")
+                b = int.from_bytes(prng.generate(4), "little")
+                rand = (a << 31) | (b >> 1)
+                if rand < max_multiple:
+                    break
+            out[j, i] = rand % q
+    return out
+
+
 def sample_poly_normal(prng, moduli: list[int], n: int) -> np.ndarray:
     """Clipped rounded Gaussian (σ=3.2, bound 6σ) — the non-default noise
     sampler (SEAL_USE_GAUSSIAN_NOISE). Uses the same Box-Muller construction

@@ -4,6 +4,7 @@ Vectors in tests/vectors/prng.json were dumped by tools/oracle/
 dump_prng_vectors.cpp from a build of the reference SEAL 4.0 —
 the definitive oracle for SURVEY.md §7 hard part #2 (bit-exact RNG)."""
 
+import pytest
 import json
 import pathlib
 
@@ -73,3 +74,41 @@ def test_parms_id_matches_reference():
     p.set_poly_modulus_degree(8192)
     p.set_coeff_modulus(CoeffModulus.create(8192, [60, 40, 40, 60]))
     assert list(p.parms_id) == VECTORS["parms_id_ckks_8192"]
+
+
+class TestLegacySamplers:
+    """Golden vectors from the reference's legacy 3.4/3.5 uniform samplers
+    and the 4.0 sampler's rejection-path ordering at n=4096
+    (tools/oracle/dump_legacy_sampler_vectors.cpp)."""
+
+    @pytest.fixture(scope="class")
+    def vectors(self):
+        import json, pathlib
+        p = pathlib.Path(__file__).parent / "vectors" / "legacy_samplers.json"
+        return json.loads(p.read_text())
+
+    def _prng(self):
+        from seal_tpu.randomgen import Blake2xbPRNG
+        return Blake2xbPRNG((9, 8, 7, 6, 5, 4, 3, 2))
+
+    def _moduli(self, n, bits):
+        from seal_tpu.modulus import CoeffModulus
+        return [m.value for m in CoeffModulus.create(n, bits)]
+
+    def test_seal_3_4(self, vectors):
+        from seal_tpu import rlwe
+        out = rlwe.sample_poly_uniform_seal_3_4(self._prng(), self._moduli(64, [40, 41]), 64)
+        assert out.reshape(-1).tolist() == vectors["seal_3_4"]
+
+    def test_seal_3_5(self, vectors):
+        from seal_tpu import rlwe
+        out = rlwe.sample_poly_uniform_seal_3_5(self._prng(), self._moduli(64, [40, 41]), 64)
+        assert out.reshape(-1).tolist() == vectors["seal_3_5"]
+
+    def test_uniform_4096_rejection_ordering(self, vectors):
+        from seal_tpu import rlwe
+        out = rlwe.sample_poly_uniform(self._prng(), self._moduli(4096, [48, 48]), 4096)
+        flat = out.reshape(-1)
+        assert flat[:32].tolist() == vectors["uniform_4096_head"]
+        assert flat[-32:].tolist() == vectors["uniform_4096_tail"]
+        assert int(flat.astype(object).sum()) & 0xFFFFFFFFFFFFFFFF == vectors["uniform_4096_sum"]
