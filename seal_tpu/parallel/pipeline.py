@@ -1,0 +1,114 @@
+"""Pipeline parallelism (PP) over a 'pp' mesh axis — the HE analogue of
+stage-parallel model execution (SURVEY.md §2.11: "stream batches through
+mul→relin→rescale stages across mesh slices"). The reference is single-
+threaded C++; this is new TPU-first design.
+
+Model: `n_stages` shape-preserving stage functions, stage s resident on
+device s of the pp axis. A batch of M microbatches streams through the
+systolic schedule: at step t, device s processes microbatch t-s and
+ppermutes its result to device s+1. Total steps = M + P - 1; all devices
+busy in steady state, and XLA overlaps each step's ppermute with the next
+step's compute (async collectives).
+
+For integer-exact HE payloads the pipelined result equals the sequential
+composition bit-for-bit (tested on the virtual CPU mesh).
+
+Also provided: `interleave_microbatches`, the single-device variant that
+emits all (stage, microbatch) pairs into ONE traced graph so XLA's
+scheduler overlaps independent work — the right tool when stages contain
+TP collectives that can hide under other microbatches' compute.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def interleave_microbatches(stage_fns, microbatches):
+    """Feed each microbatch through all stages inside one traced region.
+    Returns outputs in input order. Purely a scheduling aid: results are
+    identical to [compose(stage_fns)(x) for x in microbatches]."""
+    outs = []
+    for x in microbatches:
+        for f in stage_fns:
+            x = f(x)
+        outs.append(x)
+    return outs
+
+
+def pipeline_apply(stage_fns, xs, mesh: Mesh, axis: str = "pp"):
+    """Run every microbatch xs[m] through stage_fns[0..P-1] with stage s on
+    device s of `axis`, streaming via ppermute.
+
+    stage_fns: P shape-preserving functions (P = mesh.shape[axis]).
+    xs: array pytree with a leading microbatch axis of size M (replicated).
+    Returns the same pytree with outputs in microbatch order.
+    """
+    n_stages = len(stage_fns)
+    if mesh.shape[axis] != n_stages:
+        raise ValueError(
+            f"need {n_stages} devices on axis '{axis}', mesh has {mesh.shape[axis]}")
+    leaves = jax.tree.leaves(xs)
+    M = leaves[0].shape[0]
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def local(xs_local):
+        sidx = jax.lax.axis_index(axis)
+
+        def apply_stage(x):
+            return jax.lax.switch(sidx, list(stage_fns), x)
+
+        def select_mb(t):
+            # device 0 injects microbatch t (clamped during drain)
+            mb = jnp.clip(t, 0, M - 1)
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, mb, axis=0,
+                                                       keepdims=False),
+                xs_local)
+
+        def step(t, carry):
+            cur, outbuf = carry
+            # stage s works on microbatch t - s when 0 <= t-s < M
+            incoming = select_mb(t)
+            work = jax.tree.map(
+                lambda inc, c: jnp.where(sidx == 0, inc, c), incoming, cur)
+            done = apply_stage(work)
+            # last stage's finished microbatch index
+            out_mb = jnp.clip(t - (n_stages - 1), 0, M - 1)
+            valid = (t >= n_stages - 1) & (sidx == n_stages - 1)
+
+            def upd(buf, val):
+                new = jax.lax.dynamic_update_index_in_dim(
+                    buf, val, out_mb, axis=0)
+                return jnp.where(valid, new, buf)
+
+            outbuf = jax.tree.map(upd, outbuf, done)
+            # hand result to the next stage (wraps around; device 0's
+            # incoming is overwritten by fresh injection next step)
+            nxt = jax.tree.map(
+                lambda a: jax.lax.ppermute(a, axis, perm), done)
+            return nxt, outbuf
+
+        # carries become device-varying inside the loop (axis_index,
+        # ppermute); mark the initial values as varying over the pp axis
+        def varying(x):
+            return jax.tree.map(
+                lambda a: jax.lax.pcast(a, (axis,), to="varying"), x)
+
+        cur = varying(select_mb(0))
+        outbuf = varying(jax.tree.map(lambda a: jnp.zeros_like(a), xs_local))
+        _, outbuf = jax.lax.fori_loop(0, M + n_stages - 1, step,
+                                      (cur, outbuf))
+        # only the last stage filled its buffer; psum of zeros elsewhere
+        # replicates the result on every device (exact for integer data)
+        return jax.tree.map(lambda a: jax.lax.psum(a, axis), outbuf)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=P(*(None,) * leaves[0].ndim),
+        out_specs=P(*(None,) * leaves[0].ndim),
+    )
+    return fn(xs)

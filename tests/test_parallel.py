@@ -163,3 +163,45 @@ class TestFourStepNTT:
         ref = s["ntt_mod"].ntt_forward(s["x"], s["t_ref"])
         got = fourstep.ntt_forward_sharded(s["x"], t4, mesh4)
         self._assert_eq(got, ref)
+
+
+class TestPipelineParallel:
+    def test_pipeline_matches_sequential(self):
+        from jax.sharding import Mesh
+        from seal_tpu.modulus import CoeffModulus as CM
+        from seal_tpu.ops import limb, modring
+        from seal_tpu.parallel import pipeline
+
+        moduli = [m.value for m in CM.create(256, [40, 41])]
+        mc = modring.make_mod_consts(moduli)
+        rng = np.random.default_rng(5)
+        M, n = 6, 256
+        xs = limb.arr_to_u64(
+            [[[int(rng.integers(0, q)) for _ in range(n)] for q in moduli]
+             for _ in range(M)], shape=(M, len(moduli), n))
+
+        def stage(c):
+            def f(x):
+                op, qt = modring.shoup_pair(
+                    [[c % q] for q in moduli], [[q] for q in moduli],
+                    shape=(len(moduli), 1))
+                return limb.mul_mod_shoup(x, op, qt, mc.q)
+            return f
+
+        fns = [stage(c) for c in (3, 5, 7, 11)]
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("pp",))
+        got = pipeline.pipeline_apply(fns, xs, mesh)
+        for m in range(M):
+            want = (xs[0][m], xs[1][m])
+            for f in fns:
+                want = f(want)
+            np.testing.assert_array_equal(np.asarray(got[0][m]), np.asarray(want[0]))
+            np.testing.assert_array_equal(np.asarray(got[1][m]), np.asarray(want[1]))
+
+    def test_interleave_microbatches(self):
+        from seal_tpu.parallel import pipeline
+
+        fns = [lambda x: x + 1, lambda x: x * 2]
+        mbs = [np.uint32(1), np.uint32(5)]
+        outs = pipeline.interleave_microbatches(fns, mbs)
+        assert [int(o) for o in outs] == [4, 12]
