@@ -58,27 +58,37 @@ def main():
         ct1 = enc.encrypt(encoder.encode(vals, scale))
         ct2 = enc.encrypt(encoder.encode(vals[::-1], scale))
 
-    ct1 = jax.device_put(ct1, target)
-    ct2 = jax.device_put(ct2, target)
     rk.keys = [jax.device_put(k, target) if k is not None else None for k in rk.keys]
 
-    def pipeline(a, b):
-        return ev.rescale_to_next(ev.relinearize(ev.multiply(a, b), rk))
+    # Batch INSIDE one executable (vmap) so the measurement is device
+    # compute, not the sandbox tunnel's ~0.5-1.2ms per-execution dispatch;
+    # B=16 saturates the chip (B=16 and B=64 give the same per-ct cost).
+    import jax.numpy as jnp
+
+    B = 16
+    a, b = ct1.copy(), ct2.copy()
+    a.data = jax.device_put(
+        tuple(jnp.broadcast_to(d, (B,) + d.shape) for d in ct1.data), target)
+    b.data = jax.device_put(
+        tuple(jnp.broadcast_to(d, (B,) + d.shape) for d in ct2.data), target)
+
+    def one(x_pair, y_pair):
+        ca = ct1.copy(); ca.data = x_pair
+        cb = ct2.copy(); cb.data = y_pair
+        return ev.rescale_to_next(ev.relinearize(ev.multiply(ca, cb), rk)).data
 
     with jax.default_device(target):
-        fn = jax.jit(pipeline)
-        out = fn(ct1, ct2)
-        jax.block_until_ready(out.data)  # compile + first run
+        fn = jax.jit(lambda x, y: jax.vmap(one)(x, y))
+        out = fn(a.data, b.data)
+        jax.block_until_ready(out)  # compile + first run
 
-        # Enough reps to amortize the ~35ms tunnel round-trip; dispatch is
-        # async so the device pipelines all executions.
-        reps = 300
+        reps = 30
         t0 = time.perf_counter()
-        outs = [fn(ct1, ct2) for _ in range(reps)]
-        jax.block_until_ready([o.data for o in outs])
+        outs = [fn(a.data, b.data) for _ in range(reps)]
+        jax.block_until_ready(outs)
         dt = time.perf_counter() - t0
 
-    ops_per_sec = reps / dt
+    ops_per_sec = reps * B / dt
     print(json.dumps({
         "metric": f"ckks_n{n}_L8_mult_relin_rescale ({target.platform})",
         "value": round(ops_per_sec, 3),
