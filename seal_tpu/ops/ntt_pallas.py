@@ -144,7 +144,7 @@ def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
     n = 1 << log_n
     R = max(n // LANES, 1)
     C = min(n, LANES)
-    l = pl.program_id(1)
+    l = pl.program_id(0)
     q = (consts_ref[l, 0], consts_ref[l, 1])
     two_q = (consts_ref[l, 2], consts_ref[l, 3])
 
@@ -226,11 +226,15 @@ def _call(x_pair, t: PallasNTTTables, inverse: bool, lazy: bool, interpret: bool
     kernel = functools.partial(
         _ntt_kernel, log_n=log_n, inverse=inverse, lazy=lazy)
 
-    grid = (B, L)
+    # Grid order (L, B): the batch axis iterates fastest, so consecutive
+    # programs share the same prime's (multi-MB) expanded root tables and
+    # Pallas elides the re-fetch — the kernel is otherwise table-bandwidth-
+    # bound (tables are ~28x the data block).
+    grid = (L, B)
     data_spec = pl.BlockSpec(
-        (1, 1, R, C), lambda b, l: (b, l, 0, 0), memory_space=pltpu.VMEM)
+        (1, 1, R, C), lambda l, b: (b, l, 0, 0), memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(
-        (1, log_n, R, C), lambda b, l: (l, 0, 0, 0), memory_space=pltpu.VMEM)
+        (1, log_n, R, C), lambda l, b: (l, 0, 0, 0), memory_space=pltpu.VMEM)
     # full-array SMEM ref; rows are picked by program_id inside the kernel
     consts_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -244,8 +248,8 @@ def _call(x_pair, t: PallasNTTTables, inverse: bool, lazy: bool, interpret: bool
         in_specs=[consts_spec, data_spec, data_spec,
                   table_spec, table_spec, table_spec, table_spec],
         out_specs=(
-            pl.BlockSpec((1, 1, R, C), lambda b, l: (b, l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, R, C), lambda b, l: (b, l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R, C), lambda l, b: (b, l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R, C), lambda l, b: (b, l, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, L, R, C), jnp.uint32),
