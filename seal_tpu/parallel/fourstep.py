@@ -254,8 +254,10 @@ def _cyclic_intt(x, log_m, icyc_op, icyc_qt, invm_op, invm_qt, mc):
 # shard_map kernels: local block shapes are [L, M] (+[p-row] table slices)
 # ---------------------------------------------------------------------------
 
-def _fwd_local(x_lo, x_hi, psi_op, psi_qt, wp_op, wp_qt, tw_op, tw_qt,
-               t: FourStepTables, axis: str):
+def _fwd_local(x_lo, x_hi, t: FourStepTables, axis: str):
+    psi_op, psi_qt = t.psi_op, t.psi_qt
+    wp_op, wp_qt = t.wp_op, t.wp_qt
+    tw_op, tw_qt = t.tw_op, t.tw_qt
     mc = t.mc
     P_ = t.shards
     log_m = t.log_n - (P_.bit_length() - 1)
@@ -286,8 +288,10 @@ def _fwd_local(x_lo, x_hi, psi_op, psi_qt, wp_op, wp_qt, tw_op, tw_qt,
     return out[0], out[1]
 
 
-def _inv_local(x_lo, x_hi, ipsi_op, ipsi_qt, iwp_op, iwp_qt, itw_op, itw_qt,
-               t: FourStepTables, axis: str):
+def _inv_local(x_lo, x_hi, t: FourStepTables, axis: str):
+    ipsi_op, ipsi_qt = t.ipsi_op, t.ipsi_qt
+    iwp_op, iwp_qt = t.iwp_op, t.iwp_qt
+    itw_op, itw_qt = t.itw_op, t.itw_qt
     mc = t.mc
     P_ = t.shards
     log_m = t.log_n - (P_.bit_length() - 1)
@@ -317,12 +321,36 @@ def _inv_local(x_lo, x_hi, ipsi_op, ipsi_qt, iwp_op, iwp_qt, itw_op, itw_qt,
     return out[0], out[1]
 
 
-def _specs(t: FourStepTables, axis: str):
-    """(x, psi-like [L,n], row tables [L,P,*]) partition specs."""
-    x_spec = P(None, axis)          # [L, N] sharded on coefficients
-    n_spec = P(None, axis)          # [L, n] tables sharded the same way
-    row_spec = P(None, axis, None)  # [L, P, *]: row p -> shard p
-    return x_spec, n_spec, row_spec
+def _table_specs(axis: str, log_n: int, shards: int) -> FourStepTables:
+    """Partition-spec prefix pytree matching FourStepTables: ψ tables are
+    sharded with the coefficient axis, per-shard row tables over their row
+    axis, cyclic sub-NTT tables and modulus constants replicated."""
+    rep = P(None, None)             # [L, *] replicated
+    n_spec = P(None, axis)          # [L, n] sharded like the data
+    row = P(None, axis, None)       # [L, P, *]: row p -> shard p
+    return FourStepTables(
+        log_n=log_n, shards=shards, mc=rep,
+        psi_op=n_spec, psi_qt=n_spec, ipsi_op=n_spec, ipsi_qt=n_spec,
+        wp_op=row, wp_qt=row, tw_op=row, tw_qt=row,
+        itw_op=row, itw_qt=row, iwp_op=row, iwp_qt=row,
+        cyc_op=rep, cyc_qt=rep, icyc_op=rep, icyc_qt=rep,
+        invm_op=rep, invm_qt=rep,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(mesh: Mesh, axis: str, log_n: int, shards: int, inverse: bool):
+    """Compiled sharded transform, cached per (mesh, axis, size). Tables
+    ride as pytree arguments so one executable serves any tower."""
+    local = _inv_local if inverse else _fwd_local
+    x_spec = P(None, axis)
+    fn = shard_map(
+        functools.partial(local, axis=axis),
+        mesh=mesh,
+        in_specs=(x_spec, x_spec, _table_specs(axis, log_n, shards)),
+        out_specs=(x_spec, x_spec),
+    )
+    return jax.jit(fn)
 
 
 def ntt_forward_sharded(x: limb.U64Pair, t: FourStepTables, mesh: Mesh,
@@ -330,31 +358,11 @@ def ntt_forward_sharded(x: limb.U64Pair, t: FourStepTables, mesh: Mesh,
     """Forward negacyclic NTT of [L, N] u64 tensors whose coefficient axis
     is sharded P ways over `axis`. Natural order in, SEAL bit-reversed order
     out, fully reduced — bit-identical to ops/ntt.ntt_forward."""
-    x_spec, n_spec, row_spec = _specs(t, axis)
-    fn = shard_map(
-        functools.partial(_fwd_local, t=t, axis=axis),
-        mesh=mesh,
-        in_specs=(x_spec, x_spec, n_spec, n_spec, row_spec, row_spec,
-                  row_spec, row_spec),
-        out_specs=(x_spec, x_spec),
-    )
-    lo, hi = fn(x[0], x[1], t.psi_op, t.psi_qt, t.wp_op, t.wp_qt,
-                t.tw_op, t.tw_qt)
-    return lo, hi
+    return _jitted(mesh, axis, t.log_n, t.shards, False)(x[0], x[1], t)
 
 
 def ntt_inverse_sharded(x: limb.U64Pair, t: FourStepTables, mesh: Mesh,
                         axis: str = "sp") -> limb.U64Pair:
     """Inverse negacyclic NTT, bit-reversed in / natural out, fully reduced
     — bit-identical to ops/ntt.ntt_inverse."""
-    x_spec, n_spec, row_spec = _specs(t, axis)
-    fn = shard_map(
-        functools.partial(_inv_local, t=t, axis=axis),
-        mesh=mesh,
-        in_specs=(x_spec, x_spec, n_spec, n_spec, row_spec, row_spec,
-                  row_spec, row_spec),
-        out_specs=(x_spec, x_spec),
-    )
-    lo, hi = fn(x[0], x[1], t.ipsi_op, t.ipsi_qt, t.iwp_op, t.iwp_qt,
-                t.itw_op, t.itw_qt)
-    return lo, hi
+    return _jitted(mesh, axis, t.log_n, t.shards, True)(x[0], x[1], t)

@@ -1,0 +1,46 @@
+"""Smoke-run the example suite (parity: the reference ships runnable
+examples, native/examples/*.cpp; ours must not rot). Each example is a
+standalone script with a main(); they self-assert their results.
+
+The heavyweight examples (n=4096+, performance loops) run only under
+SEAL_TPU_RUN_ALL_EXAMPLES=1; CI runs the quick ones.
+"""
+
+import os
+import pathlib
+import runpy
+import sys
+
+import pytest
+
+EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
+
+QUICK = ["2_encoders.py", "7_serialization.py"]
+HEAVY = [
+    "1_bfv_basics.py", "3_levels.py", "4_bgv_basics.py",
+    "5_ckks_basics.py", "6_rotation.py", "8_performance.py",
+]
+
+
+def _run(name):
+    path = EXAMPLES / name
+    argv = sys.argv
+    try:
+        sys.argv = [str(path)]
+        runpy.run_path(str(path), run_name="__main__")
+    finally:
+        sys.argv = argv
+
+
+@pytest.mark.parametrize("name", QUICK)
+def test_example_quick(name):
+    _run(name)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SEAL_TPU_RUN_ALL_EXAMPLES"),
+    reason="set SEAL_TPU_RUN_ALL_EXAMPLES=1 to run the heavyweight examples",
+)
+@pytest.mark.parametrize("name", HEAVY)
+def test_example_heavy(name):
+    _run(name)
