@@ -56,8 +56,9 @@ def main():
 
     # --- CKKS rotations ---------------------------------------------------------
     parms = EncryptionParameters(SchemeType.CKKS)
-    parms.set_poly_modulus_degree(4096)
-    parms.set_coeff_modulus(CoeffModulus.create(4096, [40, 30, 40]))
+    # n=8192: 3x40-bit primes fit the 128-bit budget (4096 allows only 109)
+    parms.set_poly_modulus_degree(8192)
+    parms.set_coeff_modulus(CoeffModulus.create(8192, [40, 40, 40]))
     context = SEALContext(parms)
     keygen = KeyGenerator(context)
     encryptor = Encryptor(context, keygen.create_public_key())
