@@ -127,3 +127,26 @@ def test_header_validation(ctx):
     good[0] ^= 0xFF  # corrupt magic
     with pytest.raises(ValueError):
         ser.load_plaintext(ctx, bytes(good))
+
+
+def test_galois_keys_roundtrip_and_rotation(ctx, keys):
+    """GaloisKeys through the wire format: a loaded key set must produce
+    the same rotation ciphertext as the in-memory one (exact)."""
+    from seal_tpu import BatchEncoder, Evaluator
+
+    kg, pk, _ = keys
+    gt = ctx.key_context_data().galois_tool
+    gk = kg.create_galois_keys(gt.get_elts_from_steps([1, -1]))
+    blob = ser.save_galois_keys(gk)
+    gk2 = ser.load_galois_keys(ctx, blob)
+    assert gk2.parms_id == gk.parms_id
+    assert len(gk2.keys) == len(gk.keys)
+
+    enc = Encryptor(ctx, pk)
+    ev = Evaluator(ctx)
+    be = BatchEncoder(ctx)
+    ct = enc.encrypt(be.encode([v % 257 for v in range(be.slot_count)]))
+    a = ev.rotate_rows(ct, 1, gk)
+    b = ev.rotate_rows(ct, 1, gk2)
+    np.testing.assert_array_equal(np.asarray(a.data[0]), np.asarray(b.data[0]))
+    np.testing.assert_array_equal(np.asarray(a.data[1]), np.asarray(b.data[1]))
