@@ -140,4 +140,6 @@ class CKKSEncoder:
         out = ev[self._slot_bins]
         if complex_out:
             return out
-        return out
+        # real decode drops the ~1e-9 imaginary dust (parity: ckks.h decode
+        # for vector<double> keeps only the real part)
+        return out.real

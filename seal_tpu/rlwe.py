@@ -194,9 +194,14 @@ def encrypt_zero_asymmetric(
     u = to_device(sample_poly_ternary(prng, moduli, n))
     u_ntt = ntt_mod.ntt_forward(u, tables)
 
+    L = len(moduli)
     polys = []
     for j in range(size):
-        cj = modring.dyadic_product(u_ntt, public_key.data.poly(j), mc)
+        # pk lives at the key level; use only this level's first L rows
+        # (parity: rlwe.cpp:232-240 iterates coeff_modulus_size rows of pk)
+        pkj = public_key.data.poly(j)
+        pkj = (pkj[0][:L], pkj[1][:L])
+        cj = modring.dyadic_product(u_ntt, pkj, mc)
         if not is_ntt_form:
             cj = ntt_mod.ntt_inverse(cj, tables)
         polys.append(cj)

@@ -38,7 +38,7 @@ def test_encode_decode_roundtrip(ckks):
     rng = np.random.default_rng(1)
     vals = rng.uniform(-10, 10, encoder.slot_count) + 1j * rng.uniform(-10, 10, encoder.slot_count)
     p = encoder.encode(vals, 2.0**30)
-    out = encoder.decode(p)
+    out = encoder.decode(p, complex_out=True)
     assert np.max(np.abs(out - vals)) < 1e-5
 
 
@@ -97,10 +97,10 @@ def test_rotate_vector_and_conjugate(ckks):
     vals = np.arange(encoder.slot_count, dtype=np.float64) + 1j
     ct = enc.encrypt(encoder.encode(vals, 2.0**30))
     rot = ev.rotate_vector(ct, 5, gk)
-    out = encoder.decode(dec.decrypt(rot))
+    out = encoder.decode(dec.decrypt(rot), complex_out=True)
     assert np.max(np.abs(out - np.roll(vals, -5))) < 1e-3
     conj = ev.complex_conjugate(ct, gk)
-    out = encoder.decode(dec.decrypt(conj))
+    out = encoder.decode(dec.decrypt(conj), complex_out=True)
     assert np.max(np.abs(out - np.conj(vals))) < 1e-3
 
 

@@ -1,0 +1,197 @@
+"""Bit-exactness of the CKKS pipeline against the reference library.
+
+Vectors in tests/vectors/ckks_n64.json come from tools/oracle/
+dump_ckks_vectors.cpp run against a reference SEAL 4.0 build with a fixed
+Blake2xbPRNG seed (SURVEY.md §4 oracle workflow).
+
+CKKS *encoding* is a double-precision FFT whose rounding order legitimately
+differs between implementations, so the dumped plaintext coefficients are the
+test INPUT (loaded directly into Plaintext.rns_data); everything downstream —
+encrypt, multiply, relinearize, rescale, rotate, conjugate, mod-switch,
+decrypt — is exact integer arithmetic and is compared bit-for-bit
+(parity: native/tests/seal/ckks.cpp, evaluator.cpp CKKS cases).
+"""
+
+import json
+import math
+import pathlib
+
+import numpy as np
+import pytest
+
+from seal_tpu import (
+    CoeffModulus,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    Plaintext,
+    SEALContext,
+    SchemeType,
+    SecLevelType,
+)
+from seal_tpu.ckks import CKKSEncoder
+from seal_tpu.dtypes import to_device, to_host
+
+V = json.loads(
+    (pathlib.Path(__file__).parent / "vectors" / "ckks_n64.json").read_text()
+)
+SEED = (1, 2, 3, 4, 5, 6, 7, 8)
+N = 64
+SCALE = 2.0**30
+
+
+def ref(name):
+    return np.array(V[name], dtype=np.uint64)
+
+
+def load_plain(ctx, name, parms_id, scale=SCALE):
+    """Build a Plaintext directly from reference-dumped RNS NTT rows."""
+    cd = ctx.get_context_data(parms_id)
+    rows = ref(name).reshape(cd.coeff_modulus_size, N)
+    p = Plaintext()
+    p.rns_data = to_device(rows)
+    p.parms_id = tuple(parms_id)
+    p.scale = float(scale)
+    return p
+
+
+@pytest.fixture(scope="module")
+def ck():
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(N)
+    parms.set_coeff_modulus(CoeffModulus.create(N, [40, 40, 40, 40]))
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    pk = kg.create_public_key()
+    rk = kg.create_relin_keys()
+    gk = kg.create_galois_keys([3, 2 * N - 1])
+    enc = Encryptor(ctx, pk)
+    dec = Decryptor(ctx, kg.secret_key())
+    ev = Evaluator(ctx)
+    p1 = load_plain(ctx, "plain1", ctx.first_parms_id)
+    p2 = load_plain(ctx, "plain2", ctx.first_parms_id)
+    ct1 = enc.encrypt(p1)
+    ct2 = enc.encrypt(p2)
+    return dict(ctx=ctx, kg=kg, pk=pk, rk=rk, gk=gk, enc=enc, dec=dec, ev=ev,
+                p1=p1, p2=p2, ct1=ct1, ct2=ct2)
+
+
+def assert_ct(name, ct):
+    arr = ct.to_numpy()
+    for j in range(ct.size):
+        assert np.array_equal(arr[j].reshape(-1), ref(f"{name}_c{j}")), f"{name}_c{j}"
+
+
+def test_secret_key(ck):
+    sk = ck["kg"].secret_key().to_numpy().reshape(-1)
+    assert np.array_equal(sk, ref("secret_key"))
+
+
+def test_public_key(ck):
+    arr = ck["pk"].data.to_numpy()
+    assert np.array_equal(arr[0].reshape(-1), ref("public_key_c0"))
+    assert np.array_equal(arr[1].reshape(-1), ref("public_key_c1"))
+
+
+def test_relin_keys(ck):
+    karr = to_host(ck["rk"].keys[0])  # [decomp=3, comp=2, L=4, n]
+    for i in range(3):
+        for c in range(2):
+            assert np.array_equal(
+                karr[i, c].reshape(-1), ref(f"relin_key_{i}_c{c}")
+            ), f"relin_key_{i}_c{c}"
+
+
+def test_encode_close_to_reference(ck):
+    """Encoding may differ only by FFT rounding: same parms, coefficients
+    must agree within ±1 (centered mod q) on a small fraction of positions."""
+    encoder = CKKSEncoder(ck["ctx"])
+    got = to_host(encoder.encode(np.array(V["values1"]), SCALE).rns_data)
+    want = ref("plain1").reshape(3, N)
+    moduli = ck["ctx"].first_context_data().key_moduli()
+    # compare in coefficient domain: INTT both, centered difference
+    from seal_tpu.ops import ntt as ntt_mod
+
+    cd = ck["ctx"].first_context_data()
+    g = to_host(ntt_mod.ntt_inverse(to_device(got), cd.ntt_tables))
+    w = to_host(ntt_mod.ntt_inverse(to_device(want), cd.ntt_tables))
+    for j, q in enumerate(moduli):
+        d = (g[j].astype(np.int64) - w[j].astype(np.int64)) % q
+        d = np.minimum(d, q - d)
+        assert np.max(d) <= 1, f"prime {j}: max centered diff {np.max(d)}"
+
+
+def test_encrypt_asymmetric(ck):
+    assert_ct("ct1", ck["ct1"])
+    assert_ct("ct2", ck["ct2"])
+
+
+def test_encrypt_symmetric(ck):
+    enc = Encryptor(ck["ctx"], ck["kg"].secret_key())
+    ct = enc.encrypt_symmetric(ck["p1"])
+    assert_ct("ct1_sym", ct)
+
+
+def test_multiply_relinearize_rescale(ck):
+    ev = ck["ev"]
+    cm = ev.multiply(ck["ct1"], ck["ct2"])
+    assert_ct("mul", cm)
+    cr = ev.relinearize(cm, ck["rk"])
+    assert_ct("relin", cr)
+    cs = ev.rescale_to_next(cr)
+    assert_ct("rescale", cs)
+    assert cs.scale == V["rescale_scale"]
+
+
+def test_square_relin_rescale(ck):
+    ev = ck["ev"]
+    cs = ev.rescale_to_next(ev.relinearize(ev.square(ck["ct1"]), ck["rk"]))
+    assert_ct("square_relin_rescale", cs)
+
+
+def test_rotate_and_conjugate(ck):
+    ev = ck["ev"]
+    assert_ct("rot1", ev.rotate_vector(ck["ct1"], 1, ck["gk"]))
+    assert_ct("conj", ev.complex_conjugate(ck["ct1"], ck["gk"]))
+
+
+def test_mod_switch(ck):
+    assert_ct("modswitch", ck["ev"].mod_switch_to_next(ck["ct1"]))
+
+
+def test_add_negate(ck):
+    ev = ck["ev"]
+    assert_ct("add", ev.add(ck["ct1"], ck["ct2"]))
+    assert_ct("negate", ev.negate(ck["ct1"]))
+
+
+def test_plain_ops(ck):
+    ev = ck["ev"]
+    assert_ct("add_plain", ev.add_plain(ck["ct1"], ck["p2"]))
+    assert_ct("mul_plain", ev.multiply_plain(ck["ct1"], ck["p2"]))
+
+
+def test_second_level_encrypt(ck):
+    ctx = ck["ctx"]
+    next_id = ctx.first_context_data().next_context_data.parms_id
+    p3 = load_plain(ctx, "plain3_level1", next_id)
+    # encrypt dispatches on the plaintext's parms_id (second-level encryption)
+    ct3 = ck["enc"].encrypt(p3)
+    assert_ct("ct3_level1", ct3)
+
+
+def test_decrypt_decode(ck):
+    ev, dec = ck["ev"], ck["dec"]
+    cs = ev.rescale_to_next(ev.relinearize(ev.multiply(ck["ct1"], ck["ct2"]), ck["rk"]))
+    pd = dec.decrypt(cs)
+    assert np.array_equal(to_host(pd.rns_data).reshape(-1), ref("rescale_decrypted"))
+    encoder = CKKSEncoder(ck["ctx"])
+    out = encoder.decode(pd)
+    want = np.array(V["rescale_decoded"])
+    assert np.max(np.abs(out - want)) < 1e-7
+    # end-to-end semantics: product of the input vectors
+    v1, v2 = np.array(V["values1"]), np.array(V["values2"])
+    assert np.max(np.abs(out - v1 * v2)) < 1e-4
