@@ -37,5 +37,7 @@ def pallas_ntt_enabled(n: int) -> bool:
     # TPU); fall back to the process default backend.
     dd = jax.config.jax_default_device
     if dd is not None:
-        return dd.platform == "tpu"
+        # jax.default_device accepts a platform string ('cpu') or a Device
+        plat = dd if isinstance(dd, str) else dd.platform
+        return plat == "tpu"
     return jax.default_backend() == "tpu"

@@ -619,9 +619,22 @@ class Evaluator:
             out.correction_factor = (ct.correction_factor * inv) % t
         return out
 
-    def mod_switch_to(self, ct: Ciphertext, parms_id) -> Ciphertext:
-        cur = ct
+    def _check_switch_target(self, cur_parms_id, parms_id) -> tuple:
+        """Validate that `parms_id` is on the chain at or below the current
+        level (evaluator.cpp mod_switch_to_inplace: 'cannot switch to higher
+        level modulus' / 'parms_id is not valid')."""
         target = tuple(parms_id)
+        cur_cd = self.context.get_context_data(cur_parms_id)
+        tgt_cd = self.context.get_context_data(target)
+        if cur_cd is None or tgt_cd is None:
+            raise ValueError("parms_id is not valid for encryption parameters")
+        if cur_cd.chain_index < tgt_cd.chain_index:
+            raise ValueError("cannot switch to higher level modulus")
+        return target
+
+    def mod_switch_to(self, ct: Ciphertext, parms_id) -> Ciphertext:
+        target = self._check_switch_target(ct.parms_id, parms_id)
+        cur = ct
         while cur.parms_id != target:
             cur = self.mod_switch_to_next(cur)
         return cur
@@ -642,8 +655,8 @@ class Evaluator:
         return out
 
     def mod_switch_plain_to(self, plain: Plaintext, parms_id) -> Plaintext:
+        target = self._check_switch_target(plain.parms_id, parms_id)
         cur = plain
-        target = tuple(parms_id)
         while cur.parms_id != target:
             cur = self.mod_switch_plain_to_next(cur)
         return cur
@@ -670,8 +683,8 @@ class Evaluator:
         return out
 
     def rescale_to(self, ct: Ciphertext, parms_id) -> Ciphertext:
+        target = self._check_switch_target(ct.parms_id, parms_id)
         cur = ct
-        target = tuple(parms_id)
         while cur.parms_id != target:
             cur = self.rescale_to_next(cur)
         return cur

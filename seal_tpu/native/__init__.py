@@ -103,6 +103,8 @@ class CRTComposer:
         self.available = get_lib() is not None
         self.L = rns_base.size
         self.W = (rns_base.base_prod.bit_length() + 63) // 64
+        if self.W > 66:  # WMAX in rns_native.cpp — C side would no-op
+            self.available = False
         self.moduli = np.asarray(rns_base.base, dtype=np.uint64)
         self.y_mul = np.asarray(rns_base.inv_punctured_prod, dtype=np.uint64)
         self.qhat = np.stack(

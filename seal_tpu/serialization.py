@@ -124,6 +124,9 @@ def _dynarray_bytes(values: np.ndarray) -> bytes:
 def _load_dynarray(stream: io.BytesIO) -> np.ndarray:
     members = io.BytesIO(unwrap(stream))
     (size,) = struct.unpack("<Q", members.read(8))
+    remaining = len(members.getbuffer()) - members.tell()
+    if 8 * size > remaining:
+        raise ValueError("dynarray size exceeds the payload")
     return _read_u64s(members, size)
 
 
@@ -243,7 +246,8 @@ def save_ciphertext(ct: Ciphertext, compr_mode: ComprMode = ComprMode.NONE) -> b
     return wrap(buf.getvalue(), compr_mode)
 
 
-def load_ciphertext(context, data: bytes | io.BytesIO) -> Ciphertext:
+def load_ciphertext(context, data: bytes | io.BytesIO,
+                    _allow_key_levels: bool = False) -> Ciphertext:
     from seal_tpu import rlwe
 
     stream = io.BytesIO(data) if isinstance(data, (bytes, bytearray)) else data
@@ -271,7 +275,23 @@ def load_ciphertext(context, data: bytes | io.BytesIO) -> Ciphertext:
         to_device(full), parms_id=tuple(parms_id), is_ntt_form=bool(is_ntt),
         scale=scale, correction_factor=int(correction),
     )
+    _check_loaded(ct, context, _allow_key_levels)
     return ct
+
+
+def _check_loaded(obj, context, allow_key_levels: bool = False):
+    """Reject out-of-range/malformed deserialized objects (parity:
+    Ciphertext/keys ::load -> valcheck is_valid_for, valcheck.cpp:31-162)."""
+    from seal_tpu import valcheck
+
+    ok = (
+        valcheck.is_metadata_valid_for(obj, context, allow_pure_key_levels=True)
+        if allow_key_levels and isinstance(obj, Ciphertext)
+        else valcheck.is_metadata_valid_for(obj, context)
+    )
+    ok = ok and valcheck.is_buffer_valid(obj) and valcheck.is_data_valid_for(obj, context)
+    if not ok:
+        raise ValueError("loaded data is invalid for the encryption parameters")
 
 
 # -- Keys ----------------------------------------------------------------------------
@@ -286,7 +306,9 @@ def save_secret_key(sk: SecretKey, compr_mode: ComprMode = ComprMode.NONE) -> by
 
 def load_secret_key(context, data) -> SecretKey:
     p = load_plaintext(context, data)
-    return SecretKey(p.rns_data, tuple(p.parms_id))
+    sk = SecretKey(p.rns_data, tuple(p.parms_id))
+    _check_loaded(sk, context)
+    return sk
 
 
 def save_public_key(pk: PublicKey, compr_mode: ComprMode = ComprMode.NONE) -> bytes:
@@ -294,7 +316,9 @@ def save_public_key(pk: PublicKey, compr_mode: ComprMode = ComprMode.NONE) -> by
 
 
 def load_public_key(context, data) -> PublicKey:
-    return PublicKey(load_ciphertext(context, data))
+    pk = PublicKey(load_ciphertext(context, data, _allow_key_levels=True))
+    _check_loaded(pk, context)
+    return pk
 
 
 def save_kswitch_keys(keys: KSwitchKeys, compr_mode: ComprMode = ComprMode.NONE) -> bytes:
@@ -331,10 +355,12 @@ def _load_kswitch_into(keys: KSwitchKeys, context, data) -> KSwitchKeys:
         if dim2 == 0:
             keys.keys.append(None)
             continue
-        cts = [load_ciphertext(context, members) for _ in range(dim2)]
+        cts = [load_ciphertext(context, members, _allow_key_levels=True)
+               for _ in range(dim2)]
         lo = jnp.stack([ct.data[0] for ct in cts])
         hi = jnp.stack([ct.data[1] for ct in cts])
         keys.keys.append((lo, hi))
+    _check_loaded(keys, context)
     return keys
 
 

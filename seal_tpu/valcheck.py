@@ -116,6 +116,21 @@ def is_data_valid_for(obj, context: SEALContext) -> bool:
                 if (arr[:, j, :] >= q).any():
                     return False
         return True
+    if isinstance(obj, KSwitchKeys):
+        # coefficient-range check per stored key tensor [decomp, 2, L_key, n]
+        # (parity: valcheck.cpp:120-162 recurses into each PublicKey)
+        cd = context.key_context_data()
+        from seal_tpu.dtypes import to_host
+
+        moduli = cd.key_moduli()
+        for k in obj.keys:
+            if k is None:
+                continue
+            data = to_host(k)
+            for j, q in enumerate(moduli):
+                if (data[:, :, j, :] >= q).any():
+                    return False
+        return True
     return True
 
 

@@ -209,3 +209,36 @@ class TestJitEvaluator:
         assert ct2.parms_id != ct.parms_id
         got = encd.decode(dec.decrypt(ct2))
         np.testing.assert_allclose(got.real, vals * vals, atol=1e-2)
+
+
+class TestHoistedNoiseBound:
+    def test_ckks_hoisted_within_noise_of_apply_galois(self):
+        """rotate_batch_hoisted is NOT bit-exact to the reference (permuted-
+        keys trick changes the keyswitch digit representatives, producing an
+        equivalent ciphertext that differs by an encryption of zero); assert
+        the DECRYPTED outputs agree within the keyswitch noise bound at two
+        chain levels (ADVICE r1)."""
+        from seal_tpu.dtypes import to_host
+        from seal_tpu.ops import ntt as ntt_mod
+
+        ctx, kg, enc, ev, dec = _make(SchemeType.CKKS)
+        encd = CKKSEncoder(ctx)
+        gk = kg.create_galois_keys()
+        vals = np.linspace(-1, 1, encd.slot_count)
+        scale = 2.0 ** 30
+        ct0 = enc.encrypt(encd.encode(vals, scale))
+        for level, ct in enumerate([ct0, ev.mod_switch_to_next(ct0)]):
+            cd = ctx.get_context_data(ct.parms_id)
+            moduli = cd.key_moduli()
+            (h,) = ev.rotate_batch_hoisted(ct, [1], gk)
+            r = ev.rotate_vector(ct, 1, gk)
+            ph = to_host(ntt_mod.ntt_inverse(dec.decrypt(h).rns_data, cd.ntt_tables))
+            pr = to_host(ntt_mod.ntt_inverse(dec.decrypt(r).rns_data, cd.ntt_tables))
+            # keyswitch noise is far below the scale: bound the centered
+            # per-coefficient difference by 2^14 (message units ~2^30)
+            for row, q in enumerate(moduli):
+                d = (ph[row].astype(object) - pr[row].astype(object)) % q
+                d = np.minimum(d, q - np.asarray(d, dtype=object))
+                assert int(max(d)) < 2 ** 14, (
+                    f"level {level} row {row}: max diff {max(d)}"
+                )

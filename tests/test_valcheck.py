@@ -67,3 +67,54 @@ def test_invalid_data(env):
     p = Plaintext(2)
     p.data[0] = 300  # >= t = 257
     assert not valcheck.is_data_valid_for(p, ctx)
+
+
+def test_kswitch_data_check(env):
+    """Key tensors get a coefficient-range check (valcheck.cpp:120-162)."""
+    ctx, kg, pk = env
+    rk = kg.create_relin_keys()
+    assert valcheck.is_data_valid_for(rk, ctx)
+    bad_lo = rk.keys[0][0].at[0, 0, 0, 0].set(np.uint32(0xFFFFFFFF))
+    bad_hi = rk.keys[0][1].at[0, 0, 0, 0].set(np.uint32(0xFFFFFFFF))
+    from seal_tpu.dtypes import RelinKeys
+
+    bad = RelinKeys()
+    bad.parms_id = rk.parms_id
+    bad.keys = [(bad_lo, bad_hi)]
+    assert not valcheck.is_data_valid_for(bad, ctx)
+
+
+def test_corrupted_loads_rejected(env):
+    """Untrusted payloads with out-of-range coefficients must be rejected
+    at deserialization (parity: Ciphertext::load -> is_valid_for)."""
+    from seal_tpu import serialization as ser
+
+    ctx, kg, pk = env
+    enc = Encryptor(ctx, pk)
+    ct = enc.encrypt(Plaintext.from_hex_string("5"))
+
+    # corrupt the last ciphertext coefficient to 2^63 (>= every modulus)
+    blob = bytearray(ser.save_ciphertext(ct))
+    blob[-8:] = (1 << 63).to_bytes(8, "little")
+    with pytest.raises(ValueError):
+        ser.load_ciphertext(ctx, bytes(blob))
+
+    # corrupt a relin-key coefficient the same way
+    rk = kg.create_relin_keys()
+    kblob = bytearray(ser.save_relin_keys(rk))
+    kblob[-8:] = (1 << 63).to_bytes(8, "little")
+    with pytest.raises(ValueError):
+        ser.load_relin_keys(ctx, bytes(kblob))
+
+    # absurd dynarray count must fail cleanly, not overflow
+    cblob = bytearray(ser.save_ciphertext(ct))
+    count_off = 16 + 32 + 1 + 8 * 3 + 8 + 8 + 16  # outer hdr+meta, inner hdr
+    cblob[count_off:count_off + 8] = (1 << 62).to_bytes(8, "little")
+    with pytest.raises(ValueError):
+        ser.load_ciphertext(ctx, bytes(cblob))
+
+    # valid payloads still load
+    ser.load_ciphertext(ctx, ser.save_ciphertext(ct))
+    ser.load_relin_keys(ctx, ser.save_relin_keys(rk))
+    ser.load_public_key(ctx, ser.save_public_key(pk))
+    ser.load_secret_key(ctx, ser.save_secret_key(kg.secret_key()))
