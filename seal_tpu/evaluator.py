@@ -463,15 +463,19 @@ class Evaluator:
     def _switch_key_inner(self, ct: Ciphertext, t_op, keys_tensor) -> Ciphertext:
         """Inner product of a decomposed target with one kswitch key, then
         division by the special prime (evaluator.cpp:2517-2676)."""
+        return self._switch_key_tail(ct, self._switch_key_reduce(ct, t_op, keys_tensor))
+
+    def _switch_key_reduce(self, ct: Ciphertext, t_op, keys_tensor):
+        """⟨decomposed target, key⟩ with 128-bit lazy accumulation, reduced
+        to [0, q): prod[c] = U64Pair [L+1, N] (evaluator.cpp:2517-2547).
+        The TP-sharded variant lives in parallel/keyswitch.py (psum over
+        decomp shards) and feeds the same _switch_key_tail."""
         ctx = self.context
         cd = self._cd(ct)
         key_cd = ctx.key_context_data()
-        scheme = cd.parms.scheme
         L = cd.coeff_modulus_size
         key_moduli = key_cd.key_moduli()
         L_key = len(key_moduli)
-        key_tables = key_cd.ntt_tables
-        rt_key = key_cd.rns_tool_host
         key_indices = list(range(L)) + [L_key - 1]
         ext_moduli = [key_moduli[i] for i in key_indices]
         ext_mc = modring.make_mod_consts(ext_moduli)
@@ -498,8 +502,20 @@ class Evaluator:
                 (acc[c][0], acc[c][1]), (acc[c][2], acc[c][3]),
                 ext_mc.q, ext_mc.ratio0, ext_mc.ratio1,
             ))
+        return prod
 
-        # divide by the special prime and emit a size-2 delta ciphertext
+    def _switch_key_tail(self, ct: Ciphertext, prod) -> Ciphertext:
+        """Divide the reduced inner product by the special prime and emit a
+        size-2 delta ciphertext (evaluator.cpp:2572-2676)."""
+        ctx = self.context
+        cd = self._cd(ct)
+        key_cd = ctx.key_context_data()
+        scheme = cd.parms.scheme
+        L = cd.coeff_modulus_size
+        key_moduli = key_cd.key_moduli()
+        L_key = len(key_moduli)
+        key_tables = key_cd.ntt_tables
+        rt_key = key_cd.rns_tool_host
         qk = key_moduli[-1]
         last_tables = ntt_mod.slice_tables(key_tables, L_key - 1, L_key)
         lvl_tables = cd.ntt_tables

@@ -1,0 +1,214 @@
+"""Tensor-parallel key switching: the decomposition axis sharded over 'tp'.
+
+The reference keyswitch (evaluator.cpp:2382-2677) is a serial loop: for each
+extended-modulus row I, accumulate ⟨decomposed-target row J, key[J][I]⟩ over
+J with 128-bit lazy reduction. The TPU-parallel decomposition exploits that
+everything indexed by J is independent until the final sum:
+
+  * decompose + per-row reduction into the extended base + forward NTT
+    (_switch_key_decompose, evaluator.cpp:2475-2514) touch only target row J
+    → fully local on the shard owning J;
+  * the key tensor [L_decomp, 2, L_key, N] is sharded over its leading
+    decomposition axis → each chip reads only 1/tp of the (large) key;
+  * the inner product is a contraction over J → ONE exact psum of the
+    per-shard partial sums.
+
+The psum must be exact u64 modular arithmetic on a u32 backend: each partial
+is Barrett-reduced to [0, q) (q < 2^61), split into three 21-bit limbs held
+in u32 lanes, psum'd (≤ 2^21·tp per lane — no overflow for tp ≤ 2048), then
+recombined through a 128-bit add and reduced mod q. The result is therefore
+bit-identical to the single-chip `Evaluator._switch_key_reduce`, and the
+unchanged `_switch_key_tail` (divide-and-round by the special prime,
+evaluator.cpp:2572-2676) runs on the replicated [2, L+1, N] product.
+
+Collective cost per keyswitch: exactly one psum of 3×[2, L+1, N] u32 —
+independent of the key size. Everything else in a CKKS
+multiply→relinearize→rescale pipeline is per-tower-row local, so the whole
+flagship op carries two collectives (this psum + the rescale broadcast of
+the dropped row, see `tp_rescale_to_next`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from seal_tpu.dtypes import Ciphertext, stack_polys, to_device
+from seal_tpu.encryption_params import SchemeType
+from seal_tpu.ops import limb, modring, ntt as ntt_mod
+
+
+def _split21(pair):
+    """u64 value < 2^61 as (lo, hi) u32 → three 21/22-bit u32 limbs."""
+    lo, hi = pair
+    l0 = lo & jnp.uint32(0x1FFFFF)
+    l1 = ((lo >> 21) | (hi << 11)) & jnp.uint32(0x1FFFFF)
+    l2 = hi >> 10
+    return jnp.stack([l0, l1, l2])
+
+
+def _recombine21_mod(s, q, ratio0, ratio1):
+    """Inverse of _split21 after a psum: s[3, ...] u32 limb sums (each
+    < 2^32) → value mod q as a u64 pair, via one 128-bit add + Barrett."""
+    z = jnp.zeros_like(s[0])
+    lo64 = limb.add64(
+        (s[0], z), limb.shl64((s[1], z), 21)
+    )
+    # s[2]·2^42 = (s2 << 10 into the hi u32 limb, s2 >> 22 into limb 2)
+    a128 = (lo64[0], lo64[1], z, z)
+    b128 = (z, s[2] << 10, s[2] >> 22, z)
+    t = limb.add128(a128, b128)
+    return limb.barrett_reduce_128((t[0], t[1]), (t[2], t[3]), q, ratio0, ratio1)
+
+
+class TPKeySwitch:
+    """shard_map key-switch over a mesh 'tp' axis for one context level.
+
+    Usage (inside or outside jit):
+        tks = TPKeySwitch(context, ct.parms_id, mesh)
+        delta = tks.switch_key(ev, ct, target, keys_tensor)   # == ev._switch_key
+    """
+
+    def __init__(self, context, parms_id, mesh: Mesh, tp_axis: str = "tp"):
+        cd = context.get_context_data(parms_id)
+        key_cd = context.key_context_data()
+        self.context = context
+        self.cd = cd
+        self.mesh = mesh
+        self.axis = tp_axis
+        self.tp = mesh.shape[tp_axis]
+        self.scheme = cd.parms.scheme
+        self.L = cd.coeff_modulus_size
+        if self.L % self.tp:
+            raise ValueError(
+                f"tower size {self.L} not divisible by tp={self.tp}")
+        key_moduli = key_cd.key_moduli()
+        self.L_key = len(key_moduli)
+        self.key_indices = list(range(self.L)) + [self.L_key - 1]
+        self.ext_tables = ntt_mod.gather_tables(
+            key_cd.ntt_tables, self.key_indices)
+        self.ext_mc = modring.make_mod_consts(
+            [key_moduli[i] for i in self.key_indices])
+        self._reduce_fn = None
+
+    # -- the sharded contraction ------------------------------------------------
+
+    def reduce(self, t_coeff, t_ntt, keys_ext):
+        """prod[2, L+1, N] (replicated) from coefficient-domain target rows
+        [L, N] (+ NTT-form rows for CKKS eye-substitution) and the key
+        gathered to the extended base [L, 2, L+1, N]; J sharded over 'tp'."""
+        L, tp, axis = self.L, self.tp, self.axis
+        Lp1 = L + 1
+        ext_tables, ext_mc = self.ext_tables, self.ext_mc
+        ckks = self.scheme == SchemeType.CKKS
+        L_loc = L // tp
+
+        def body(tc, tn, k):
+            n = tc[0].shape[-1]
+            # reduce local target rows into every extended row, NTT there
+            tt_lo = jnp.broadcast_to(tc[0][:, None, :], (L_loc, Lp1, n))
+            tt_hi = jnp.broadcast_to(tc[1][:, None, :], (L_loc, Lp1, n))
+            ext_q = tuple(a[None, :, :] for a in ext_mc.q)
+            ext_r1 = tuple(a[None, :, :] for a in ext_mc.ratio1)
+            reduced = limb.barrett_reduce_64((tt_lo, tt_hi), ext_q, ext_r1)
+            t_op = ntt_mod.ntt_forward(reduced, ext_tables)
+            if ckks:
+                # rows where I == global J are already NTT-form in the input
+                gJ = jax.lax.axis_index(axis) * L_loc + jnp.arange(L_loc)
+                eye = gJ[:, None] == jnp.arange(Lp1)[None, :]
+                o_lo = jnp.broadcast_to(tn[0][:, None, :], (L_loc, Lp1, n))
+                o_hi = jnp.broadcast_to(tn[1][:, None, :], (L_loc, Lp1, n))
+                t_op = (
+                    jnp.where(eye[:, :, None], o_lo, t_op[0]),
+                    jnp.where(eye[:, :, None], o_hi, t_op[1]),
+                )
+            # local inner product over this shard's J rows (128-bit lazy)
+            acc = [
+                tuple(jnp.zeros((Lp1, n), dtype=jnp.uint32) for _ in range(4))
+                for _ in range(2)
+            ]
+            for Jl in range(L_loc):
+                tj = (t_op[0][Jl], t_op[1][Jl])
+                for c in range(2):
+                    kc = (k[0][Jl, c], k[1][Jl, c])
+                    acc[c] = limb.mul_add_128(acc[c], tj, kc)
+            parts = []
+            for c in range(2):
+                part = limb.barrett_reduce_128(
+                    (acc[c][0], acc[c][1]), (acc[c][2], acc[c][3]),
+                    ext_mc.q, ext_mc.ratio0, ext_mc.ratio1,
+                )
+                parts.append(_split21(part))
+            # ONE exact collective: psum of 21-bit limb splits over 'tp'
+            s = jax.lax.psum(jnp.stack(parts), axis)     # [2, 3, Lp1, n]
+            out = [
+                _recombine21_mod(s[c], ext_mc.q, ext_mc.ratio0, ext_mc.ratio1)
+                for c in range(2)
+            ]
+            return (
+                jnp.stack([out[0][0], out[1][0]]),
+                jnp.stack([out[0][1], out[1][1]]),
+            )
+
+        if self._reduce_fn is None:
+            spec_t = P(self.axis, None)
+            spec_k = P(self.axis, None, None, None)
+            # shard_map MUST be jitted: eager shard_map dispatches op-by-op
+            # across the mesh and is catastrophically slow
+            self._reduce_fn = jax.jit(shard_map(
+                body, mesh=self.mesh,
+                in_specs=(
+                    (spec_t, spec_t),
+                    (spec_t, spec_t),
+                    (spec_k, spec_k),
+                ),
+                out_specs=(P(None, None, None), P(None, None, None)),
+                check_vma=False,
+            ))
+        if t_ntt is None:
+            t_ntt = t_coeff
+        plo, phi = self._reduce_fn(t_coeff, t_ntt, keys_ext)
+        return [((plo[0], phi[0])), ((plo[1], phi[1]))]
+
+    # -- Evaluator-compatible entry points --------------------------------------
+
+    def gather_keys(self, keys_tensor):
+        """[L_decomp, 2, L_key, N] → extended-base rows [L, 2, L+1, N]."""
+        idx = jnp.asarray(self.key_indices)
+        return (keys_tensor[0][:self.L, :, idx, :],
+                keys_tensor[1][:self.L, :, idx, :])
+
+    def switch_key(self, ev, ct: Ciphertext, target, keys_tensor) -> Ciphertext:
+        """Drop-in TP replacement for Evaluator._switch_key: decompose
+        locally per shard, contract with one psum, reuse the single-chip
+        special-prime tail — bit-identical output."""
+        if self.scheme == SchemeType.CKKS:
+            t_ntt = target
+            t_coeff = ntt_mod.ntt_inverse(target, self.cd.ntt_tables)
+        else:
+            t_ntt = None
+            t_coeff = target
+        prod = self.reduce(t_coeff, t_ntt, self.gather_keys(keys_tensor))
+        return ev._switch_key_tail(ct, prod)
+
+
+def tp_relinearize(ev, ct: Ciphertext, relin_keys, mesh: Mesh,
+                   tp_axis: str = "tp") -> Ciphertext:
+    """Relinearize a size-3 ciphertext with the TP keyswitch
+    (parity: evaluator.cpp:1104-1159 + the §2.11 TP design)."""
+    if ct.size != 3:
+        raise ValueError("tp_relinearize expects a size-3 ciphertext")
+    tks = TPKeySwitch(ev.context, ct.parms_id, mesh, tp_axis)
+    delta = tks.switch_key(ev, ct, ct.poly(2), relin_keys.key(2))
+    cd = ev.context.get_context_data(ct.parms_id)
+    mc = cd.mod_consts
+    base = Ciphertext(
+        (ct.data[0][:2], ct.data[1][:2]), ct.parms_id, ct.is_ntt_form,
+        ct.scale, ct.correction_factor)
+    c0 = modring.add_poly(base.poly(0), delta.poly(0), mc)
+    c1 = modring.add_poly(base.poly(1), delta.poly(1), mc)
+    base.data = stack_polys([c0, c1])
+    return base

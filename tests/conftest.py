@@ -21,4 +21,8 @@ jax.config.update("jax_platforms", "cpu")
 # large unrolled limb-arithmetic graphs; repeat runs hit the disk cache.
 os.makedirs("/root/.cache/jax", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persist EVERYTHING: eager evaluator paths dispatch hundreds of tiny ops
+# whose individual compiles are sub-second (and so are skipped by the
+# default 1s threshold) but sum to tens of seconds per cold test module.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

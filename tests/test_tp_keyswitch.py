@@ -1,0 +1,92 @@
+"""shard_map tensor-parallel keyswitch: bit-identity with the single-chip
+Evaluator (SURVEY §2.11 TP row; parity: evaluator.cpp:2382-2677).
+
+The decomposition axis is sharded over 'tp'; the contraction is ONE exact
+psum of 21-bit limb splits (parallel/keyswitch.py). Kept deliberately small
+(n=64, one compile per scheme) so the suite stays fast — the driver's
+dryrun_multichip exercises the same path inside the full sharded pipeline.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from seal_tpu import (
+    CoeffModulus,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    SEALContext,
+    SchemeType,
+    SecLevelType,
+)
+from seal_tpu.ckks import CKKSEncoder
+from seal_tpu.dtypes import Plaintext
+from seal_tpu.parallel.keyswitch import tp_relinearize
+
+SEED = (1, 2, 3, 4, 5, 6, 7, 8)
+
+
+def _mesh(tp: int) -> Mesh:
+    devs = jax.devices()
+    if len(devs) < tp:
+        pytest.skip(f"needs {tp} devices")
+    return Mesh(np.asarray(devs[:tp]).reshape(1, tp), ("dp", "tp"))
+
+
+def test_ckks_tp_relinearize_bit_identical():
+    """Synthetic size-3 NTT-form ciphertext through the tp=4 shard_map
+    keyswitch vs the stock Evaluator — bit-identical (the driver's
+    dryrun_multichip runs the same path after a REAL CKKS multiply)."""
+    from seal_tpu.dtypes import Ciphertext, to_device
+
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40] * 5))
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    rk = kg.create_relin_keys()
+    ev = Evaluator(ctx)
+    cd = ctx.first_context_data()
+    moduli = cd.key_moduli()
+    rng = np.random.default_rng(4)
+    rows = np.stack([
+        np.stack([rng.integers(0, q, size=64, dtype=np.uint64) for q in moduli])
+        for _ in range(3)
+    ])
+    cm = Ciphertext(to_device(rows), parms_id=tuple(ctx.first_parms_id),
+                    is_ntt_form=True, scale=2.0 ** 60)
+    ref = ev.relinearize(cm, rk)
+    got = tp_relinearize(ev, cm, rk, _mesh(4))
+    assert np.array_equal(ref.to_numpy(), got.to_numpy())
+
+
+def test_bfv_tp_relinearize_bit_identical():
+    """Relinearize is a pure function of (ct, keys): a synthetic size-3
+    ciphertext exercises the TP keyswitch without paying for an eager BEHZ
+    multiply on the virtual mesh."""
+    from seal_tpu.dtypes import Ciphertext, to_device
+
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    rk = kg.create_relin_keys()
+    ev = Evaluator(ctx)
+    cd = ctx.first_context_data()
+    moduli = cd.key_moduli()
+    rng = np.random.default_rng(3)
+    rows = np.stack([
+        np.stack([rng.integers(0, q, size=64, dtype=np.uint64) for q in moduli])
+        for _ in range(3)
+    ])
+    cm = Ciphertext(to_device(rows), parms_id=tuple(ctx.first_parms_id))
+    ref = ev.relinearize(cm, rk)
+    got = tp_relinearize(ev, cm, rk, _mesh(2))
+    assert np.array_equal(ref.to_numpy(), got.to_numpy())
