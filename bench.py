@@ -5,6 +5,16 @@ multiply + relinearize + rescale throughput per chip. The whole pipeline is
 one jitted function over a batch of ciphertexts; context constants are baked
 into the executable.
 
+Measurement methodology (hard-won, see memory/BASELINE notes):
+* the sandbox tunnel adds ~0.5-1.2 ms per EXECUTION and, critically,
+  `jax.block_until_ready` does NOT wait for completion on this backend —
+  only a host transfer of (a slice of) the result does;
+* executions are chained INSIDE one jitted fori_loop (each iteration's
+  output feeds the next, with the dropped RNS row padded back so shapes
+  stay static), so neither dispatch latency nor memoization can fake it;
+* the reported number is the DIFFERENTIAL between a long and a short chain,
+  i.e. pure marginal device throughput.
+
 vs_baseline: measured reference comparator (BASELINE.md "Measured x86
 comparator"): 13.39 ops/s/socket for the same pipeline, reference built
 Release -O3 -march=native (no HEXL; network-fetch forbidden here).
@@ -22,6 +32,7 @@ REFERENCE_OPS_PER_S = 13.394  # tools/oracle/bench_reference.cpp on build host
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from seal_tpu import (
         CoeffModulus, Decryptor, EncryptionParameters, Encryptor, Evaluator,
@@ -60,11 +71,7 @@ def main():
 
     rk.keys = [jax.device_put(k, target) if k is not None else None for k in rk.keys]
 
-    # Batch INSIDE one executable (vmap) so the measurement is device
-    # compute, not the sandbox tunnel's ~0.5-1.2ms per-execution dispatch;
     # B=16 saturates the chip (B=16 and B=64 give the same per-ct cost).
-    import jax.numpy as jnp
-
     B = 16
     a, b = ct1.copy(), ct2.copy()
     a.data = jax.device_put(
@@ -77,18 +84,34 @@ def main():
         cb = ct2.copy(); cb.data = y_pair
         return ev.rescale_to_next(ev.relinearize(ev.multiply(ca, cb), rk)).data
 
+    L = ct1.data[0].shape[-2]
+
+    def chained(x, y, steps):
+        def body(i, cur):
+            out = jax.vmap(one)(cur, y)
+            # pad the dropped RNS row back so the loop carry keeps its shape
+            lo = jnp.concatenate([out[0], cur[0][:, :, L - 1:, :]], axis=2)
+            hi = jnp.concatenate([out[1], cur[1][:, :, L - 1:, :]], axis=2)
+            return (lo, hi)
+        return jax.lax.fori_loop(0, steps, body, x)
+
     with jax.default_device(target):
-        fn = jax.jit(lambda x, y: jax.vmap(one)(x, y))
-        out = fn(a.data, b.data)
-        jax.block_until_ready(out)  # compile + first run
+        fn = jax.jit(chained)
+        out = fn(a.data, b.data, 1)
+        _ = np.asarray(out[0][0, 0, 0, :2])   # forces completion (block_until_ready lies here)
 
-        reps = 30
-        t0 = time.perf_counter()
-        outs = [fn(a.data, b.data) for _ in range(reps)]
-        jax.block_until_ready(outs)
-        dt = time.perf_counter() - t0
+        def run(steps):
+            t0 = time.perf_counter()
+            o = fn(a.data, b.data, steps)
+            _ = np.asarray(o[0][0, 0, 0, :2])
+            return time.perf_counter() - t0
 
-    ops_per_sec = reps * B / dt
+        run(2)
+        short, long_ = 2, 10
+        walls = [(run(short), run(long_)) for _ in range(3)]
+        dt = min(wl - ws for ws, wl in walls) / (long_ - short)
+
+    ops_per_sec = B / dt
     print(json.dumps({
         "metric": f"ckks_n{n}_L8_mult_relin_rescale ({target.platform})",
         "value": round(ops_per_sec, 3),

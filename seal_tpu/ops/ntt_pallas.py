@@ -139,6 +139,283 @@ def _stage_geometry(log_n: int, inverse: bool):
     return gaps
 
 
+# ---------------------------------------------------------------------------
+# Compact tables: per-stage distinct roots only (≈ log_n× less table traffic)
+# ---------------------------------------------------------------------------
+#
+# The expanded tables above store one (operand, quotient) pair PER POSITION
+# PER STAGE — [log_n, n] per prime, ~28× the data block, and the kernel is
+# table-bandwidth-bound (BASELINE.md). A stage s only has n_roots distinct
+# roots in blocks of n/n_roots consecutive positions, so the compact format
+# stores:
+#   * "row" stages (block ≥ 128 lanes): one root per [R,C]-tile row,
+#     pre-expanded to an [R] column — S_row columns total;
+#   * "lane" stages (block < 128): roots vary within a row; stored as
+#     [R, n_roots/R] slices packed along lanes — the widths for every such
+#     stage sum to ≤ 126, so ALL lane stages fit one [R, 128] tile.
+# In-kernel expansion to per-position [R, C] uses the (otherwise idle) MXU:
+# table values are stored as f32 16-bit halves and multiplied by a one-hot
+# block-expansion matrix built from iota compares — an exact 0/1 selection,
+# so results are bit-identical to the expanded path.
+
+
+class PallasNTTCompact(NamedTuple):
+    """Compact per-stage root tables (f32 16-bit-half layout)."""
+
+    log_n: int                  # static
+    fwd_row: jnp.ndarray        # f32 [L, 16R, S_row_f] (16 = 4 arrays × 4 8-bit quarters)
+    fwd_lane: jnp.ndarray       # f32 [L, 16R, W_f]
+    inv_row: jnp.ndarray
+    inv_lane: jnp.ndarray
+    consts: jnp.ndarray         # u32 [L, 8]
+
+    def take(self, idx):
+        return PallasNTTCompact(
+            self.log_n, self.fwd_row[idx], self.fwd_lane[idx],
+            self.inv_row[idx], self.inv_lane[idx], self.consts[idx])
+
+
+jax.tree_util.register_pytree_node(
+    PallasNTTCompact,
+    lambda t: (tuple(t[1:]), t.log_n),
+    lambda log_n, kids: PallasNTTCompact(log_n, *kids),
+)
+
+
+def _compact_layout(log_n: int, inverse: bool):
+    """Static stage descriptors: (gap, n_roots, block, form, index/offset, w).
+
+    form 'row': table column `index` holds the per-tile-row root.
+    form 'lane': lanes [offset, offset+w) hold this stage's roots as
+    [R, w] with block = C//w positions per root."""
+    n = 1 << log_n
+    R = max(n // LANES, 1)
+    C = min(n, LANES)
+    out = []
+    row_idx = 0
+    lane_off = 0
+    for gap in _stage_geometry(log_n, inverse):
+        # the folded final inverse stage has two multipliers in half-blocks
+        final = inverse and len(out) == log_n - 1
+        block = gap if final else 2 * gap
+        n_roots = n // block
+        if n_roots <= R:
+            out.append((gap, n_roots, block, "row", row_idx, 1))
+            row_idx += 1
+        else:
+            w = n_roots // R
+            out.append((gap, n_roots, block, "lane", lane_off, w))
+            lane_off += w
+    return out, row_idx, lane_off
+
+
+@functools.lru_cache(maxsize=None)
+def _compact_host_tables(log_n: int, q: int):
+    """Per-stage ordered distinct roots for one prime: fwd + inv lists of
+    (op, quotient) int pairs, in block order."""
+    h = build_ntt_tables(log_n, q)
+
+    def shoup(vals):
+        return [(int(v), (int(v) << 64) // q) for v in vals]
+
+    fwd = []
+    for s in range(log_n):
+        fwd.append(shoup(h.root_powers[(1 << s):(1 << (s + 1))]))
+    inv = []
+    offset = 1
+    for s in range(log_n - 1, 0, -1):
+        m = 1 << s
+        inv.append(shoup(h.inv_root_powers[offset:offset + m]))
+        offset += m
+    inv.append(shoup([h.inv_degree, h.inv_last_scaled]))
+    return fwd, inv
+
+
+def _pack_compact(log_n: int, qs, inverse: bool):
+    """f32 16-bit-half tables [L, 8R, S_row] and [L, 8R, W]."""
+    n = 1 << log_n
+    R = max(n // LANES, 1)
+    C = min(n, LANES)
+    layout, n_row, n_lane = _compact_layout(log_n, inverse)
+    L = len(qs)
+    row = np.zeros((L, 16 * R, max(n_row, 1)), dtype=np.float32)
+    lane = np.zeros((L, 16 * R, max(n_lane, 1)), dtype=np.float32)
+    for li, q in enumerate(qs):
+        fwd, inv = _compact_host_tables(log_n, q)
+        stages = inv if inverse else fwd
+        for (gap, n_roots, block, form, idx, w), roots in zip(layout, stages):
+            # roots[b] -> 4 u32 words -> 8 f32 16-bit halves
+            words = np.empty((len(roots), 4), dtype=np.uint64)
+            for b, (op, qt) in enumerate(roots):
+                words[b] = (op & 0xFFFFFFFF, op >> 32,
+                            qt & 0xFFFFFFFF, qt >> 32)
+            # 8-bit quarters are exact in a single bf16 MXU pass
+            quarters = np.empty((len(roots), 16), dtype=np.float32)
+            for qtr in range(4):
+                quarters[:, qtr::4] = ((words >> (8 * qtr)) & 0xFF).astype(np.float32)
+            if form == "row":
+                rep = R // n_roots
+                col = np.repeat(quarters, rep, axis=0)      # [R, 16]
+                for k in range(16):
+                    row[li, k * R:(k + 1) * R, idx] = col[:, k]
+            else:
+                grid = quarters.reshape(R, w, 16)           # [R, w, 16]
+                for k in range(16):
+                    lane[li, k * R:(k + 1) * R, idx:idx + w] = grid[:, :, k]
+    return jnp.asarray(row), jnp.asarray(lane)
+
+
+def build_pallas_tables_compact(log_n: int, moduli) -> PallasNTTCompact:
+    qs = [int(m) for m in moduli]
+    consts = np.zeros((len(qs), 8), dtype=np.uint32)
+    for j, q in enumerate(qs):
+        for k, v in enumerate((q, 2 * q, 4 * q)):
+            consts[j, 2 * k] = v & 0xFFFFFFFF
+            consts[j, 2 * k + 1] = (v >> 32) & 0xFFFFFFFF
+    fr, fl = _pack_compact(log_n, qs, inverse=False)
+    ir, il = _pack_compact(log_n, qs, inverse=True)
+    return PallasNTTCompact(
+        log_n=log_n, fwd_row=fr, fwd_lane=fl, inv_row=ir, inv_lane=il,
+        consts=jnp.asarray(consts))
+
+
+def _expand_stage(row_ref, lane_ref, form, idx, w, block, R, C):
+    """Per-position (op_pair, qt_pair) [R, C] for one stage, via an exact
+    one-hot MXU expansion of the compact f32 16-bit-half table."""
+    if form == "row":
+        src = row_ref[0, :, idx:idx + 1]                    # [16R, 1]
+        E = jnp.ones((1, C), dtype=jnp.float32)
+    else:
+        src = lane_ref[0, :, idx:idx + w]                   # [16R, w]
+        lb = block.bit_length() - 1
+        j = jax.lax.broadcasted_iota(jnp.int32, (w, C), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (w, C), 1)
+        E = (j == (c >> lb)).astype(jnp.float32)
+    ex = jnp.dot(src, E, preferred_element_type=jnp.float32)  # [16R, C]
+    # Mosaic has no f32->u32 cast; go through i32 (values are 8-bit
+    # quarters, exact even in the MXU's single-pass bf16 f32 matmul)
+    exi = ex.astype(jnp.int32).astype(jnp.uint32)
+    words = []
+    for k in range(4):
+        p = [exi[(4 * k + qtr) * R:(4 * k + qtr + 1) * R] for qtr in range(4)]
+        words.append(p[0] | (p[1] << 8) | (p[2] << 16) | (p[3] << 24))
+    return ((words[0], words[1]), (words[2], words[3]))
+
+
+def _ntt_kernel_compact(consts_ref, x_lo_ref, x_hi_ref, row_ref, lane_ref,
+                        o_lo_ref, o_hi_ref, *, log_n: int, inverse: bool,
+                        lazy: bool):
+    n = 1 << log_n
+    R = max(n // LANES, 1)
+    C = min(n, LANES)
+    l = pl.program_id(0)
+    q = (consts_ref[l, 0], consts_ref[l, 1])
+    two_q = (consts_ref[l, 2], consts_ref[l, 3])
+
+    def bc(pair):
+        return (jnp.full((R, C), pair[0], jnp.uint32),
+                jnp.full((R, C), pair[1], jnp.uint32))
+
+    qb = bc(q)
+    two_qb = bc(two_q)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    flat = row_ids * C + col_ids
+
+    x = (x_lo_ref[0, 0], x_hi_ref[0, 0])
+    layout, _, _ = _compact_layout(log_n, inverse)
+
+    for row, (gap, n_roots, block, form, idx, wdt) in enumerate(layout):
+        log_gap = gap.bit_length() - 1
+        if gap >= C:
+            shift_axis, amt, size = 0, gap // C, R
+        else:
+            shift_axis, amt, size = 1, gap, C
+        fwd_l = pltpu.roll(x[0], size - amt, shift_axis)
+        fwd_h = pltpu.roll(x[1], size - amt, shift_axis)
+        bwd_l = pltpu.roll(x[0], amt, shift_axis)
+        bwd_h = pltpu.roll(x[1], amt, shift_axis)
+        is_x0 = ((flat >> log_gap) & 1) == 0
+        u = (jnp.where(is_x0, x[0], bwd_l), jnp.where(is_x0, x[1], bwd_h))
+        v = (jnp.where(is_x0, fwd_l, x[0]), jnp.where(is_x0, fwd_h, x[1]))
+        w = _expand_stage(row_ref, lane_ref, form, idx, wdt, block, R, C)
+
+        if not inverse:
+            uu = limb.select64(limb.ge64(u, two_qb), limb.sub64(u, two_qb), u)
+            vv = limb.mul_mod_shoup_lazy(v, w[0], w[1], qb)
+            y0 = limb.add64(uu, vv)
+            y1 = limb.sub64(limb.add64(uu, two_qb), vv)
+        else:
+            last = row == log_n - 1
+            if last:
+                u = limb.select64(limb.ge64(u, two_qb), limb.sub64(u, two_qb), u)
+            s0 = limb.add64(u, v)
+            s0 = limb.select64(limb.ge64(s0, two_qb), limb.sub64(s0, two_qb), s0)
+            d = limb.sub64(limb.add64(u, two_qb), v)
+            if last:
+                t = (jnp.where(is_x0, s0[0], d[0]), jnp.where(is_x0, s0[1], d[1]))
+                y = limb.mul_mod_shoup_lazy(t, w[0], w[1], qb)
+                x = y
+                continue
+            y0 = s0
+            y1 = limb.mul_mod_shoup_lazy(d, w[0], w[1], qb)
+        x = (jnp.where(is_x0, y0[0], y1[0]), jnp.where(is_x0, y0[1], y1[1]))
+
+    if not lazy:
+        if not inverse:
+            x = limb.select64(limb.ge64(x, two_qb), limb.sub64(x, two_qb), x)
+        x = limb.select64(limb.ge64(x, qb), limb.sub64(x, qb), x)
+    o_lo_ref[0, 0] = x[0]
+    o_hi_ref[0, 0] = x[1]
+
+
+def _call_compact(x_pair, t: PallasNTTCompact, inverse: bool, lazy: bool,
+                  interpret: bool):
+    log_n = t.log_n
+    n = 1 << log_n
+    R = max(n // LANES, 1)
+    C = min(n, LANES)
+    lo, hi = x_pair
+    batch_shape = lo.shape[:-1]
+    L = batch_shape[-1]
+    B = int(np.prod(batch_shape[:-1], dtype=np.int64)) if len(batch_shape) > 1 else 1
+    lo4 = lo.reshape(B, L, R, C)
+    hi4 = hi.reshape(B, L, R, C)
+    row_t = t.inv_row if inverse else t.fwd_row
+    lane_t = t.inv_lane if inverse else t.fwd_lane
+
+    kernel = functools.partial(
+        _ntt_kernel_compact, log_n=log_n, inverse=inverse, lazy=lazy)
+
+    grid = (L, B)
+    data_spec = pl.BlockSpec(
+        (1, 1, R, C), lambda l, b: (b, l, 0, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec(
+        (1, 16 * R, row_t.shape[-1]), lambda l, b: (l, 0, 0),
+        memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec(
+        (1, 16 * R, lane_t.shape[-1]), lambda l, b: (l, 0, 0),
+        memory_space=pltpu.VMEM)
+    consts_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[consts_spec, data_spec, data_spec, row_spec, lane_spec],
+        out_specs=(
+            pl.BlockSpec((1, 1, R, C), lambda l, b: (b, l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R, C), lambda l, b: (b, l, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L, R, C), jnp.uint32),
+            jax.ShapeDtypeStruct((B, L, R, C), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(t.consts, lo4, hi4, row_t, lane_t)
+    return out[0].reshape(lo.shape), out[1].reshape(hi.shape)
+
+
 def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
                 *, log_n: int, inverse: bool, lazy: bool):
     n = 1 << log_n
@@ -260,13 +537,15 @@ def _call(x_pair, t: PallasNTTTables, inverse: bool, lazy: bool, interpret: bool
     return out[0].reshape(lo.shape), out[1].reshape(hi.shape)
 
 
-def ntt_forward_pallas(x_pair, t: PallasNTTTables, lazy: bool = False,
-                       interpret: bool = False):
+def ntt_forward_pallas(x_pair, t, lazy: bool = False, interpret: bool = False):
     """Fused forward negacyclic NTT over [..., L, N] limb pairs."""
+    if isinstance(t, PallasNTTCompact):
+        return _call_compact(x_pair, t, inverse=False, lazy=lazy, interpret=interpret)
     return _call(x_pair, t, inverse=False, lazy=lazy, interpret=interpret)
 
 
-def ntt_inverse_pallas(x_pair, t: PallasNTTTables, lazy: bool = False,
-                       interpret: bool = False):
+def ntt_inverse_pallas(x_pair, t, lazy: bool = False, interpret: bool = False):
     """Fused inverse negacyclic NTT (n^{-1} folded into the last stage)."""
+    if isinstance(t, PallasNTTCompact):
+        return _call_compact(x_pair, t, inverse=True, lazy=lazy, interpret=interpret)
     return _call(x_pair, t, inverse=True, lazy=lazy, interpret=interpret)

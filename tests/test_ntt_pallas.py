@@ -52,3 +52,27 @@ def test_pallas_batched_and_lazy():
     for b in range(3):
         for a, r in zip(lazy[b][0], ref[b][0]):
             assert a < 4 * q and a % q == r
+
+
+@pytest.mark.parametrize("log_n", [6, 8, 10])
+def test_pallas_compact_matches_reference(log_n):
+    """Compact per-stage tables + MXU one-hot expansion (r2): bit-identical
+    to the XLA reference. (Kept as an option; the expanded-table kernel
+    measured faster on v5e and remains the default — BASELINE.md r2.)"""
+    n = 1 << log_n
+    qs = [int(m) for m in CoeffModulus.create(n, [30, 45])]
+    ref_t = ntt_mod.build_device_tables(log_n, qs)
+    pt = npk.build_pallas_tables_compact(log_n, qs)
+    vals = [[random.randrange(q) for _ in range(n)] for q in qs]
+    x = limb.arr_to_u64(vals, shape=(len(qs), n))
+
+    fwd_ref = limb.u64_to_ints(ntt_mod.ntt_forward(x, ref_t))
+    fwd_got = limb.u64_to_ints(npk.ntt_forward_pallas(x, pt, interpret=True))
+    for i in range(len(qs)):
+        assert list(fwd_got[i]) == list(fwd_ref[i])
+
+    y = ntt_mod.ntt_forward(x, ref_t)
+    inv_ref = limb.u64_to_ints(ntt_mod.ntt_inverse(y, ref_t))
+    inv_got = limb.u64_to_ints(npk.ntt_inverse_pallas(y, pt, interpret=True))
+    for i in range(len(qs)):
+        assert list(inv_got[i]) == list(inv_ref[i])
