@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# CI entrypoint (parity: pipelines/pipeline-CI-Debug-*.yml in the reference —
+# role, not format). One command, fails loudly, prints wall time.
+#
+#   ./ci.sh          # lint + full test suite on the CPU backend
+#   ./ci.sh quick    # lint + the fast suites only (~2 min warm)
+#
+# The suite runs on a virtual 8-device CPU mesh (tests/conftest.py pins the
+# backend and the persistent XLA compile cache at /root/.cache/jax; a cold
+# cache roughly doubles the wall time). This sandbox exposes ONE CPU core,
+# so the full suite is ~15 min warm; `quick` stays well under 10.
+set -euo pipefail
+cd "$(dirname "$0")"
+
+start=$(date +%s)
+
+echo "== lint: byte-compile all sources =="
+python -m compileall -q seal_tpu tests tools examples bench.py __graft_entry__.py
+
+echo "== import check =="
+JAX_PLATFORMS=cpu python -c "
+import jax; jax.config.update('jax_platforms', 'cpu')
+import seal_tpu
+from seal_tpu import parallel, serialization, valcheck
+print('seal_tpu imports OK')"
+
+if [[ "${1:-full}" == "quick" ]]; then
+    echo "== quick suites =="
+    python -m pytest tests/ -q -x \
+        --ignore=tests/test_parallel.py \
+        --ignore=tests/test_tp_keyswitch.py \
+        --ignore=tests/test_examples.py \
+        --ignore=tests/test_evaluator_reference.py
+else
+    echo "== full suite =="
+    python -m pytest tests/ -q
+fi
+
+echo "== CI green in $(( $(date +%s) - start ))s =="

@@ -8,17 +8,23 @@ encryption/decryption under a 3-party common public key.
 
 from seal_tpu import (
     CoeffModulus, Decryptor, EncryptionParameters, Encryptor, Evaluator,
-    KeyGenerator, Plaintext, SEALContext,
+    KeyGenerator, Plaintext, SEALContext, SecLevelType,
 )
 from seal_tpu.encryption_params import SchemeType
 
 
-def main():
+def main(n: int = 4096):
     parms = EncryptionParameters(SchemeType.BFV)
-    parms.set_poly_modulus_degree(4096)
-    parms.set_coeff_modulus(CoeffModulus.bfv_default(4096))
+    parms.set_poly_modulus_degree(n)
+    if n >= 1024:
+        parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
+        sec = SecLevelType.TC128
+    else:
+        # reduced-size smoke (CI): insecure parms, same walkthrough
+        parms.set_coeff_modulus(CoeffModulus.create(n, [40, 40, 40]))
+        sec = SecLevelType.NONE
     parms.set_plain_modulus(1024)
-    context = SEALContext(parms)
+    context = SEALContext(parms, sec_level=sec)
     print("parameters valid:", context.parameters_set)
 
     keygen = KeyGenerator(context)

@@ -11,11 +11,14 @@ from seal_tpu.encryption_params import SchemeType
 from seal_tpu.ckks import CKKSEncoder
 
 
-def main():
+def main(n: int = 8192):
+    from seal_tpu import SecLevelType
+
     parms = EncryptionParameters(SchemeType.CKKS)
-    parms.set_poly_modulus_degree(8192)
-    parms.set_coeff_modulus(CoeffModulus.create(8192, [60, 40, 40, 60]))
-    context = SEALContext(parms)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [60, 40, 40, 60]))
+    sec = SecLevelType.TC128 if n >= 8192 else SecLevelType.NONE
+    context = SEALContext(parms, sec_level=sec)
 
     keygen = KeyGenerator(context)
     encryptor = Encryptor(context, keygen.create_public_key())

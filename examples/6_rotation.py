@@ -12,13 +12,20 @@ from seal_tpu.encryption_params import SchemeType
 from seal_tpu.ckks import CKKSEncoder
 
 
-def main():
+def main(n_bfv: int = 4096, n_ckks: int = 8192):
+    from seal_tpu import SecLevelType
+
     # --- BFV rotations ------------------------------------------------------
     parms = EncryptionParameters(SchemeType.BFV)
-    parms.set_poly_modulus_degree(4096)
-    parms.set_coeff_modulus(CoeffModulus.bfv_default(4096))
-    parms.set_plain_modulus(PlainModulus.batching(4096, 20))
-    context = SEALContext(parms)
+    parms.set_poly_modulus_degree(n_bfv)
+    if n_bfv >= 1024:
+        parms.set_coeff_modulus(CoeffModulus.bfv_default(n_bfv))
+        sec = SecLevelType.TC128
+    else:
+        parms.set_coeff_modulus(CoeffModulus.create(n_bfv, [40, 40, 40]))
+        sec = SecLevelType.NONE
+    parms.set_plain_modulus(PlainModulus.batching(n_bfv, 20))
+    context = SEALContext(parms, sec_level=sec)
     keygen = KeyGenerator(context)
     encryptor = Encryptor(context, keygen.create_public_key())
     evaluator = Evaluator(context)
@@ -57,9 +64,11 @@ def main():
     # --- CKKS rotations ---------------------------------------------------------
     parms = EncryptionParameters(SchemeType.CKKS)
     # n=8192: 3x40-bit primes fit the 128-bit budget (4096 allows only 109)
-    parms.set_poly_modulus_degree(8192)
-    parms.set_coeff_modulus(CoeffModulus.create(8192, [40, 40, 40]))
-    context = SEALContext(parms)
+    parms.set_poly_modulus_degree(n_ckks)
+    parms.set_coeff_modulus(CoeffModulus.create(n_ckks, [40, 40, 40]))
+    context = SEALContext(
+        parms,
+        sec_level=SecLevelType.TC128 if n_ckks >= 8192 else SecLevelType.NONE)
     keygen = KeyGenerator(context)
     encryptor = Encryptor(context, keygen.create_public_key())
     evaluator = Evaluator(context)

@@ -23,6 +23,7 @@ from seal_tpu.context import SEALContext
 from seal_tpu.dtypes import Plaintext, to_device, to_host
 from seal_tpu.encryption_params import SchemeType
 from seal_tpu.ops import ntt as ntt_mod
+from seal_tpu.utils import numth
 
 
 class CKKSEncoder:
@@ -47,10 +48,38 @@ class CKKSEncoder:
         j = np.arange(n)
         self._twist = np.exp(1j * np.pi * j / n)        # ψ^j
         self._itwist = np.exp(-1j * np.pi * j / n)      # ψ^{-j}
+        log_n = n.bit_length() - 1
+        self._log_n = log_n
+        self._bitrev = np.array([numth.reverse_bits(i, log_n) for i in range(n)])
+        self._dev = None          # lazily built device-FFT bundle
+        self._dev_fns = {}        # jitted (parms_id -> encode/decode) cache
 
     @property
     def slot_count(self) -> int:
         return self.slots
+
+    # -- device FFT bundle ---------------------------------------------------
+
+    def _device_bundle(self):
+        """Twiddle + twist tables for the df64 device encoder (built once)."""
+        if self._dev is None:
+            import jax.numpy as jnp
+            from seal_tpu.ops import cfft
+
+            n = self.n
+            enc_t = cfft.build_cfft_tables(self._log_n)
+            dec_t = cfft.build_cfft_tables(self._log_n, conj=True)
+            j = np.arange(n)
+            # encode: coeffs = scale * [ (1/n) ψ^{-j} FFT(bins) ]_re
+            tw = np.exp(-1j * np.pi * j / n) / n
+            enc_tw = tuple(jnp.asarray(a) for a in
+                           (cfft.df_from_f64(tw.real) + cfft.df_from_f64(tw.imag)))
+            # decode: ev = conjFFT(vals * ψ^{j}) (DIF, bit-reversed out)
+            tw2 = np.exp(1j * np.pi * j / n)
+            dec_tw = tuple(jnp.asarray(a) for a in
+                           (cfft.df_from_f64(tw2.real) + cfft.df_from_f64(tw2.imag)))
+            self._dev = dict(enc_t=enc_t, dec_t=dec_t, enc_tw=enc_tw, dec_tw=dec_tw)
+        return self._dev
 
     # -- encode --------------------------------------------------------------------
 
@@ -104,6 +133,173 @@ class CKKSEncoder:
         p.parms_id = tuple(parms_id)
         p.scale = float(scale)
         return p
+
+    # -- device paths (df64 FFT, VERDICT r1 item 4) ----------------------------------
+
+    def _encode_fn(self, parms_id):
+        """Jitted device encode: df64 FFT → twist·scale → round → RNS rows →
+        NTT, all in one executable (host does only the O(n) bin permute)."""
+        key = ("enc", parms_id)
+        if key not in self._dev_fns:
+            import jax
+            import jax.numpy as jnp
+            from seal_tpu.ops import cfft, limb
+
+            cd = self.context.get_context_data(parms_id)
+            bundle = self._device_bundle()
+            tables = cd.ntt_tables
+            mc = cd.mod_consts
+            L = cd.coeff_modulus_size
+            n = self.n
+
+            def f(b4, scale_pair):
+                y = cfft.fft_dit_bitrev_in(b4, bundle["enc_t"])
+                c = cfft.cmul(y, bundle["enc_tw"])
+                re = cfft.df_mul(c[:2], scale_pair)
+                neg, v = cfft.df_round_to_u64_pair(re[0], re[1])
+                vb = (jnp.broadcast_to(v[0][None, :], (L, n)),
+                      jnp.broadcast_to(v[1][None, :], (L, n)))
+                rows = limb.barrett_reduce_64(vb, mc.q, mc.ratio1)
+                rows = limb.select64(neg[None, :], limb.neg_mod(rows, mc.q), rows)
+                return ntt_mod.ntt_forward(rows, tables)
+
+            self._dev_fns[key] = jax.jit(f)
+        return self._dev_fns[key]
+
+    def encode_device(self, values, scale: float, parms_id=None) -> Plaintext:
+        """Device-side encode. Bit-compatible in distribution with the host
+        path (both are valid CKKS encodings; rounding order differs — like
+        host-vs-reference). Falls back to the host path when a coefficient
+        could exceed the df64-exact rounding range (|coeff| < 2^46)."""
+        import jax.numpy as jnp
+        from seal_tpu.ops import cfft
+
+        ctx = self.context
+        if parms_id is None:
+            parms_id = ctx.first_parms_id
+        cd = ctx.get_context_data(parms_id)
+        if cd is None:
+            raise ValueError("parms_id is not valid for encryption parameters")
+        if np.isscalar(values):
+            values = [values] * self.slots
+        values = np.asarray(values, dtype=np.complex128)
+        if values.size > self.slots:
+            raise ValueError("values_size is too large")
+        if scale <= 0 or (int(np.log2(scale)) + 1) >= cd.total_coeff_modulus_bit_count:
+            raise ValueError("scale out of bounds")
+        vmax = float(np.max(np.abs(values))) if values.size else 0.0
+        # |coeff_j| = |avg of bin values| <= max|v|; need < 2^46 for exact
+        # df64 rounding (absolute error ~|coeff|·2^-48 must stay < 0.5)
+        if scale * max(vmax, 1.0) >= 2.0 ** 46:
+            return self.encode(values, scale, parms_id)
+
+        n = self.n
+        ev = np.zeros(self.slots, dtype=np.complex128)
+        ev[: values.size] = values
+        ev_bins = np.zeros(n, dtype=np.complex128)
+        ev_bins[self._slot_bins] = ev
+        ev_bins[n - 1 - self._slot_bins] = np.conj(ev)
+        bins_rev = ev_bins[self._bitrev]
+        b4 = tuple(jnp.asarray(a) for a in
+                   (cfft.df_from_f64(bins_rev.real) + cfft.df_from_f64(bins_rev.imag)))
+        s_hi, s_lo = cfft.df_from_f64(np.float64(scale))
+        dev = self._encode_fn(tuple(parms_id))(
+            b4, (jnp.float32(s_hi), jnp.float32(s_lo)))
+        p = Plaintext()
+        p.rns_data = dev
+        p.parms_id = tuple(parms_id)
+        p.scale = float(scale)
+        return p
+
+    def _decode_fn(self, parms_id):
+        """Jitted device decode: INTT → exact multiword CRT compose →
+        center → df64 → ×1/scale → twist → DIF FFT (bit-reversed out)."""
+        key = ("dec", parms_id)
+        if key not in self._dev_fns:
+            import jax
+            import jax.numpy as jnp
+            from seal_tpu.ops import cfft, limb, modring
+
+            cd = self.context.get_context_data(parms_id)
+            bundle = self._device_bundle()
+            base = cd.rns_base
+            moduli = cd.key_moduli()
+            L = len(moduli)
+            Q = base.base_prod
+            W = (Q.bit_length() + 31) // 32
+            W_acc = W + 2
+
+            def limbs_of(x, w):
+                return tuple(
+                    jnp.asarray([(x >> (32 * k)) & 0xFFFFFFFF], dtype=jnp.uint32)
+                    for k in range(w))
+
+            y_op, y_qt = modring.shoup_pair(
+                [[v] for v in base.inv_punctured_prod],
+                [[q] for q in moduli], shape=(L, 1))
+            P_limbs = [limbs_of(Q // q, W) for q in moduli]
+            Q_acc = limbs_of(Q, W_acc)
+            half_acc = limbs_of((Q + 1) >> 1, W_acc)
+            mc = cd.mod_consts
+            tables = cd.ntt_tables
+            pow32 = [cfft.df_from_f64(float(2.0 ** (32 * k))) for k in range(4)]
+
+            def f(rns_pair, inv_scale_pair):
+                rows = ntt_mod.ntt_inverse(rns_pair, tables)
+                s = limb.mul_mod_shoup(rows, y_op, y_qt, mc.q)
+                nshape = rows[0].shape[-1]
+                acc = tuple(jnp.zeros((nshape,), jnp.uint32) for _ in range(W_acc))
+                for j in range(L):
+                    prod = limb.mul_limbs((s[0][j], s[1][j]), P_limbs[j])
+                    acc = limb.add_limbs(acc, prod, out_len=W_acc)
+                for _ in range(L.bit_length()):
+                    # acc < L·Q: halving-style conditional subtracts suffice
+                    ge = limb.ge_limbs(acc, Q_acc)
+                    acc = limb.select_limbs(ge, limb.sub_limbs(acc, Q_acc), acc)
+                # one more pass to guarantee < Q
+                ge = limb.ge_limbs(acc, Q_acc)
+                acc = limb.select_limbs(ge, limb.sub_limbs(acc, Q_acc), acc)
+                neg = limb.ge_limbs(acc, half_acc)
+                mag = limb.select_limbs(neg, limb.sub_limbs(Q_acc, acc), acc)
+                val = (jnp.zeros((nshape,), jnp.float32),) * 2
+                for k in range(4):
+                    term = cfft.df_mul(
+                        cfft.u32_to_df(mag[k]),
+                        (jnp.float32(pow32[k][0]), jnp.float32(pow32[k][1])))
+                    val = cfft.df_add(val, term)
+                val = cfft.df_mul(val, inv_scale_pair)
+                vr = (jnp.where(neg, -val[0], val[0]),
+                      jnp.where(neg, -val[1], val[1]))
+                z = jnp.zeros_like(vr[0])
+                c4 = cfft.cmul((vr[0], vr[1], z, z), bundle["dec_tw"])
+                return cfft.fft_dif_bitrev_out(c4, bundle["dec_t"])
+
+            self._dev_fns[key] = jax.jit(f)
+        return self._dev_fns[key]
+
+    def decode_device(self, plain: Plaintext, complex_out: bool = False):
+        """Device-side decode; host does only the final bin permutation."""
+        import jax.numpy as jnp
+        from seal_tpu.ops import cfft
+
+        if plain.rns_data is None or not plain.is_ntt_form:
+            raise ValueError("plain is not valid for CKKS decoding")
+        cd = self.context.get_context_data(plain.parms_id)
+        if cd is None:
+            raise ValueError("plain is not valid for encryption parameters")
+        i_hi, i_lo = cfft.df_from_f64(1.0 / np.float64(plain.scale))
+        out4 = self._decode_fn(tuple(plain.parms_id))(
+            plain.rns_data, (jnp.float32(i_hi), jnp.float32(i_lo)))
+        bins_rev = (
+            np.asarray(out4[0], np.float64) + np.asarray(out4[1], np.float64)
+        ) + 1j * (
+            np.asarray(out4[2], np.float64) + np.asarray(out4[3], np.float64)
+        )
+        natural = bins_rev[self._bitrev]     # DIF out[j] = X[rev(j)]
+        out = natural[self._slot_bins]
+        if complex_out:
+            return out
+        return out.real
 
     # -- decode ---------------------------------------------------------------------
 

@@ -600,9 +600,17 @@ class Evaluator:
             polys = [c0, c1] + [base.poly(j) for j in range(2, size - 1)]
             base.data = stack_polys(polys)
             cur = base
-        if cur.is_transparent():
-            raise ValueError("result ciphertext is transparent")
+        self._check_transparent(cur)
         return cur
+
+    @staticmethod
+    def _check_transparent(ct: Ciphertext):
+        """SEAL_THROW_ON_TRANSPARENT_CIPHERTEXT parity (CMakeLists.txt:248,
+        evaluator.cpp:1152-1158), gated by config like the CMake option."""
+        from seal_tpu.config import config
+
+        if config.throw_on_transparent_ciphertext and ct.is_transparent():
+            raise ValueError("result ciphertext is transparent")
 
     # -- modulus switching -----------------------------------------------------------
 
@@ -845,6 +853,7 @@ class Evaluator:
             modring.add_poly(c0, delta.poly(0), mc),
             delta.poly(1),
         ])
+        self._check_transparent(out)
         return out
 
     def rotate_rows(self, ct: Ciphertext, steps: int, galois_keys: GaloisKeys) -> Ciphertext:

@@ -369,3 +369,36 @@ def mul_limbs(a, b):
         out.append(acc[0])
         carry = (acc[1], zeros)
     return tuple(out)
+
+
+def ge_limbs(a, b):
+    """Multiword a >= b (same length), elementwise bool."""
+    assert len(a) == len(b)
+    res = jnp.ones_like(a[0], dtype=bool)
+    decided = jnp.zeros_like(a[0], dtype=bool)
+    for k in range(len(a) - 1, -1, -1):
+        gt = a[k] > b[k]
+        lt = a[k] < b[k]
+        res = jnp.where(~decided & gt, True, jnp.where(~decided & lt, False, res))
+        decided = decided | gt | lt
+    return res
+
+
+def sub_limbs(a, b):
+    """Multiword a - b (same length, assumes a >= b), with borrow."""
+    assert len(a) == len(b)
+    out = []
+    borrow = jnp.zeros_like(a[0])
+    for k in range(len(a)):
+        d1 = a[k] - b[k]
+        b1 = (a[k] < b[k]).astype(jnp.uint32)
+        d2 = d1 - borrow
+        b2 = (d1 < borrow).astype(jnp.uint32)
+        out.append(d2)
+        borrow = b1 + b2
+    return tuple(out)
+
+
+def select_limbs(pred, a, b):
+    """Elementwise multiword select."""
+    return tuple(jnp.where(pred, x, y) for x, y in zip(a, b))

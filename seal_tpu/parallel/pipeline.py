@@ -112,3 +112,101 @@ def pipeline_apply(stage_fns, xs, mesh: Mesh, axis: str = "pp"):
         out_specs=P(*(None,) * leaves[0].ndim),
     )
     return fn(xs)
+
+
+def pipeline_apply_sharded(stage_fns, xs, mesh: Mesh, axis: str = "pp"):
+    """Systolic pipeline with the microbatch feed SHARDED over the pp axis —
+    per-device memory O(M/P + P) instead of the O(M) replication of
+    `pipeline_apply` (VERDICT r1 item 8).
+
+    Microbatches are laid out cyclically (mb m lives on device m mod P), so
+    a "chunk" of P consecutive microbatches is one `all_gather` away (an
+    O(P) transient); finished chunks return to their owners with one
+    `psum_scatter`. The schedule is statically unrolled over the
+    M + P - 1 systolic steps, keeping every collective unconditional.
+
+    stage_fns: P shape-preserving stage functions (stage s on device s).
+    xs: pytree with leading microbatch axis M (M % P == 0).
+    Returns the same pytree, microbatch order preserved; for integer HE
+    payloads the result is bit-identical to the sequential composition.
+    """
+    n_stages = len(stage_fns)
+    Pn = mesh.shape[axis]
+    if Pn != n_stages:
+        raise ValueError(
+            f"need {n_stages} devices on axis '{axis}', mesh has {Pn}")
+    leaves = jax.tree.leaves(xs)
+    M = leaves[0].shape[0]
+    if M % Pn:
+        raise ValueError(f"microbatch count {M} not divisible by {Pn}")
+    chunks = M // Pn
+    T = M + Pn - 1
+    perm = [(i, (i + 1) % Pn) for i in range(Pn)]
+
+    # cyclic layout: local feed slot k on device s holds microbatch k*P + s
+    cyc = jax.tree.map(
+        lambda a: a.reshape((chunks, Pn) + a.shape[1:])
+                   .swapaxes(0, 1)
+                   .reshape((M,) + a.shape[1:]),
+        xs)
+
+    def local(feed):
+        # feed: [chunks, ...] local slice (this device's cyclic microbatches)
+        sidx = jax.lax.axis_index(axis)
+
+        def apply_stage(x):
+            return jax.lax.switch(sidx, list(stage_fns), x)
+
+        # the sharded feed is already device-varying; so is everything below
+        cur = jax.tree.map(lambda a: jnp.zeros_like(a[0]), feed)
+        in_chunk = None          # gathered [P, ...] current input chunk
+        out_roll = jax.tree.map(
+            lambda a: jnp.zeros((Pn,) + a.shape[1:], a.dtype), feed)
+        out_slots = []
+
+        for t in range(T):
+            if t % Pn == 0 and t < M:
+                c = t // Pn
+                mine = jax.tree.map(lambda a: a[c], feed)
+                in_chunk = jax.tree.map(
+                    lambda a: jax.lax.all_gather(a, axis), mine)
+            if t < M:
+                incoming = jax.tree.map(lambda a: a[t % Pn], in_chunk)
+            else:  # drain: inject zeros
+                incoming = cur
+            work = jax.tree.map(
+                lambda inc, c_: jnp.where(sidx == 0, inc, c_), incoming, cur)
+            done = apply_stage(work)
+            out_mb = t - (Pn - 1)
+            if out_mb >= 0:
+                # only the last stage's value is real; zero elsewhere so the
+                # later psum_scatter is exact
+                contrib = jax.tree.map(
+                    lambda d: jnp.where(sidx == Pn - 1, d, jnp.zeros_like(d)),
+                    done)
+                out_roll = jax.tree.map(
+                    lambda buf, v: buf.at[out_mb % Pn].set(v),
+                    out_roll, contrib)
+                if out_mb % Pn == Pn - 1:
+                    # chunk complete: return each mb to its cyclic owner
+                    scat = jax.tree.map(
+                        lambda a: jax.lax.psum_scatter(
+                            a, axis, scatter_dimension=0, tiled=True)[0],
+                        out_roll)
+                    out_slots.append(scat)
+                    out_roll = jax.tree.map(
+                        lambda a: jnp.zeros_like(a), out_roll)
+            cur = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, perm), done)
+
+        return jax.tree.map(lambda *s: jnp.stack(s), *out_slots)
+
+    spec = P(axis, *(None,) * (leaves[0].ndim - 1))
+    fn = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=spec, out_specs=spec))
+    out_cyc = fn(cyc)
+    # undo the cyclic layout
+    return jax.tree.map(
+        lambda a: a.reshape((Pn, chunks) + a.shape[1:])
+                   .swapaxes(0, 1)
+                   .reshape((M,) + a.shape[1:]),
+        out_cyc)

@@ -1,0 +1,237 @@
+"""Evaluator test families ported from the reference gtest suite
+(native/tests/seal/evaluator.cpp:28-60 and friends): transparent-ciphertext
+guard, NAF multi-hop rotation fallback, exponentiate, multiply_many,
+sub_plain, zero/edge plaintexts, level-targeted mod-switch validation, and
+an n=8192 default-modulus smoke."""
+
+import numpy as np
+import pytest
+
+from seal_tpu import (
+    BatchEncoder,
+    CoeffModulus,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    Plaintext,
+    SEALContext,
+    SchemeType,
+    SecLevelType,
+)
+from seal_tpu.ckks import CKKSEncoder
+
+SEED = (1, 2, 3, 4, 5, 6, 7, 8)
+
+
+def _make(scheme, plain_mod=None, bits=(40, 40, 40), n=64):
+    parms = EncryptionParameters(scheme)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, list(bits)))
+    if plain_mod is not None:
+        parms.set_plain_modulus(plain_mod)
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    pk = kg.create_public_key()
+    return ctx, kg, Encryptor(ctx, pk), Evaluator(ctx), Decryptor(ctx, kg.secret_key())
+
+
+class TestTransparentGuard:
+    """SEAL_THROW_ON_TRANSPARENT_CIPHERTEXT parity (evaluator.cpp:1152-1158)."""
+
+    def test_sub_self_then_relinearize_raises(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        rk = kg.create_relin_keys()
+        ct = enc.encrypt(Plaintext.from_hex_string("5"))
+        zero = ev.sub(ct, ct)
+        assert zero.is_transparent()
+        sq = ev.multiply(ct, ct)
+        tz = ev.sub(sq, sq)
+        with pytest.raises(ValueError):
+            ev.relinearize(tz, rk)
+
+    def test_multiply_plain_zero_raises(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        ct = enc.encrypt(Plaintext.from_hex_string("5"))
+        zero_plain = Plaintext.from_hex_string("0")
+        with pytest.raises(ValueError):
+            ev.multiply_plain(ct, zero_plain)
+
+    def test_transparent_flag_off_allows(self):
+        from seal_tpu.config import config
+
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        rk = kg.create_relin_keys()
+        ct = enc.encrypt(Plaintext.from_hex_string("5"))
+        sq = ev.multiply(ct, ct)
+        tz = ev.sub(sq, sq)
+        old = config.throw_on_transparent_ciphertext
+        try:
+            config.throw_on_transparent_ciphertext = False
+            out = ev.relinearize(tz, rk)
+            assert dec.decrypt(out).to_hex_string() == "0"
+        finally:
+            config.throw_on_transparent_ciphertext = old
+
+
+class TestNAFRotations:
+    """rotate_internal NAF fallback when the exact key is missing
+    (evaluator.cpp:2325-2380)."""
+
+    def test_multi_hop_rotation_bfv(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        # only power-of-two step keys: steps 1, 2, 4, 8 and columns
+        gk = kg.create_galois_keys()  # default: all power-of-two steps
+        be = BatchEncoder(ctx)
+        vals = [(3 * i + 1) % 257 for i in range(be.slot_count)]
+        ct = enc.encrypt(be.encode(vals))
+        row = be.slot_count // 2
+        for step in (3, 5, 7, -3, 13):
+            got = be.decode(dec.decrypt(ev.rotate_rows(ct, step, gk)))
+            top, bot = vals[:row], vals[row:]
+            s = step % row
+            want = top[s:] + top[:s] + bot[s:] + bot[:s]
+            assert got == want, f"step {step}"
+
+    def test_multi_hop_rotation_ckks(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.CKKS)
+        gk = kg.create_galois_keys()
+        encd = CKKSEncoder(ctx)
+        vals = np.arange(encd.slot_count, dtype=float)
+        ct = enc.encrypt(encd.encode(vals, 2.0 ** 30))
+        for step in (3, -5):
+            got = encd.decode(dec.decrypt(ev.rotate_vector(ct, step, gk)))
+            np.testing.assert_allclose(got, np.roll(vals, -step), atol=1e-4)
+
+
+class TestExponentiateAndMultiplyMany:
+    def test_exponentiate(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        rk = kg.create_relin_keys()
+        ct = enc.encrypt(Plaintext.from_hex_string("2"))
+        for power, want in ((1, "2"), (2, "4"), (3, "8"), (5, "20")):
+            out = ev.exponentiate(ct, power, rk)
+            assert dec.decrypt(out).to_hex_string() == want, f"power {power}"
+
+    def test_exponentiate_zero_power_raises(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        rk = kg.create_relin_keys()
+        ct = enc.encrypt(Plaintext.from_hex_string("2"))
+        with pytest.raises(ValueError):
+            ev.exponentiate(ct, 0, rk)
+
+    def test_multiply_many(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        rk = kg.create_relin_keys()
+        cts = [enc.encrypt(Plaintext.from_hex_string(h)) for h in ("2", "3", "4", "5")]
+        out = ev.multiply_many(cts, rk)
+        assert dec.decrypt(out).to_hex_string() == "78"  # 120
+
+    def test_multiply_many_single(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        rk = kg.create_relin_keys()
+        ct = enc.encrypt(Plaintext.from_hex_string("7"))
+        out = ev.multiply_many([ct], rk)
+        assert dec.decrypt(out).to_hex_string() == "7"
+
+
+class TestPlainEdgeCases:
+    def test_sub_plain(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        ct = enc.encrypt(Plaintext.from_hex_string("5x^2 + 3"))
+        out = ev.sub_plain(ct, Plaintext.from_hex_string("2x^2 + 1"))
+        assert dec.decrypt(out).to_hex_string() == "3x^2 + 2"
+        # subtraction below zero wraps mod t
+        out2 = ev.sub_plain(ct, Plaintext.from_hex_string("7x^2"))
+        assert dec.decrypt(out2).to_hex_string() == "FFx^2 + 3"
+
+    def test_encrypt_zero_plaintext_roundtrip(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        ct = enc.encrypt(Plaintext.from_hex_string("0"))
+        assert dec.decrypt(ct).to_hex_string() == "0"
+        ct2 = ev.add(ct, enc.encrypt(Plaintext.from_hex_string("5")))
+        assert dec.decrypt(ct2).to_hex_string() == "5"
+
+    def test_add_plain_zero(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        ct = enc.encrypt(Plaintext.from_hex_string("5"))
+        out = ev.add_plain(ct, Plaintext.from_hex_string("0"))
+        assert dec.decrypt(out).to_hex_string() == "5"
+
+    def test_bgv_sub_plain(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BGV, plain_mod=257)
+        ct = enc.encrypt(Plaintext.from_hex_string("9x^1 + 4"))
+        out = ev.sub_plain(ct, Plaintext.from_hex_string("3x^1 + 1"))
+        assert dec.decrypt(out).to_hex_string() == "6x^1 + 3"
+
+
+class TestModSwitchValidation:
+    def test_invalid_target_raises(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        ct = enc.encrypt(Plaintext.from_hex_string("5"))
+        with pytest.raises(ValueError):
+            ev.mod_switch_to(ct, (1, 2, 3, 4))
+
+    def test_switch_to_higher_level_raises(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        ct = enc.encrypt(Plaintext.from_hex_string("5"))
+        low = ev.mod_switch_to_next(ct)
+        with pytest.raises(ValueError):
+            ev.mod_switch_to(low, ctx.first_parms_id)
+
+    def test_switch_to_last_level_and_decrypt(self):
+        ctx, kg, enc, ev, dec = _make(
+            SchemeType.BFV, plain_mod=257, bits=(40, 40, 40, 40))
+        ct = enc.encrypt(Plaintext.from_hex_string("5x^3 + 2"))
+        low = ev.mod_switch_to(ct, ctx.last_parms_id)
+        assert dec.decrypt(low).to_hex_string() == "5x^3 + 2"
+
+
+class TestCKKSSecondLevel:
+    def test_multiply_at_lower_level(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.CKKS, bits=(40, 30, 30, 40))
+        rk = kg.create_relin_keys()
+        encd = CKKSEncoder(ctx)
+        vals = np.linspace(0.5, 1.5, encd.slot_count)
+        scale = 2.0 ** 25
+        ct = enc.encrypt(encd.encode(vals, scale))
+        low = ev.mod_switch_to_next(ct)
+        prod = ev.rescale_to_next(ev.relinearize(ev.multiply(low, low), rk))
+        got = encd.decode(dec.decrypt(prod))
+        np.testing.assert_allclose(got, vals * vals, atol=1e-2)
+
+
+class TestLargeN:
+    def test_n8192_default_modulus_smoke(self):
+        """n=8192 with the BFVDefault 128-bit modulus chain: batch-encode,
+        multiply+relinearize, rotate, decrypt (evaluator.cpp large-parms
+        cases; everything else in this suite runs at n=64)."""
+        from seal_tpu.modulus import PlainModulus
+
+        n = 8192
+        parms = EncryptionParameters(SchemeType.BFV)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
+        parms.set_plain_modulus(PlainModulus.batching(n, 20))
+        parms.set_random_seed(SEED)
+        ctx = SEALContext(parms)
+        assert ctx.parameters_set
+        kg = KeyGenerator(ctx)
+        pk = kg.create_public_key()
+        rk = kg.create_relin_keys()
+        gk = kg.create_galois_keys([3])
+        enc = Encryptor(ctx, pk)
+        ev = Evaluator(ctx)
+        dec = Decryptor(ctx, kg.secret_key())
+        be = BatchEncoder(ctx)
+        t = int(parms.plain_modulus.value)
+        vals = [(i * i + 1) % t for i in range(be.slot_count)]
+        ct = enc.encrypt(be.encode(vals))
+        prod = ev.relinearize(ev.multiply(ct, ct), rk)
+        got = be.decode(dec.decrypt(prod))
+        assert got == [(v * v) % t for v in vals]
+        assert dec.invariant_noise_budget(prod) > 0
+        rot = ev.apply_galois(ct, 3, gk)
+        assert dec.decrypt(rot) is not None

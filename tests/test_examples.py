@@ -37,6 +37,30 @@ def test_example_quick(name):
     _run(name)
 
 
+def _import(name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(name[:-3], EXAMPLES / name)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_example_bfv_basics_reduced():
+    """1_bfv_basics (incl. the 3-party multiparty flow) at n=256."""
+    _import("1_bfv_basics.py").main(n=256)
+
+
+def test_example_ckks_basics_reduced():
+    """5_ckks_basics rescale pipeline at n=256."""
+    _import("5_ckks_basics.py").main(n=256)
+
+
+def test_example_rotation_reduced():
+    """6_rotation (incl. common multiparty Galois keys) at n=256."""
+    _import("6_rotation.py").main(n_bfv=256, n_ckks=256)
+
+
 @pytest.mark.skipif(
     not os.environ.get("SEAL_TPU_RUN_ALL_EXAMPLES"),
     reason="set SEAL_TPU_RUN_ALL_EXAMPLES=1 to run the heavyweight examples",

@@ -198,3 +198,83 @@ class TestPipelineParallel:
         mbs = [np.uint32(1), np.uint32(5)]
         outs = pipeline.interleave_microbatches(fns, mbs)
         assert [int(o) for o in outs] == [4, 12]
+
+
+class TestPipelineRealStages:
+    """PP over REAL Evaluator stages (VERDICT r1 item 8): a ciphertext
+    microbatch streams through multiply+relinearize -> rescale closures on a
+    2-device pp mesh with the feed SHARDED over the axis (per-device memory
+    O(M/P + P)); output is bit-identical to the sequential composition."""
+
+    def test_ckks_mult_relin_rescale_pipeline(self):
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from seal_tpu.ckks import CKKSEncoder
+        from seal_tpu.dtypes import Ciphertext, RelinKeys
+        from seal_tpu.parallel import pipeline
+
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(64)
+        parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+        parms.set_random_seed((5, 6, 7, 8, 1, 2, 3, 4))
+        ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+        kg = KeyGenerator(ctx)
+        pk = kg.create_public_key()
+        rk = kg.create_relin_keys()
+        enc = Encryptor(ctx, pk)
+        ev = Evaluator(ctx)
+        encoder = CKKSEncoder(ctx)
+        scale = 2.0 ** 25
+        L = ctx.first_context_data().coeff_modulus_size
+        n = 64
+        proto = None
+
+        def payload(ca, cb):
+            # [4, L, n]: rows (a0, a1, b0, b1)
+            lo = jnp.concatenate([ca.data[0], cb.data[0]], axis=0)
+            hi = jnp.concatenate([ca.data[1], cb.data[1]], axis=0)
+            return (lo, hi)
+
+        M = 2  # one chunk: keeps the unrolled graph small on the 1-core box
+        rng = np.random.default_rng(0)
+        pairs = []
+        for m in range(M):
+            vals = rng.uniform(-1, 1, encoder.slot_count)
+            ca = enc.encrypt(encoder.encode(vals, scale))
+            cb = enc.encrypt(encoder.encode(vals[::-1].copy(), scale))
+            proto = ca
+            pairs.append(payload(ca, cb))
+        xs = (jnp.stack([p[0] for p in pairs]), jnp.stack([p[1] for p in pairs]))
+
+        def wrap(pair, rows, Lr):
+            c = proto.copy()
+            c.data = (pair[0][rows[0]:rows[1], :Lr], pair[1][rows[0]:rows[1], :Lr])
+            return c
+
+        def stage_mult_relin(pair):
+            a = wrap(pair, (0, 2), L)
+            b = wrap(pair, (2, 4), L)
+            out = ev.relinearize(ev.multiply(a, b), rk)
+            z = jnp.zeros_like(out.data[0])
+            return (jnp.concatenate([out.data[0], z], axis=0),
+                    jnp.concatenate([out.data[1], z], axis=0))
+
+        def stage_rescale(pair):
+            c = wrap(pair, (0, 2), L)
+            c.scale = scale * scale
+            out = ev.rescale_to_next(c)
+            zcol = jnp.zeros((2, 1, n), jnp.uint32)
+            lo = jnp.concatenate([out.data[0], zcol], axis=1)
+            hi = jnp.concatenate([out.data[1], zcol], axis=1)
+            z = jnp.zeros_like(lo)
+            return (jnp.concatenate([lo, z], axis=0),
+                    jnp.concatenate([hi, z], axis=0))
+
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("pp",))
+        got = pipeline.pipeline_apply_sharded(
+            [stage_mult_relin, stage_rescale], xs, mesh)
+
+        for m in range(M):
+            want = stage_rescale(stage_mult_relin((xs[0][m], xs[1][m])))
+            assert np.array_equal(np.asarray(got[0][m]), np.asarray(want[0])), m
+            assert np.array_equal(np.asarray(got[1][m]), np.asarray(want[1])), m

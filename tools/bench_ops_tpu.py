@@ -1,9 +1,14 @@
-"""Per-op TPU timings for the headline CKKS n=16384 L=8 config
-(BASELINE.json configs #1/#4): multiply, relinearize, rescale, rotate,
-hoisted rotation batch, and the raw NTT. Mirrors the reference bench
-families (native/bench/bench.cpp:30-152) at the op granularity.
+"""Per-op TPU timing grid over n ∈ {4096, 8192, 16384, 32768} — the
+BMEnv-style fixture of the reference bench (native/bench/bench.cpp:30-214)
+at op granularity: multiply, relinearize, rescale, rotate, hoisted rotation
+batch, device encode/decode FFT, raw NTT.
 
-Run on the real TPU: python tools/bench_ops_tpu.py [--n 16384] [--reps 5]
+Honest methodology (BASELINE.md r2): `jax.block_until_ready` does not wait
+on the tunneled backend, so every op is timed as a CHAINED jitted fori_loop
+(output feeds the next input through a shape-restoring map) with a dynamic
+step count, a forced host transfer, and a long-minus-short differential.
+
+Run on the real TPU:  python tools/bench_ops_tpu.py [--ns 4096 16384] [--out report.json]
 """
 
 from __future__ import annotations
@@ -14,27 +19,35 @@ import time
 
 import numpy as np
 
+# per-n coefficient bit allocations: data primes + special, at MaxBitCount
+BITS = {
+    4096: [36, 36, 37],
+    8192: [43, 43, 43, 43, 46],
+    16384: [48] * 8 + [54],
+    32768: [55] * 15 + [56],
+}
 
-def time_op(fn, args, reps):
+
+def _marginal(fn, x0, short=2, long_=8, repeats=2):
+    """fn(x, steps) jitted; returns seconds per step (differential)."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(jax.tree.leaves(out))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(reps)]
-    jax.block_until_ready(jax.tree.leaves(outs))
-    return (time.perf_counter() - t0) / reps
+    o = fn(x0, 1)
+    _ = np.asarray(jax.tree.leaves(o)[0].reshape(-1)[:2])  # force completion
+
+    def run(s):
+        t0 = time.perf_counter()
+        o = fn(x0, s)
+        _ = np.asarray(jax.tree.leaves(o)[0].reshape(-1)[:2])
+        return time.perf_counter() - t0
+
+    run(short)
+    return min(run(long_) - run(short) for _ in range(repeats)) / (long_ - short)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=16384)
-    ap.add_argument("--L", type=int, default=8)
-    ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--rotations", type=int, default=8)
-    args = ap.parse_args()
-
+def bench_one(n: int, rotations: int = 8):
     import jax
+    import jax.numpy as jnp
 
     from seal_tpu import (
         CoeffModulus, EncryptionParameters, Encryptor, Evaluator,
@@ -42,15 +55,12 @@ def main():
     )
     from seal_tpu.encryption_params import SchemeType
     from seal_tpu.ckks import CKKSEncoder
+    from seal_tpu.ops import ntt as ntt_mod
 
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
     target = jax.devices()[0]
-
-    n = args.n
-    bits = [48] * args.L + [54]
+    bits = BITS[n]
+    L = len(bits) - 1
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
     parms.set_coeff_modulus(CoeffModulus.create(n, bits))
@@ -62,64 +72,130 @@ def main():
         pk = kg.create_public_key()
         rk = kg.create_relin_keys()
         gt = ctx.key_context_data().galois_tool
-        steps = [1 << i for i in range(args.rotations)]
+        steps = [1 << i for i in range(rotations)]
         gk = kg.create_galois_keys(gt.get_elts_from_steps(steps))
         enc = Encryptor(ctx, pk)
         ev = Evaluator(ctx)
         encoder = CKKSEncoder(ctx)
-        scale = 2.0 ** 40
+        scale = 2.0 ** 40 if n > 4096 else 2.0 ** 30
         vals = np.linspace(-1, 1, encoder.slot_count)
         ct1 = enc.encrypt(encoder.encode(vals, scale))
         ct2 = enc.encrypt(encoder.encode(vals[::-1], scale))
 
-    ct1 = jax.device_put(ct1, target)
-    ct2 = jax.device_put(ct2, target)
-    rk.keys = [jax.device_put(k, target) if k is not None else None for k in rk.keys]
+    d1 = jax.device_put(ct1.data, target)
+    d2 = jax.device_put(ct2.data, target)
+    rkt = jax.device_put(rk.key(2), target)
     gk.keys = [jax.device_put(k, target) if k is not None else None for k in gk.keys]
+    cd = ctx.first_context_data()
+    us = {}
 
-    # JitEvaluator passes key tensors as jit ARGUMENTS (device parameters),
-    # not closure constants — closure key stacks get serialized into the
-    # remote-compile payload and blow its size limit.
-    from seal_tpu import JitEvaluator
+    def wrap(ct_proto, pair):
+        c = ct_proto.copy()
+        c.data = pair
+        return c
 
-    jev = JitEvaluator(ctx)
-    jev.evaluator = ev
-
-    results = {}
     with jax.default_device(target):
-        results["multiply"] = time_op(jev.multiply, (ct1, ct2), args.reps)
-        ct3 = jev.multiply(ct1, ct2)
+        # multiply: keep first two rows so the loop carry keeps its shape
+        def mult_chain(x, steps_):
+            def body(i, cur):
+                cm = ev.multiply(wrap(ct1, cur), wrap(ct2, d2))
+                return (cm.data[0][:2], cm.data[1][:2])
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["multiply"] = _marginal(jax.jit(mult_chain), d1) * 1e6
 
-        results["relinearize"] = time_op(jev.relinearize, (ct3, rk), args.reps)
-        ct4 = jev.relinearize(ct3, rk)
+        # relinearize: size-3 input rebuilt from the size-2 output + row 1
+        cm0 = jax.jit(lambda a, b: ev.multiply(wrap(ct1, a), wrap(ct2, b)).data)(d1, d2)
+        ct3 = wrap(ct1, cm0)
+        ct3.data = cm0
 
-        results["rescale"] = time_op(jev.rescale_to_next, (ct4,), args.reps)
-        results["square"] = time_op(jev.square, (ct1,), args.reps)
+        def relin_chain(x, steps_, key_tensor):
+            def body(i, cur):
+                c = ct3.copy(); c.data = cur
+                out = ev.relinearize(c, _rk_like(key_tensor))
+                lo = jnp.concatenate([out.data[0], cur[0][2:]], axis=0)
+                hi = jnp.concatenate([out.data[1], cur[1][2:]], axis=0)
+                return (lo, hi)
+            return jax.lax.fori_loop(0, steps_, body, x)
 
-        results["rotate_one"] = time_op(
-            jev.rotate_vector, (ct1, 1, gk), args.reps)
+        from seal_tpu.dtypes import RelinKeys
 
-        # unhoisted k-rotation cost = k sequential single rotations
-        results[f"rotate_{args.rotations}_unhoisted"] = (
-            results["rotate_one"] * args.rotations)
+        def _rk_like(kt):
+            r = RelinKeys(); r.parms_id = rk.parms_id; r.keys = [kt]
+            return r
+        us["relinearize"] = _marginal(
+            jax.jit(lambda x, s: relin_chain(x, s, rkt)), cm0) * 1e6
 
-        results[f"rotate_{args.rotations}_hoisted"] = time_op(
-            jev.rotate_batch_hoisted, (ct1, steps, gk), args.reps)
+        # rescale: pad the dropped row back
+        def rs_chain(x, steps_):
+            def body(i, cur):
+                out = ev.rescale_to_next(wrap(ct1, cur))
+                lo = jnp.concatenate([out.data[0], cur[0][:, L - 1:]], axis=1)
+                hi = jnp.concatenate([out.data[1], cur[1][:, L - 1:]], axis=1)
+                return (lo, hi)
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["rescale"] = _marginal(jax.jit(rs_chain), d1) * 1e6
 
-        cd = ctx.first_context_data()
-        from seal_tpu.ops import ntt as ntt_mod
-        fwd = jax.jit(lambda p: ntt_mod.ntt_forward(p, cd.ntt_tables))
-        p0 = ct1.poly(0)
-        results["ntt_forward_L8"] = time_op(fwd, (p0,), max(args.reps, 20))
+        # rotation (shape-preserving: directly chainable)
+        def rot_chain(x, steps_):
+            def body(i, cur):
+                return ev.rotate_vector(wrap(ct1, cur), 1, gk).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["rotate_one"] = _marginal(jax.jit(rot_chain), d1) * 1e6
 
-    report = {
-        "config": f"ckks n={n} L={args.L} ({target.platform})",
-        "us": {k: round(v * 1e6, 1) for k, v in results.items()},
-        "hoisting_speedup": round(
-            results[f"rotate_{args.rotations}_unhoisted"]
-            / results[f"rotate_{args.rotations}_hoisted"], 2),
-    }
-    print(json.dumps(report, indent=2))
+        def hoist_chain(x, steps_):
+            def body(i, cur):
+                outs = ev.rotate_batch_hoisted(wrap(ct1, cur), steps, gk)
+                return outs[0].data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us[f"rotate_{rotations}_hoisted"] = _marginal(jax.jit(hoist_chain), d1) * 1e6
+        us[f"rotate_{rotations}_unhoisted"] = us["rotate_one"] * rotations
+
+        # raw NTT over the L-tower
+        def ntt_chain(x, steps_):
+            return jax.lax.fori_loop(
+                0, steps_, lambda i, a: ntt_mod.ntt_forward(a, cd.ntt_tables), x)
+        us[f"ntt_forward_L{L}"] = _marginal(
+            jax.jit(ntt_chain), (d1[0][0], d1[1][0])) * 1e6
+
+        # device encoder (df64 FFT + round + RNS + NTT), per-vector marginal
+        enc_fn = encoder._encode_fn(tuple(ctx.first_parms_id))
+        bins = np.random.default_rng(0).uniform(-1, 1, n).astype(np.float32)
+        b4 = tuple(jnp.asarray(x) for x in
+                   (bins, np.zeros_like(bins), bins[::-1].copy(),
+                    np.zeros_like(bins)))
+        sc = (jnp.float32(scale), jnp.float32(0.0))
+
+        def enc_chain(x, steps_):
+            def body(i, cur):
+                rows = enc_fn(cur, sc)   # [L, n] u32 pairs
+                f = (rows[0][0] & jnp.uint32(0xFFFF)).astype(
+                    jnp.float32) * jnp.float32(2.0 ** -16)
+                return (f, cur[1], cur[2], cur[3])
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["encode_device"] = _marginal(jax.jit(enc_chain), b4) * 1e6
+
+    return {"n": n, "L": L, "us": {k: round(v, 1) for k, v in us.items()},
+            "hoisting_speedup": round(
+                us[f"rotate_{rotations}_unhoisted"]
+                / us[f"rotate_{rotations}_hoisted"], 2)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ns", type=int, nargs="*", default=[4096, 8192, 16384, 32768])
+    ap.add_argument("--rotations", type=int, default=8)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+    reports = []
+    for n in args.ns:
+        t0 = time.time()
+        rep = bench_one(n, args.rotations)
+        rep["bench_wall_s"] = round(time.time() - t0, 1)
+        print(json.dumps(rep), flush=True)
+        reports.append(rep)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(reports, f, indent=2)
 
 
 if __name__ == "__main__":
