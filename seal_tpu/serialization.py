@@ -90,20 +90,40 @@ def wrap(members: bytes, compr_mode: ComprMode = ComprMode.NONE) -> bytes:
     return header + payload
 
 
-def unwrap(stream: io.BytesIO) -> bytes:
-    """Read one SEALHeader-framed object from the stream; returns members."""
-    header = stream.read(HEADER_SIZE)
-    if len(header) != HEADER_SIZE:
-        raise ValueError("insufficient data for SEALHeader")
+def load_header(header: bytes, try_upgrade_if_invalid: bool = True):
+    """Parse a 16-byte SEALHeader; optionally upgrade a legacy SEAL 3.4
+    header in place (parity: serialization.h:212 LoadHeader +
+    legacy_headers::SEALHeader_3_4 — magic u16, zero u8, compr u8,
+    size u32, reserved u64). Returns (vmaj, vmin, compr_mode, size)."""
     magic, hsize, vmaj, vmin, compr, _res, size = struct.unpack("<HBBBBHQ", header)
+    valid = (magic == SEAL_MAGIC and hsize == HEADER_SIZE
+             and vmaj <= VERSION_MAJOR and compr in ComprMode._value2member_map_)
+    if not valid and try_upgrade_if_invalid:
+        l_magic, l_zero, l_compr, l_size, _l_res = struct.unpack("<HBBIQ", header)
+        if (l_magic == SEAL_MAGIC and l_zero == 0
+                and l_compr in ComprMode._value2member_map_):
+            return 3, 4, ComprMode(l_compr), l_size
     if magic != SEAL_MAGIC:
         raise ValueError("SEALHeader is invalid (bad magic)")
     if hsize != HEADER_SIZE:
         raise ValueError("SEALHeader is invalid (bad size)")
     if vmaj > VERSION_MAJOR:
         raise ValueError("unsupported SEAL version")
+    return vmaj, vmin, ComprMode(compr), size
+
+
+def unwrap(stream: io.BytesIO) -> bytes:
+    """Read one SEALHeader-framed object from the stream; returns members."""
+    header = stream.read(HEADER_SIZE)
+    if len(header) != HEADER_SIZE:
+        raise ValueError("insufficient data for SEALHeader")
+    vmaj, vmin, compr, size = load_header(header)
+    if (vmaj, vmin) == (3, 4):
+        raise ValueError(
+            "legacy SEAL 3.4 payloads use a pre-4.0 member wire format; "
+            "only the header can be recognized")
     payload = stream.read(size - HEADER_SIZE)
-    return _decompress(payload, ComprMode(compr))
+    return _decompress(payload, compr)
 
 
 def _u64s(values) -> bytes:

@@ -80,6 +80,17 @@ def test_bgv_pipeline(bgv):
     ca = ev.add(c1, c2)
     assert_ct("bgv_add", ca)
 
+    # deeper chain (VERDICT r1 item 3): multiply AGAIN at level 1 and
+    # relinearize — exercises BGV correction-factor tracking across levels
+    cs2 = ev.mod_switch_to_next(c2)
+    cm2 = ev.multiply(cs, cs2)
+    assert_ct("bgv_mul_level1", cm2)
+    assert cm2.correction_factor == V["bgv_mul_level1_correction"]
+    cb = ev.relinearize(cm2, rk)
+    assert_ct("bgv_chain_bottom", cb)
+    assert cb.correction_factor == V["bgv_chain_bottom_correction"]
+    assert dec.decrypt(cb).to_hex_string() == V["bgv_chain_bottom_decrypted"]
+
 
 @pytest.fixture(scope="module")
 def bfv_rot():

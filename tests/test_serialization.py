@@ -150,3 +150,27 @@ def test_galois_keys_roundtrip_and_rotation(ctx, keys):
     b = ev.rotate_rows(ct, 1, gk2)
     np.testing.assert_array_equal(np.asarray(a.data[0]), np.asarray(b.data[0]))
     np.testing.assert_array_equal(np.asarray(a.data[1]), np.asarray(b.data[1]))
+
+
+def test_legacy_34_header_recognized():
+    """LoadHeader(try_upgrade_if_invalid) parity (serialization.h:212): a
+    SEAL 3.4 header (magic, zero byte, compr u8, size u32, reserved u64)
+    is recognized and upgraded to (3, 4); member payloads are rejected with
+    a clear message rather than a bad-magic error."""
+    import struct
+
+    from seal_tpu import serialization as ser
+
+    legacy = struct.pack("<HBBIQ", ser.SEAL_MAGIC, 0, 0, 48, 0)
+    vmaj, vmin, compr, size = ser.load_header(legacy)
+    assert (vmaj, vmin) == (3, 4)
+    assert compr == ser.ComprMode.NONE
+    assert size == 48
+    # without upgrade: invalid
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ser.load_header(legacy, try_upgrade_if_invalid=False)
+    # full loads reject legacy member formats explicitly
+    import io
+    with _pytest.raises(ValueError, match="3.4"):
+        ser.unwrap(io.BytesIO(legacy + b"\0" * 32))

@@ -28,16 +28,18 @@ BITS = {
 }
 
 
-def _marginal(fn, x0, short=2, long_=8, repeats=2):
-    """fn(x, steps) jitted; returns seconds per step (differential)."""
+def _marginal(fn, x0, short=2, long_=8, repeats=2, extra=()):
+    """fn(x, steps, *extra) jitted; returns seconds per step (differential).
+    `extra` args (e.g. key tensors) are passed through as jit ARGUMENTS so
+    they never serialize into the remote-compile payload."""
     import jax
 
-    o = fn(x0, 1)
+    o = fn(x0, 1, *extra)
     _ = np.asarray(jax.tree.leaves(o)[0].reshape(-1)[:2])  # force completion
 
     def run(s):
         t0 = time.perf_counter()
-        o = fn(x0, s)
+        o = fn(x0, s, *extra)
         _ = np.asarray(jax.tree.leaves(o)[0].reshape(-1)[:2])
         return time.perf_counter() - t0
 
@@ -123,7 +125,7 @@ def bench_one(n: int, rotations: int = 8):
             r = RelinKeys(); r.parms_id = rk.parms_id; r.keys = [kt]
             return r
         us["relinearize"] = _marginal(
-            jax.jit(lambda x, s: relin_chain(x, s, rkt)), cm0) * 1e6
+            jax.jit(relin_chain), cm0, extra=(rkt,)) * 1e6
 
         # rescale: pad the dropped row back
         def rs_chain(x, steps_):
@@ -135,19 +137,40 @@ def bench_one(n: int, rotations: int = 8):
             return jax.lax.fori_loop(0, steps_, body, x)
         us["rescale"] = _marginal(jax.jit(rs_chain), d1) * 1e6
 
-        # rotation (shape-preserving: directly chainable)
-        def rot_chain(x, steps_):
-            def body(i, cur):
-                return ev.rotate_vector(wrap(ct1, cur), 1, gk).data
-            return jax.lax.fori_loop(0, steps_, body, x)
-        us["rotate_one"] = _marginal(jax.jit(rot_chain), d1) * 1e6
+        # rotation (shape-preserving: directly chainable); key tensors are
+        # jit ARGUMENTS — closure key stacks blow the remote-compile payload
+        from seal_tpu.dtypes import GaloisKeys
 
-        def hoist_chain(x, steps_):
+        def _gk_like(keys_list):
+            g = GaloisKeys()
+            g.parms_id = gk.parms_id
+            g.keys = list(keys_list)
+            return g
+
+        gkt = tuple(k for k in gk.keys if k is not None)
+        gk_map = [i for i, k in enumerate(gk.keys) if k is not None]
+
+        def _rebuild(keys_args):
+            full = [None] * len(gk.keys)
+            for slot, k in zip(gk_map, keys_args):
+                full[slot] = k
+            return _gk_like(full)
+
+        def rot_chain(x, steps_, keys_args):
             def body(i, cur):
-                outs = ev.rotate_batch_hoisted(wrap(ct1, cur), steps, gk)
+                return ev.rotate_vector(wrap(ct1, cur), 1, _rebuild(keys_args)).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["rotate_one"] = _marginal(
+            jax.jit(rot_chain), d1, extra=(gkt,)) * 1e6
+
+        def hoist_chain(x, steps_, keys_args):
+            def body(i, cur):
+                outs = ev.rotate_batch_hoisted(
+                    wrap(ct1, cur), steps, _rebuild(keys_args))
                 return outs[0].data
             return jax.lax.fori_loop(0, steps_, body, x)
-        us[f"rotate_{rotations}_hoisted"] = _marginal(jax.jit(hoist_chain), d1) * 1e6
+        us[f"rotate_{rotations}_hoisted"] = _marginal(
+            jax.jit(hoist_chain), d1, extra=(gkt,)) * 1e6
         us[f"rotate_{rotations}_unhoisted"] = us["rotate_one"] * rotations
 
         # raw NTT over the L-tower

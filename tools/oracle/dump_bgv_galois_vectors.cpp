@@ -71,6 +71,23 @@ int main()
         Ciphertext ca;
         ev.add(c1, c2, ca);
         dump_ct("bgv_add", ca);
+
+        // deeper chain: multiply AGAIN at level 1, relinearize, switch to
+        // the last level — exercises BGV correction-factor tracking across
+        // levels (evaluator.cpp:710-794, mod_t_and_divide_q_last)
+        Ciphertext cs2, cm2;
+        ev.mod_switch_to_next(c2, cs2);
+        ev.multiply(cs, cs2, cm2);
+        dump_ct("bgv_mul_level1", cm2);
+        printf("  \"bgv_mul_level1_correction\": %llu,\n",
+               (unsigned long long)cm2.correction_factor());
+        ev.relinearize_inplace(cm2, rk);
+        dump_ct("bgv_chain_bottom", cm2);
+        printf("  \"bgv_chain_bottom_correction\": %llu,\n",
+               (unsigned long long)cm2.correction_factor());
+        Plaintext out2;
+        dec.decrypt(cm2, out2);
+        printf("  \"bgv_chain_bottom_decrypted\": \"%s\",\n", out2.to_string().c_str());
     }
 
     {
