@@ -20,6 +20,12 @@ class GlobalConfig:
     noise_sampler: str = "cbd"
     # smallest n for which the fused Pallas NTT is used
     pallas_ntt_min_n: int = 256
+    # NTT-domain Galois permutation: "gather" (default — measured at
+    # parity with the MXU route on v5e, BASELINE.md r2) or "matmul"
+    # (Clos-routed one-hot matmuls; same speed, kept as an option)
+    galois_permute: str = "gather"
+    # smallest n for which the Clos-routed MXU permutation is used
+    galois_matmul_min_n: int = 2048
 
 
 config = GlobalConfig()
@@ -41,3 +47,14 @@ def pallas_ntt_enabled(n: int) -> bool:
         plat = dd if isinstance(dd, str) else dd.platform
         return plat == "tpu"
     return jax.default_backend() == "tpu"
+
+
+def galois_matmul_enabled(n: int) -> bool:
+    """Clos-routed MXU permutation for NTT-domain automorphisms: arbitrary
+    minor-axis gathers are scalar loops on TPU (~ms at n=16K), while the
+    3-stage one-hot matmul route rides the MXU."""
+    import jax
+
+    if config.galois_permute != "matmul" or n < config.galois_matmul_min_n:
+        return False
+    return True

@@ -104,12 +104,74 @@ class GaloisTool:
             self._coeff_tables[galois_elt] = tab
         return tab
 
+    # -- Clos-routed MXU permutation (r2) ----------------------------------------
+    #
+    # Round-1 recorded rotations as gather-bound (~0.5-1.5 ms per 16K
+    # permutation); that was a dispatch-timing artifact (BASELINE.md r2) —
+    # the honest differential puts XLA's static-index gather at ~21 µs per
+    # [8, 16384] tower and this MXU route at ~23 µs, i.e. parity. The route
+    # is kept as a tested option (config.galois_permute="matmul"): any
+    # permutation of an [R, C=128] tile factors into within-row, within-
+    # column, within-row stages (3-stage Clos / Hall's theorem; host-side
+    # Euler-split edge coloring), each an exact batch of one-hot matmuls
+    # over 8-bit pieces.
+
+    def _matmul_tables(self, galois_elt: int):
+        key = ("mm", galois_elt)
+        tab = self._ntt_tables.get(key)
+        if tab is None:
+            g = self._ntt_table(galois_elt)       # out[p] = in[g[p]]
+            n = self.coeff_count
+            C = min(n, 128)
+            R = n // C
+            tab = _route_permutation(np.asarray(g), R, C)
+            self._ntt_tables[key] = tab
+        return tab
+
+    def apply_galois_ntt_matmul(self, x: limb.U64Pair, galois_elt: int) -> limb.U64Pair:
+        """NTT-domain automorphism as three exact one-hot MXU matmuls."""
+        self._validate(galois_elt)
+        M1, M2, M3 = self._matmul_tables(galois_elt)
+        n = self.coeff_count
+        C = min(n, 128)
+        R = n // C
+        lo, hi = x
+        lead = lo.shape[:-1]
+        lo4 = lo.reshape(lead + (R, C))
+        hi4 = hi.reshape(lead + (R, C))
+        # 8-bit pieces as f32 operands: exact even through the MXU's
+        # single-pass-bf16 default f32 matmul (values ≤ 255, one-hot weights)
+        pieces = [(lo4 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)]
+        pieces += [(hi4 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)]
+        p = jnp.stack([q.astype(jnp.int32).astype(jnp.float32) for q in pieces])
+
+        kio = jnp.arange(C, dtype=jnp.int32)
+        O1 = (jnp.asarray(M1)[:, :, None] == kio[None, None, :]).astype(jnp.float32)
+        sio = jnp.arange(R, dtype=jnp.int32)
+        O2 = (jnp.asarray(M2)[:, :, None] == sio[None, None, :]).astype(jnp.float32)
+        O3 = (jnp.asarray(M3)[:, :, None] == kio[None, None, :]).astype(jnp.float32)
+
+        y = jnp.einsum("...rc,rck->...rk", p, O1,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum("...rk,krs->...sk", y, O2,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum("...sk,skd->...sd", y, O3,
+                       preferred_element_type=jnp.float32)
+        q8 = y.astype(jnp.int32).astype(jnp.uint32)
+        out_lo = q8[0] | (q8[1] << 8) | (q8[2] << 16) | (q8[3] << 24)
+        out_hi = q8[4] | (q8[5] << 8) | (q8[6] << 16) | (q8[7] << 24)
+        return out_lo.reshape(lo.shape), out_hi.reshape(hi.shape)
+
     # -- application ----------------------------------------------------------------
 
     def apply_galois_ntt(self, x: limb.U64Pair, galois_elt: int) -> limb.U64Pair:
-        """NTT-domain automorphism: one gather along the coefficient axis
-        (galois.cpp:192+)."""
+        """NTT-domain automorphism (galois.cpp:192+): a gather on CPU, the
+        Clos-routed MXU matmul on TPU backends (config-gated)."""
         self._validate(galois_elt)
+        from seal_tpu.config import galois_matmul_enabled
+
+        if galois_matmul_enabled(self.coeff_count):
+            return self.apply_galois_ntt_matmul(x, galois_elt)
         tab = self._ntt_table(galois_elt)
         return x[0][..., tab], x[1][..., tab]
 
@@ -129,3 +191,82 @@ class GaloisTool:
     @staticmethod
     def get_index_from_elt(galois_elt: int) -> int:
         return (galois_elt - 1) >> 1
+
+
+# ---------------------------------------------------------------------------
+# Clos routing: decompose an arbitrary [R*C] permutation into
+# row-perm ∘ column-perm ∘ row-perm via Euler-split edge coloring
+# ---------------------------------------------------------------------------
+
+def _euler_split(edges, R):
+    """Split a bipartite multigraph (R left/right vertices, even regular
+    degree) into two half-degree edge sets by alternating edges along
+    closed trails. Returns two lists of edge ids."""
+    adj = [[] for _ in range(2 * R)]
+    for eid, (u, v) in enumerate(edges):
+        adj[u].append((R + v, eid))
+        adj[R + v].append((u, eid))
+    ptr = [0] * (2 * R)
+    used = [False] * len(edges)
+    A, B = [], []
+    for start in range(2 * R):
+        while True:
+            lst = adj[start]
+            while ptr[start] < len(lst) and used[lst[ptr[start]][1]]:
+                ptr[start] += 1
+            if ptr[start] >= len(lst):
+                break
+            vtx, parity = start, 0
+            while True:
+                lv = adj[vtx]
+                while ptr[vtx] < len(lv) and used[lv[ptr[vtx]][1]]:
+                    ptr[vtx] += 1
+                if ptr[vtx] >= len(lv):
+                    break  # trail closed back at `start` (degrees even)
+                nxt, eid = lv[ptr[vtx]]
+                used[eid] = True
+                (A if parity == 0 else B).append(eid)
+                parity ^= 1
+                vtx = nxt
+    return A, B
+
+
+def _edge_coloring(edges, R, C):
+    """Color a C-regular bipartite multigraph with C colors (C a power of
+    two) so each color class is a perfect matching. Returns color per edge."""
+    colors = np.zeros(len(edges), dtype=np.int32)
+    groups = [list(range(len(edges)))]
+    width = C
+    while width > 1:
+        nxt = []
+        for gidx, group in enumerate(groups):
+            sub = [edges[e] for e in group]
+            A, B = _euler_split(sub, R)
+            nxt.append([group[i] for i in A])
+            nxt.append([group[i] for i in B])
+        groups = nxt
+        width >>= 1
+    for color, group in enumerate(groups):
+        for e in group:
+            colors[e] = color
+    return colors
+
+
+def _route_permutation(g: np.ndarray, R: int, C: int):
+    """Route out[p] = in[g[p]] over an [R, C] tile as three stage index
+    maps: M1[r_src, c_src] = intermediate lane k;
+    M2[k, r_src] = r_dst; M3[r_dst, k] = c_dst."""
+    n = R * C
+    src_r = g // C
+    src_c = g % C
+    dst_r = np.arange(n) // C
+    dst_c = np.arange(n) % C
+    edges = list(zip(src_r.tolist(), dst_r.tolist()))
+    colors = _edge_coloring(edges, R, C)
+    M1 = np.zeros((R, C), dtype=np.int32)
+    M2 = np.zeros((C, R), dtype=np.int32)
+    M3 = np.zeros((R, C), dtype=np.int32)
+    M1[src_r, src_c] = colors
+    M2[colors, src_r] = dst_r
+    M3[dst_r, colors] = dst_c
+    return M1, M2, M3

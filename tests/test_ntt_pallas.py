@@ -76,3 +76,24 @@ def test_pallas_compact_matches_reference(log_n):
     inv_got = limb.u64_to_ints(npk.ntt_inverse_pallas(y, pt, interpret=True))
     for i in range(len(qs)):
         assert list(inv_got[i]) == list(inv_ref[i])
+
+
+def test_galois_matmul_route_matches_gather():
+    """Clos-routed MXU permutation (r2 option): bit-identical to the gather
+    path for several Galois elements (measured at speed parity on v5e —
+    BASELINE.md r2; kept as config.galois_permute='matmul')."""
+    import numpy as np
+    from seal_tpu.config import config
+    from seal_tpu.ops.galois import GaloisTool
+
+    gt = GaloisTool(11)  # n=2048
+    rng = np.random.default_rng(2)
+    vals = [[int(v) for v in rng.integers(0, (1 << 50), size=2048)]
+            for _ in range(2)]
+    x = limb.arr_to_u64(vals, shape=(2, 2048))
+    for elt in (3, 9, 4095):
+        got = gt.apply_galois_ntt_matmul(x, elt)
+        tab = gt._ntt_table(elt)
+        ref = (x[0][..., tab], x[1][..., tab])
+        assert np.array_equal(np.asarray(got[0]), np.asarray(ref[0])), elt
+        assert np.array_equal(np.asarray(got[1]), np.asarray(ref[1])), elt

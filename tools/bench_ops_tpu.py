@@ -28,7 +28,7 @@ BITS = {
 }
 
 
-def _marginal(fn, x0, short=2, long_=8, repeats=2, extra=()):
+def _marginal(fn, x0, short=8, long_=72, repeats=3, extra=()):
     """fn(x, steps, *extra) jitted; returns seconds per step (differential).
     `extra` args (e.g. key tensors) are passed through as jit ARGUMENTS so
     they never serialize into the remote-compile payload."""
