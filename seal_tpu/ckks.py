@@ -83,6 +83,32 @@ class CKKSEncoder:
 
     # -- encode --------------------------------------------------------------------
 
+    def _encode_constant(self, coeff: int, parms_id, scale: float) -> Plaintext:
+        """Exact constant-polynomial plaintext: a constant's NTT is the same
+        value in every slot, so the rows are plain fills — no FFT, no
+        rounding (parity: ckks.cpp:75-214 double overload, :216-270 int64)."""
+        cd = self.context.get_context_data(parms_id)
+        bits = abs(coeff).bit_length() + 2
+        if bits >= cd.total_coeff_modulus_bit_count:
+            raise ValueError("encoded value is too large")
+        rows = np.empty((cd.coeff_modulus_size, self.n), dtype=np.uint64)
+        for j, q in enumerate(cd.key_moduli()):
+            rows[j, :] = coeff % q
+        p = Plaintext()
+        p.rns_data = to_device(rows)
+        p.parms_id = tuple(parms_id)
+        p.scale = float(scale)
+        return p
+
+    def encode_int(self, value: int, parms_id=None) -> Plaintext:
+        """Exact integer encode with scale 1 (parity: ckks.cpp:216-270)."""
+        ctx = self.context
+        if parms_id is None:
+            parms_id = ctx.first_parms_id
+        if ctx.get_context_data(parms_id) is None:
+            raise ValueError("parms_id is not valid for encryption parameters")
+        return self._encode_constant(int(value), parms_id, 1.0)
+
     def encode(self, values, scale: float, parms_id=None) -> Plaintext:
         """values: scalars / sequence of real or complex, up to n/2 slots."""
         ctx = self.context
@@ -91,6 +117,12 @@ class CKKSEncoder:
         cd = ctx.get_context_data(parms_id)
         if cd is None:
             raise ValueError("parms_id is not valid for encryption parameters")
+        if np.isscalar(values) and not isinstance(values, complex):
+            # real scalar: exact constant fill (ckks.cpp:75-214), not FFT
+            if scale <= 0 or (int(np.log2(scale)) + 1) >= cd.total_coeff_modulus_bit_count:
+                raise ValueError("scale out of bounds")
+            return self._encode_constant(
+                int(round(float(values) * scale)), parms_id, scale)
         if np.isscalar(values):
             values = [values] * self.slots
         values = np.asarray(values, dtype=np.complex128)

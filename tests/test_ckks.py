@@ -121,3 +121,34 @@ def test_symmetric_and_encrypt_zero(ckks):
     ct = enc_sym.encrypt_symmetric(encoder.encode(vals, 2.0**30))
     out = encoder.decode(dec.decrypt(ct))
     assert np.max(np.abs(out.real - 7.0)) < 1e-4
+
+
+def test_encode_scalar_exact_constant_and_int(ckks):
+    """Real-scalar and integer encodes are exact constant fills
+    (ckks.cpp:75-214, :216-270), not FFT roundtrips."""
+    import numpy as np
+    from seal_tpu.dtypes import to_host
+
+    encoder = ckks["encoder"]
+    ctx = ckks["ctx"]
+    cd = ctx.first_context_data()
+    p = encoder.encode(2.5, 2.0 ** 20)
+    rows = to_host(p.rns_data)
+    want = int(round(2.5 * 2.0 ** 20))
+    for j, q in enumerate(cd.key_moduli()):
+        assert (rows[j] == want % q).all()
+    assert np.max(np.abs(encoder.decode(p) - 2.5)) < 1e-5
+
+    pi = encoder.encode_int(-7)
+    assert pi.scale == 1.0
+    rows = to_host(pi.rns_data)
+    for j, q in enumerate(cd.key_moduli()):
+        assert (rows[j] == (-7) % q).all()
+    assert np.max(np.abs(encoder.decode(pi) - (-7))) < 1e-6
+
+    # multiply_plain by an exact integer constant
+    enc, dec, ev = ckks["enc"], ckks["dec"], ckks["ev"]
+    vals = np.linspace(-1, 1, encoder.slot_count)
+    ct = enc.encrypt(encoder.encode(vals, 2.0 ** 30))
+    out = encoder.decode(dec.decrypt(ev.multiply_plain(ct, encoder.encode_int(3))))
+    assert np.max(np.abs(out - 3 * vals)) < 1e-3

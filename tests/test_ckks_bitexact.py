@@ -195,3 +195,13 @@ def test_decrypt_decode(ck):
     # end-to-end semantics: product of the input vectors
     v1, v2 = np.array(V["values1"]), np.array(V["values2"])
     assert np.max(np.abs(out - v1 * v2)) < 1e-4
+
+
+def test_scalar_encode_bit_exact(ck):
+    """Real-scalar and int64 encodes are deterministic constant fills —
+    bit-exact vs the reference (ckks.cpp:75-270)."""
+    encoder = CKKSEncoder(ck["ctx"])
+    p = encoder.encode(0.7, SCALE)
+    assert np.array_equal(to_host(p.rns_data).reshape(-1), ref("plain_scalar_0p7"))
+    pi = encoder.encode_int(-5)
+    assert np.array_equal(to_host(pi.rns_data).reshape(-1), ref("plain_int_m5"))

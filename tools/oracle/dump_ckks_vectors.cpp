@@ -162,6 +162,13 @@ int main()
     enc.encrypt(p3, c3);
     dump_ct("ct3_level1", c3);
 
+    // exact scalar encodes (constant fills — bit-exact across impls)
+    Plaintext p_sc, p_int;
+    encoder.encode(0.7, scale, p_sc);
+    dump_u64s("plain_scalar_0p7", p_sc.data(), n * 3);
+    encoder.encode((int64_t)-5, p_int);
+    dump_u64s("plain_int_m5", p_int.data(), n * 3);
+
     // decrypt + decode of the rescaled product, for tolerance checks
     Plaintext pd;
     dec.decrypt(cs, pd);
