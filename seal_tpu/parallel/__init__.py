@@ -5,3 +5,4 @@ from seal_tpu.parallel.sharding import (
     shard_ciphertext,
     vmap_pipeline,
 )
+from seal_tpu.parallel.keyswitch import TPEvaluator, TPKeySwitch, tp_relinearize

@@ -24,8 +24,11 @@ evaluator.cpp:2572-2676) runs on the replicated [2, L+1, N] product.
 Collective cost per keyswitch: exactly one psum of 3×[2, L+1, N] u32 —
 independent of the key size. Everything else in a CKKS
 multiply→relinearize→rescale pipeline is per-tower-row local, so the whole
-flagship op carries two collectives (this psum + the rescale broadcast of
-the dropped row, see `tp_rescale_to_next`).
+flagship op carries exactly one collective per key switch.
+
+`TPEvaluator` is the user-facing wrapper: a drop-in Evaluator whose every
+key-switching op (relinearize, apply_galois, rotate_rows/columns/vector,
+complex_conjugate) routes the contraction through this shard_map path.
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from seal_tpu.dtypes import Ciphertext, stack_polys, to_device
 from seal_tpu.encryption_params import SchemeType
+from seal_tpu.evaluator import Evaluator
 from seal_tpu.ops import limb, modring, ntt as ntt_mod
 
 
@@ -193,6 +197,54 @@ class TPKeySwitch:
             t_coeff = target
         prod = self.reduce(t_coeff, t_ntt, self.gather_keys(keys_tensor))
         return ev._switch_key_tail(ct, prod)
+
+
+class TPEvaluator(Evaluator):
+    """Drop-in tensor-parallel Evaluator (SURVEY §2.11 TP row).
+
+    The single override point is `_switch_key` — the only collective-bearing
+    computation in the whole op surface (evaluator.cpp:2382-2677) — which
+    routes through `TPKeySwitch`, so
+
+      * relinearize / apply_galois / rotate_rows / rotate_columns /
+        rotate_vector / complex_conjugate read the (large) key tensor
+        1/tp per chip and contract with ONE exact psum over tower shards;
+      * multiply / add / rescale / mod-switch / plain ops are per-tower-row
+        local and run exactly as the stock Evaluator (XLA partitions them
+        when the operand arrays carry a sharding);
+      * outputs are bit-identical to the single-chip Evaluator
+        (tests/test_tp_keyswitch.py).
+
+    Levels whose data-tower count is not divisible by the tp mesh size fall
+    back to the single-chip contraction for that level (still correct, just
+    unsharded); hoisted rotation batches (`rotate_batch_hoisted`) use the
+    single-chip path — their permuted-decompose structure shares one
+    decomposition across keys, which the per-J sharding cannot split.
+    """
+
+    def __init__(self, context, mesh: Mesh, tp_axis: str = "tp"):
+        super().__init__(context)
+        self.mesh = mesh
+        self.tp_axis = tp_axis
+        self._tks_cache: dict = {}
+
+    def _tks_for(self, parms_id):
+        key = tuple(parms_id)
+        if key not in self._tks_cache:
+            cd = self.context.get_context_data(parms_id)
+            tp = self.mesh.shape[self.tp_axis]
+            if cd.coeff_modulus_size % tp:
+                self._tks_cache[key] = None
+            else:
+                self._tks_cache[key] = TPKeySwitch(
+                    self.context, parms_id, self.mesh, self.tp_axis)
+        return self._tks_cache[key]
+
+    def _switch_key(self, ct: Ciphertext, target, keys_tensor) -> Ciphertext:
+        tks = self._tks_for(ct.parms_id)
+        if tks is None:
+            return super()._switch_key(ct, target, keys_tensor)
+        return tks.switch_key(self, ct, target, keys_tensor)
 
 
 def tp_relinearize(ev, ct: Ciphertext, relin_keys, mesh: Mesh,

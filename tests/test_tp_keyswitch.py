@@ -24,7 +24,7 @@ from seal_tpu import (
 )
 from seal_tpu.ckks import CKKSEncoder
 from seal_tpu.dtypes import Plaintext
-from seal_tpu.parallel.keyswitch import tp_relinearize
+from seal_tpu.parallel.keyswitch import TPEvaluator, tp_relinearize
 
 SEED = (1, 2, 3, 4, 5, 6, 7, 8)
 
@@ -89,4 +89,69 @@ def test_bfv_tp_relinearize_bit_identical():
     cm = Ciphertext(to_device(rows), parms_id=tuple(ctx.first_parms_id))
     ref = ev.relinearize(cm, rk)
     got = tp_relinearize(ev, cm, rk, _mesh(2))
+    assert np.array_equal(ref.to_numpy(), got.to_numpy())
+
+
+def test_tp_evaluator_ckks_pipeline_bit_identical():
+    """The user-facing TPEvaluator: a REAL CKKS multiply -> relinearize ->
+    rescale -> rotate -> conjugate pipeline where every key switch runs the
+    shard_map TP contraction, bit-compared op by op against the stock
+    Evaluator (parity: evaluator.cpp:1104-1159, 2221-2323)."""
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40] * 5))
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    pk = kg.create_public_key()
+    rk = kg.create_relin_keys()
+    gt = ctx.key_context_data().galois_tool
+    gk = kg.create_galois_keys(
+        [gt.get_elt_from_step(1), gt.get_elt_from_step(0)])
+    enc = Encryptor(ctx, pk)
+    encoder = CKKSEncoder(ctx)
+    ev = Evaluator(ctx)
+    tev = TPEvaluator(ctx, _mesh(2))
+
+    scale = 2.0 ** 30
+    vals = np.linspace(-1, 1, encoder.slot_count)
+    ct1 = enc.encrypt(encoder.encode(vals, scale))
+    ct2 = enc.encrypt(encoder.encode(vals + 0.5, scale))
+
+    ref = ev.rescale_to_next(ev.relinearize(ev.multiply(ct1, ct2), rk))
+    got = tev.rescale_to_next(tev.relinearize(tev.multiply(ct1, ct2), rk))
+    assert np.array_equal(ref.to_numpy(), got.to_numpy())
+
+    # L=3 after rescale: not divisible by tp=2 -> single-chip fallback level
+    assert tev._tks_for(got.parms_id) is None
+    r_ref = ev.rotate_vector(ref, 1, gk)
+    r_got = tev.rotate_vector(got, 1, gk)
+    assert np.array_equal(r_ref.to_numpy(), r_got.to_numpy())
+
+    # conjugate at the top level exercises the sharded galois keyswitch
+    c_ref = ev.complex_conjugate(ct1, gk)
+    c_got = tev.complex_conjugate(ct1, gk)
+    assert np.array_equal(c_ref.to_numpy(), c_got.to_numpy())
+
+
+def test_tp_evaluator_bfv_rotate_bit_identical():
+    """BFV row rotation through TPEvaluator (coeff-domain galois + TP
+    keyswitch) == stock Evaluator."""
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    pk = kg.create_public_key()
+    gt = ctx.key_context_data().galois_tool
+    gk = kg.create_galois_keys([gt.get_elt_from_step(1)])
+    enc = Encryptor(ctx, pk)
+    ev = Evaluator(ctx)
+    tev = TPEvaluator(ctx, _mesh(2))
+
+    ct = enc.encrypt(Plaintext.from_hex_string("5x^3 + 2x^1 + 3"))
+    ref = ev.rotate_rows(ct, 1, gk)
+    got = tev.rotate_rows(ct, 1, gk)
     assert np.array_equal(ref.to_numpy(), got.to_numpy())
