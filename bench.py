@@ -107,9 +107,13 @@ def main():
             return time.perf_counter() - t0
 
         run(2)
-        short, long_ = 2, 10
-        walls = [(run(short), run(long_)) for _ in range(3)]
-        dt = min(wl - ws for ws, wl in walls) / (long_ - short)
+        # min EACH chain length over repeats, then subtract — min over
+        # (long-short) pairs picks the most favorable noise draw and can
+        # report an optimistic (or even negative) marginal
+        short, long_ = 2, 18
+        ts = min(run(short) for _ in range(4))
+        tl = min(run(long_) for _ in range(4))
+        dt = (tl - ts) / (long_ - short)
 
     ops_per_sec = B / dt
     print(json.dumps({

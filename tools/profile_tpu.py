@@ -94,8 +94,11 @@ def main():
             _ = np.asarray(o[0][0, 0, 0, :2])
             return time.perf_counter() - t0
         run(2)
-        walls = [(run(2), run(10)) for _ in range(2)]
-        stages[name] = min(wl - ws for ws, wl in walls) / 8 / B
+        # min each chain length separately, then subtract (min over
+        # long-short pairs picks the most favorable noise draw)
+        ts = min(run(2) for _ in range(3))
+        tl = min(run(10) for _ in range(3))
+        stages[name] = (tl - ts) / 8 / B
         print(f"{name}: {stages[name]*1e6:.0f} us/ct", flush=True)
 
     with jax.default_device(target):
