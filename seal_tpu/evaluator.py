@@ -782,6 +782,27 @@ class Evaluator:
         if plain.significant_coeff_count() == 0:
             raise ValueError("plain cannot be zero")
         rows = _plain_to_rns_rows(plain, cd)
+        if np.count_nonzero(plain.data) == 1:
+            # monomial fast path (evaluator.cpp:1884-1930): one exact O(N)
+            # roll+scalar multiply instead of 3 NTT passes — bit-identical,
+            # all arithmetic exact. rows[:, e] already carries the
+            # upper-half-lifted coefficient per prime.
+            e = plain.significant_coeff_count() - 1
+            L = rows.shape[0]
+            moduli = [int(m) for m in cd.key_moduli()]
+            op, quot = modring.shoup_pair(
+                [[int(rows[i, e])] for i in range(L)],
+                [[q] for q in moduli])
+            prod = [
+                modring.negacyclic_multiply_mono(ct.poly(j), op, quot, e, mc)
+                for j in range(ct.size)
+            ]
+            out = ct.copy()
+            out.data = stack_polys(prod)
+            if scheme == SchemeType.CKKS:
+                out.scale = ct.scale * plain.scale
+                _check_scale(out.scale, cd)
+            return out
         plain_ntt = ntt_mod.ntt_forward(to_device(rows), cd.ntt_tables)
         tables = cd.ntt_tables
         prod = []

@@ -126,3 +126,46 @@ def multiply_poly_scalar(a, scalar_op, scalar_quot, mc: ModConsts):
 def modulo_poly_coeffs(a, mc: ModConsts):
     """Reduce arbitrary u64 coefficients into [0, q)."""
     return limb.barrett_reduce_64(a, mc.q, mc.ratio1)
+
+
+def negacyclic_shift_poly(a, shift: int, mc: ModConsts):
+    """result[(i+shift) mod n] = ±a[i] in Z_q[x]/(x^n+1): a roll with the
+    wrapped prefix negated (zero coefficients stay zero), vectorized over
+    [..., L, N] (negacyclic_shift_poly_coeffmod,
+    util/polyarithsmallmod.cpp:319-369)."""
+    lo, hi = a
+    n = lo.shape[-1]
+    if not 0 <= shift < n:
+        raise ValueError("shift must be in [0, n)")
+    if shift == 0:
+        return a
+    rlo = jnp.roll(lo, shift, axis=-1)
+    rhi = jnp.roll(hi, shift, axis=-1)
+    wrapped = jnp.arange(n, dtype=jnp.uint32) < jnp.uint32(shift)
+    mask = wrapped & ((rlo | rhi) != 0)
+    neg = limb.sub64(mc.q, (rlo, rhi))
+    return (jnp.where(mask, neg[0], rlo), jnp.where(mask, neg[1], rhi))
+
+
+def negacyclic_multiply_mono(a, coeff_op, coeff_quot, exponent: int,
+                             mc: ModConsts):
+    """a · (c·x^e) mod (x^n+1, q): scalar Shoup multiply then negacyclic
+    shift — the O(N) monomial path that replaces NTT→dyadic→INTT with an
+    identical exact result (negacyclic_multiply_poly_mono_coeffmod,
+    util/polyarithsmallmod.h:634-655)."""
+    return negacyclic_shift_poly(
+        multiply_poly_scalar(a, coeff_op, coeff_quot, mc), exponent, mc)
+
+
+def poly_infty_norm(a, mc: ModConsts):
+    """max_i |a_i| with coefficients centered mod q, per prime row: values
+    ≥ (q+1)/2 count as q - a_i (poly_infty_norm_coeffmod parity). Returns a
+    u64 pair of shape [..., L, 1]."""
+    lo, hi = a
+    one = (jnp.uint32(1), jnp.uint32(0))
+    thr = limb.shr64(limb.add64(mc.q, one), 1)
+    absv = limb.select64(limb.ge64(a, thr), limb.sub64(mc.q, a), a)
+    mhi = jnp.max(absv[1], axis=-1, keepdims=True)
+    mlo = jnp.max(jnp.where(absv[1] == mhi, absv[0], jnp.uint32(0)),
+                  axis=-1, keepdims=True)
+    return (mlo, mhi)
