@@ -2,17 +2,23 @@
 
 from seal_tpu import (
     CoeffModulus, Decryptor, EncryptionParameters, Encryptor, Evaluator,
-    KeyGenerator, Plaintext, SEALContext,
+    KeyGenerator, Plaintext, SEALContext, SecLevelType,
 )
 from seal_tpu.encryption_params import SchemeType
 
 
-def main():
+def main(n: int = 8192):
     parms = EncryptionParameters(SchemeType.BFV)
-    parms.set_poly_modulus_degree(8192)
-    parms.set_coeff_modulus(CoeffModulus.create(8192, [50, 30, 30, 50, 50]))
+    parms.set_poly_modulus_degree(n)
+    if n >= 8192:
+        parms.set_coeff_modulus(CoeffModulus.create(n, [50, 30, 30, 50, 50]))
+        sec = SecLevelType.TC128
+    else:
+        # reduced-size smoke (CI): insecure parms, same 5-level chain walk
+        parms.set_coeff_modulus(CoeffModulus.create(n, [30, 24, 24, 30, 30]))
+        sec = SecLevelType.NONE
     parms.set_plain_modulus(1032193)
-    context = SEALContext(parms)
+    context = SEALContext(parms, sec_level=sec)
 
     # Walk the chain
     cd = context.key_context_data()

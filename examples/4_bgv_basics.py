@@ -2,17 +2,23 @@
 
 from seal_tpu import (
     BatchEncoder, CoeffModulus, Decryptor, EncryptionParameters, Encryptor,
-    Evaluator, KeyGenerator, PlainModulus, SEALContext,
+    Evaluator, KeyGenerator, PlainModulus, SEALContext, SecLevelType,
 )
 from seal_tpu.encryption_params import SchemeType
 
 
-def main():
+def main(n: int = 4096):
     parms = EncryptionParameters(SchemeType.BGV)
-    parms.set_poly_modulus_degree(4096)
-    parms.set_coeff_modulus(CoeffModulus.bfv_default(4096))
-    parms.set_plain_modulus(PlainModulus.batching(4096, 20))
-    context = SEALContext(parms)
+    parms.set_poly_modulus_degree(n)
+    if n >= 1024:
+        parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
+        sec = SecLevelType.TC128
+    else:
+        # reduced-size smoke (CI): insecure parms, same BGV walkthrough
+        parms.set_coeff_modulus(CoeffModulus.create(n, [40, 40, 40]))
+        sec = SecLevelType.NONE
+    parms.set_plain_modulus(PlainModulus.batching(n, 20))
+    context = SEALContext(parms, sec_level=sec)
 
     keygen = KeyGenerator(context)
     encryptor = Encryptor(context, keygen.create_public_key())

@@ -61,6 +61,16 @@ def test_example_rotation_reduced():
     _import("6_rotation.py").main(n_bfv=256, n_ckks=256)
 
 
+def test_example_levels_reduced():
+    """3_levels chain walk + noise budgets at n=256."""
+    _import("3_levels.py").main(n=256)
+
+
+def test_example_bgv_basics_reduced():
+    """4_bgv_basics square+relinearize+modswitch at n=256."""
+    _import("4_bgv_basics.py").main(n=256)
+
+
 @pytest.mark.skipif(
     not os.environ.get("SEAL_TPU_RUN_ALL_EXAMPLES"),
     reason="set SEAL_TPU_RUN_ALL_EXAMPLES=1 to run the heavyweight examples",
