@@ -235,3 +235,88 @@ class TestLargeN:
         assert dec.invariant_noise_budget(prod) > 0
         rot = ev.apply_galois(ct, 3, gk)
         assert dec.decrypt(rot) is not None
+
+
+class TestNTTTransforms:
+    """TransformPlainToNTT / TransformEncryptedToFromNTT /
+    {BFV,BGV}EncryptMultiplyPlainNTTDecrypt (evaluator.cpp:2033-2220)."""
+
+    def test_bfv_transform_encrypted_roundtrip(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        ct = enc.encrypt(Plaintext.from_hex_string("5x^3 + 2x^1 + 3"))
+        ntt = ev.transform_to_ntt(ct)
+        assert ntt.is_ntt_form
+        back = ev.transform_from_ntt(ntt)
+        assert not back.is_ntt_form
+        assert np.array_equal(back.to_numpy(), ct.to_numpy())
+        assert dec.decrypt(back).to_hex_string() == "5x^3 + 2x^1 + 3"
+
+    def test_bfv_multiply_plain_ntt(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        ct = enc.encrypt(Plaintext.from_hex_string("5x^3 + 2x^1 + 3"))
+        plain = Plaintext.from_hex_string("1x^2 + 4")
+        ct_ntt = ev.transform_to_ntt(ct)
+        p_ntt = ev.transform_plain_to_ntt(plain, ct.parms_id)
+        out = ev.transform_from_ntt(ev.multiply_plain(ct_ntt, p_ntt))
+        want = dec.decrypt(ev.multiply_plain(ct, plain)).to_hex_string()
+        assert dec.decrypt(out).to_hex_string() == want
+
+    def test_transform_twice_raises(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        ct = enc.encrypt(Plaintext.from_hex_string("1"))
+        ntt = ev.transform_to_ntt(ct)
+        with pytest.raises(ValueError):
+            ev.transform_to_ntt(ntt)
+        with pytest.raises(ValueError):
+            ev.transform_from_ntt(ct)
+
+
+class TestBGVFamilies:
+    """BGVEncrypt{Exponentiate,MultiplyMany,AddMany,Square}Decrypt
+    (evaluator.cpp BGV cases)."""
+
+    def test_bgv_exponentiate(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BGV, plain_mod=257)
+        rk = kg.create_relin_keys()
+        ct = enc.encrypt(Plaintext.from_hex_string("3"))
+        out = ev.exponentiate(ct, 4, rk)
+        assert dec.decrypt(out).to_hex_string() == "51"  # 81 = 0x51
+
+    def test_bgv_multiply_many(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BGV, plain_mod=257)
+        rk = kg.create_relin_keys()
+        cts = [enc.encrypt(Plaintext.from_hex_string(h)) for h in ("2", "3", "4")]
+        out = ev.multiply_many(cts, rk)
+        assert dec.decrypt(out).to_hex_string() == "18"  # 24
+
+    def test_bgv_add_many(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BGV, plain_mod=257)
+        cts = [enc.encrypt(Plaintext.from_hex_string(h))
+               for h in ("1", "2", "3", "4", "5")]
+        out = ev.add_many(cts)
+        assert dec.decrypt(out).to_hex_string() == "F"
+
+    def test_bgv_square_then_multiply_plain(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BGV, plain_mod=257)
+        rk = kg.create_relin_keys()
+        ct = enc.encrypt(Plaintext.from_hex_string("1x^1 + 5"))
+        sq = ev.relinearize(ev.square(ct), rk)
+        # (x+5)^2 = x^2 + 10x + 25
+        assert dec.decrypt(sq).to_hex_string() == "1x^2 + Ax^1 + 19"
+
+
+class TestCKKSNaiveMultiply:
+    """CKKSEncryptNaiveMultiplyDecrypt: decrypt a size-3 product without
+    relinearization (evaluator.cpp CKKS cases)."""
+
+    def test_size3_decrypt(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.CKKS, bits=(40, 40, 40, 40))
+        encoder = CKKSEncoder(ctx)
+        scale = 2.0 ** 30
+        vals = np.linspace(0.5, 1.5, encoder.slot_count)
+        ct1 = enc.encrypt(encoder.encode(vals, scale))
+        ct2 = enc.encrypt(encoder.encode(vals, scale))
+        cm = ev.multiply(ct1, ct2)
+        assert cm.size == 3
+        out = encoder.decode(dec.decrypt(cm))
+        assert np.max(np.abs(out - vals * vals)) < 1e-3
