@@ -39,11 +39,16 @@ def _scaled_plain_rows(plain: Plaintext, cd) -> np.ndarray:
 
 
 class Encryptor:
-    def __init__(self, context: SEALContext, key):
+    """Encrypt with a public key (asymmetric), a secret key (symmetric), or
+    both (encryptor.h constructors: (ctx, pk), (ctx, sk), (ctx, pk, sk))."""
+
+    def __init__(self, context: SEALContext, key, secret_key=None):
         self.context = context
         self.public_key: PublicKey | None = None
         self.secret_key: SecretKey | None = None
         self.set_key(key)
+        if secret_key is not None:
+            self.set_key(secret_key)
 
     def set_key(self, key):
         if isinstance(key, PublicKey):

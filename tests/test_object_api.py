@@ -1,0 +1,153 @@
+"""Object-level API families from the reference suite
+(native/tests/seal/encryptor.cpp: {BFV,BGV,CKKS}EncryptZeroDecrypt;
+ciphertext.cpp: CiphertextBasics; batchencoder.cpp: BatchUnbatchIntVector;
+keygenerator.cpp: Constructors)."""
+
+import numpy as np
+import pytest
+
+from seal_tpu import (
+    BatchEncoder,
+    CoeffModulus,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    Plaintext,
+    SEALContext,
+    SchemeType,
+    SecLevelType,
+)
+from seal_tpu.ckks import CKKSEncoder
+
+SEED = (1, 2, 3, 4, 5, 6, 7, 8)
+
+
+def _ctx(scheme, plain_mod=None, bits=(40, 40, 40), n=64):
+    parms = EncryptionParameters(scheme)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, list(bits)))
+    if plain_mod is not None:
+        parms.set_plain_modulus(plain_mod)
+    parms.set_random_seed(SEED)
+    return SEALContext(parms, sec_level=SecLevelType.NONE)
+
+
+class TestEncryptZero:
+    """EncryptZeroDecrypt families: asymmetric + symmetric, first and
+    second chain level (encryptor.cpp:331-578)."""
+
+    def test_bfv_encrypt_zero_decrypts_to_zero(self):
+        ctx = _ctx(SchemeType.BFV, plain_mod=257)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key(), kg.secret_key())
+        dec = Decryptor(ctx, kg.secret_key())
+        for asym in (True, False):
+            ct = enc.encrypt_zero(asymmetric=asym)
+            assert not ct.is_transparent()
+            assert dec.decrypt(ct).to_hex_string() == "0"
+
+    def test_bfv_encrypt_zero_second_level(self):
+        ctx = _ctx(SchemeType.BFV, plain_mod=257)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key(), kg.secret_key())
+        dec = Decryptor(ctx, kg.secret_key())
+        second = ctx.first_context_data().next_context_data
+        ct = enc.encrypt_zero(parms_id=second.parms_id)
+        assert tuple(ct.parms_id) == tuple(second.parms_id)
+        assert dec.decrypt(ct).to_hex_string() == "0"
+
+    def test_bgv_encrypt_zero_decrypts_to_zero(self):
+        ctx = _ctx(SchemeType.BGV, plain_mod=257)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key(), kg.secret_key())
+        dec = Decryptor(ctx, kg.secret_key())
+        for asym in (True, False):
+            ct = enc.encrypt_zero(asymmetric=asym)
+            assert dec.decrypt(ct).to_hex_string() == "0"
+
+    def test_ckks_encrypt_zero_scale_carries(self):
+        ctx = _ctx(SchemeType.CKKS, bits=(40, 40, 40))
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key(), kg.secret_key())
+        dec = Decryptor(ctx, kg.secret_key())
+        encoder = CKKSEncoder(ctx)
+        ct = enc.encrypt_zero()
+        ct.scale = 2.0 ** 30
+        out = encoder.decode(dec.decrypt(ct))
+        assert np.max(np.abs(out)) < 1e-4
+
+
+class TestCiphertextBasics:
+    """CiphertextBasics parity (ciphertext.cpp:18-92): shape metadata,
+    copy independence, transparency flag."""
+
+    def test_shape_metadata(self):
+        ctx = _ctx(SchemeType.BFV, plain_mod=257)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key())
+        ct = enc.encrypt(Plaintext.from_hex_string("7"))
+        assert ct.size == 2
+        assert ct.coeff_modulus_size == 2  # 3 primes -> 2 data primes
+        assert ct.poly_modulus_degree == 64
+        assert tuple(ct.parms_id) == tuple(ctx.first_parms_id)
+
+    def test_copy_is_independent(self):
+        ctx = _ctx(SchemeType.BFV, plain_mod=257)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key())
+        ev = Evaluator(ctx)
+        ct = enc.encrypt(Plaintext.from_hex_string("7"))
+        cp = ct.copy()
+        neg = ev.negate(ct)
+        # negating via a new object leaves the copy untouched
+        assert np.array_equal(cp.to_numpy(), ct.to_numpy())
+        assert not np.array_equal(neg.to_numpy(), ct.to_numpy())
+
+    def test_multiply_grows_size(self):
+        ctx = _ctx(SchemeType.BFV, plain_mod=257)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key())
+        ev = Evaluator(ctx)
+        ct = enc.encrypt(Plaintext.from_hex_string("2"))
+        cm = ev.multiply(ct, ct)
+        assert cm.size == 3
+        cm2 = ev.multiply(cm, ct)
+        assert cm2.size == 4
+
+
+class TestBatchEncoderSigned:
+    """BatchUnbatchIntVector parity (batchencoder.cpp:70-127)."""
+
+    def test_signed_roundtrip(self):
+        ctx = _ctx(SchemeType.BFV, plain_mod=257)
+        encoder = BatchEncoder(ctx)
+        vals = [0, 1, -1, 2, -2, 100, -100] + [0] * (encoder.slot_count - 7)
+        p = encoder.encode(vals)
+        out = encoder.decode(p, signed=True)
+        assert out[:7] == [0, 1, -1, 2, -2, 100, -100]
+
+    def test_unsigned_roundtrip(self):
+        ctx = _ctx(SchemeType.BFV, plain_mod=257)
+        encoder = BatchEncoder(ctx)
+        vals = list(range(encoder.slot_count))
+        assert encoder.decode(encoder.encode(vals)) == vals
+
+
+class TestKeyGeneratorConstructors:
+    """Constructors parity (keygenerator.cpp:450+): a KeyGenerator rebuilt
+    from an existing secret key reproduces working keys."""
+
+    def test_rebuild_from_secret_key(self):
+        ctx = _ctx(SchemeType.BFV, plain_mod=257)
+        kg1 = KeyGenerator(ctx)
+        sk = kg1.secret_key()
+        kg2 = KeyGenerator(ctx, sk)
+        enc = Encryptor(ctx, kg2.create_public_key())
+        dec = Decryptor(ctx, sk)
+        rk = kg2.create_relin_keys()
+        ev = Evaluator(ctx)
+        ct = enc.encrypt(Plaintext.from_hex_string("5"))
+        out = ev.relinearize(ev.multiply(ct, ct), rk)
+        assert dec.decrypt(out).to_hex_string() == "19"  # 25
