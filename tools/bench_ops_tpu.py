@@ -37,15 +37,22 @@ def _marginal(fn, x0, short=8, long_=520, repeats=4, extra=()):
     long chain until the differential clears 50 ms so multi-ms tunnel
     jitter cannot swamp the signal. `extra` args (e.g. key tensors) are
     passed as jit ARGUMENTS so they never serialize into the remote-compile
-    payload."""
+    payload; closure_convert hoists every OTHER closed-over array (NTT
+    tables, context constants — ~125 MB at n=32768) out of the payload too,
+    shipping them once as device-resident arguments instead (the axon
+    remote-compile endpoint 413s above ~100 MB)."""
     import jax
 
-    o = fn(x0, 1, *extra)
+    conv, consts = jax.closure_convert(fn, x0, 1, *extra)
+    consts = [jax.device_put(c) for c in consts]
+    fn = jax.jit(conv)
+
+    o = fn(x0, 1, *extra, *consts)
     _ = np.asarray(jax.tree.leaves(o)[0].reshape(-1)[:2])  # force completion
 
     def run(s):
         t0 = time.perf_counter()
-        o = fn(x0, s, *extra)
+        o = fn(x0, s, *extra, *consts)
         _ = np.asarray(jax.tree.leaves(o)[0].reshape(-1)[:2])
         return time.perf_counter() - t0
 
@@ -114,7 +121,7 @@ def bench_one(n: int, rotations: int = 8):
                 cm = ev.multiply(wrap(ct1, cur), wrap(ct2, d2))
                 return (cm.data[0][:2], cm.data[1][:2])
             return jax.lax.fori_loop(0, steps_, body, x)
-        us["multiply"] = _marginal(jax.jit(mult_chain), d1) * 1e6
+        us["multiply"] = _marginal(mult_chain, d1) * 1e6
 
         # relinearize: size-3 input rebuilt from the size-2 output + row 1
         cm0 = jax.jit(lambda a, b: ev.multiply(wrap(ct1, a), wrap(ct2, b)).data)(d1, d2)
@@ -136,7 +143,7 @@ def bench_one(n: int, rotations: int = 8):
             r = RelinKeys(); r.parms_id = rk.parms_id; r.keys = [kt]
             return r
         us["relinearize"] = _marginal(
-            jax.jit(relin_chain), cm0, extra=(rkt,)) * 1e6
+            relin_chain, cm0, extra=(rkt,)) * 1e6
 
         # rescale: pad the dropped row back
         def rs_chain(x, steps_):
@@ -146,7 +153,7 @@ def bench_one(n: int, rotations: int = 8):
                 hi = jnp.concatenate([out.data[1], cur[1][:, L - 1:]], axis=1)
                 return (lo, hi)
             return jax.lax.fori_loop(0, steps_, body, x)
-        us["rescale"] = _marginal(jax.jit(rs_chain), d1) * 1e6
+        us["rescale"] = _marginal(rs_chain, d1) * 1e6
 
         # rotation (shape-preserving: directly chainable); key tensors are
         # jit ARGUMENTS — closure key stacks blow the remote-compile payload
@@ -172,7 +179,7 @@ def bench_one(n: int, rotations: int = 8):
                 return ev.rotate_vector(wrap(ct1, cur), 1, _rebuild(keys_args)).data
             return jax.lax.fori_loop(0, steps_, body, x)
         us["rotate_one"] = _marginal(
-            jax.jit(rot_chain), d1, extra=(gkt,)) * 1e6
+            rot_chain, d1, extra=(gkt,)) * 1e6
 
         def hoist_chain(x, steps_, keys_args):
             def body(i, cur):
@@ -181,7 +188,7 @@ def bench_one(n: int, rotations: int = 8):
                 return outs[0].data
             return jax.lax.fori_loop(0, steps_, body, x)
         us[f"rotate_{rotations}_hoisted"] = _marginal(
-            jax.jit(hoist_chain), d1, extra=(gkt,)) * 1e6
+            hoist_chain, d1, extra=(gkt,)) * 1e6
         us[f"rotate_{rotations}_unhoisted"] = us["rotate_one"] * rotations
 
         # raw NTT over the L-tower
@@ -189,7 +196,7 @@ def bench_one(n: int, rotations: int = 8):
             return jax.lax.fori_loop(
                 0, steps_, lambda i, a: ntt_mod.ntt_forward(a, cd.ntt_tables), x)
         us[f"ntt_forward_L{L}"] = _marginal(
-            jax.jit(ntt_chain), (d1[0][0], d1[1][0])) * 1e6
+            ntt_chain, (d1[0][0], d1[1][0])) * 1e6
 
         # device encoder (df64 FFT + round + RNS + NTT), per-vector marginal
         enc_fn = encoder._encode_fn(tuple(ctx.first_parms_id))
@@ -206,7 +213,7 @@ def bench_one(n: int, rotations: int = 8):
                     jnp.float32) * jnp.float32(2.0 ** -16)
                 return (f, cur[1], cur[2], cur[3])
             return jax.lax.fori_loop(0, steps_, body, x)
-        us["encode_device"] = _marginal(jax.jit(enc_chain), b4) * 1e6
+        us["encode_device"] = _marginal(enc_chain, b4) * 1e6
 
     return {"n": n, "L": L, "us": {k: round(v, 1) for k, v in us.items()},
             "hoisting_speedup": round(
