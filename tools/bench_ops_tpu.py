@@ -37,22 +37,30 @@ def _marginal(fn, x0, short=8, long_=520, repeats=4, extra=()):
     long chain until the differential clears 50 ms so multi-ms tunnel
     jitter cannot swamp the signal. `extra` args (e.g. key tensors) are
     passed as jit ARGUMENTS so they never serialize into the remote-compile
-    payload; closure_convert hoists every OTHER closed-over array (NTT
-    tables, context constants — ~125 MB at n=32768) out of the payload too,
-    shipping them once as device-resident arguments instead (the axon
-    remote-compile endpoint 413s above ~100 MB)."""
+    payload; every OTHER closed-over array (expanded NTT root tables etc. —
+    284 MB of u32 at n=32768) is hoisted out of the payload too, by tracing
+    to a jaxpr and shipping the jaxpr consts as device-resident arguments
+    (the axon remote-compile endpoint 413s above ~100 MB; jax.closure_convert
+    can't do this — it only hoists inexact-dtype constants)."""
     import jax
+    from jax import tree_util
 
-    conv, consts = jax.closure_convert(fn, x0, 1, *extra)
-    consts = [jax.device_put(c) for c in consts]
-    fn = jax.jit(conv)
+    jpr, out_shape = jax.make_jaxpr(fn, return_shape=True)(x0, 1, *extra)
+    out_tree = tree_util.tree_structure(out_shape)
+    consts = [jax.device_put(c) for c in jpr.consts]
 
-    o = fn(x0, 1, *extra, *consts)
+    @jax.jit
+    def conv(consts_, x, s, *extra_):
+        flat = tree_util.tree_leaves((x, s, *extra_))
+        out = jax.core.eval_jaxpr(jpr.jaxpr, consts_, *flat)
+        return tree_util.tree_unflatten(out_tree, out)
+
+    o = conv(consts, x0, 1, *extra)
     _ = np.asarray(jax.tree.leaves(o)[0].reshape(-1)[:2])  # force completion
 
     def run(s):
         t0 = time.perf_counter()
-        o = fn(x0, s, *extra, *consts)
+        o = conv(consts, x0, s, *extra)
         _ = np.asarray(jax.tree.leaves(o)[0].reshape(-1)[:2])
         return time.perf_counter() - t0
 
