@@ -20,6 +20,11 @@ class GlobalConfig:
     noise_sampler: str = "cbd"
     # smallest n for which the fused Pallas NTT is used
     pallas_ntt_min_n: int = 256
+    # largest n for the fused kernel: the whole transform + expanded
+    # per-stage root tables must fit the ~16 MB VMEM scoped allocation;
+    # n=32768 exceeds it (measured: 18.11M > 16M on v5e) and dispatches
+    # to the XLA stage-by-stage path instead
+    pallas_ntt_max_n: int = 16384
     # NTT-domain Galois permutation: "gather" (default — measured at
     # parity with the MXU route on v5e, BASELINE.md r2) or "matmul"
     # (Clos-routed one-hot matmuls; same speed, kept as an option)
@@ -34,7 +39,8 @@ config = GlobalConfig()
 def pallas_ntt_enabled(n: int) -> bool:
     import jax
 
-    if config.use_pallas_ntt == "never" or n < config.pallas_ntt_min_n:
+    if (config.use_pallas_ntt == "never" or n < config.pallas_ntt_min_n
+            or n > config.pallas_ntt_max_n):
         return False
     if config.use_pallas_ntt == "always":
         return True

@@ -130,7 +130,8 @@ def build_device_tables(log_n: int, moduli: list[Modulus] | list[int]) -> NTTDev
     pallas_tables = None
     from seal_tpu.config import config as _cfg
 
-    if _cfg.use_pallas_ntt != "never" and n >= _cfg.pallas_ntt_min_n:
+    if (_cfg.use_pallas_ntt != "never" and n >= _cfg.pallas_ntt_min_n
+            and n <= _cfg.pallas_ntt_max_n):
         from seal_tpu.ops import ntt_pallas
 
         pallas_tables = ntt_pallas.build_pallas_tables(log_n, qs)
