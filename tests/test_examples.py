@@ -71,6 +71,11 @@ def test_example_bgv_basics_reduced():
     _import("4_bgv_basics.py").main(n=256)
 
 
+def test_example_matvec_reduced():
+    """9_encrypted_matvec diagonal-method hoisted rotations at n=256."""
+    _import("9_encrypted_matvec.py").main(n=256)
+
+
 @pytest.mark.skipif(
     not os.environ.get("SEAL_TPU_RUN_ALL_EXAMPLES"),
     reason="set SEAL_TPU_RUN_ALL_EXAMPLES=1 to run the heavyweight examples",
