@@ -56,44 +56,51 @@ jax.tree_util.register_pytree_node(
 
 @functools.lru_cache(maxsize=None)
 def _expanded_host_tables(log_n: int, q: int):
-    """Per-stage per-position (operand, quotient) for one prime, fwd + inv."""
+    """Per-stage per-position (operand, quotient) for one prime, fwd + inv.
+
+    Exact Python-int packing runs only over the n DISTINCT root powers; the
+    [log_n, n] per-position expansion is numpy fancy indexing on the packed
+    u32 arrays (the old per-position object vectorize cost ~2 s/prime at
+    n=16384 and dominated context builds)."""
     n = 1 << log_n
     h = build_ntt_tables(log_n, q)
     idx = np.arange(n, dtype=np.int64)
 
-    fwd = np.empty((log_n, n), dtype=object)
-    for s in range(log_n):
-        block = idx >> (log_n - s)
-        table_idx = (1 << s) + block
-        fwd[s] = np.asarray([h.root_powers[t] for t in table_idx], dtype=object)
+    def pack_vals(vals):
+        """ints -> (op_lo, op_hi, qt_lo, qt_hi) u32 arrays of len(vals)."""
+        arr = [int(v) for v in vals]
+        quots = [(a << 64) // q for a in arr]
+        return (
+            np.array([a & 0xFFFFFFFF for a in arr], dtype=np.uint32),
+            np.array([a >> 32 for a in arr], dtype=np.uint32),
+            np.array([x & 0xFFFFFFFF for x in quots], dtype=np.uint32),
+            np.array([(x >> 32) & 0xFFFFFFFF for x in quots], dtype=np.uint32),
+        )
 
-    inv = np.empty((log_n, n), dtype=object)
+    fwd_packed = pack_vals(h.root_powers)
+    inv_packed = pack_vals(h.inv_root_powers)
+    # final inverse stage: inv_n on the x0 half, root*inv_n on the x1 half
+    fin_packed = pack_vals((h.inv_degree, h.inv_last_scaled))
+
+    fwd_idx = np.empty((log_n, n), dtype=np.int64)
+    for s in range(log_n):
+        fwd_idx[s] = (1 << s) + (idx >> (log_n - s))
+
+    inv_idx = np.empty((max(log_n - 1, 0), n), dtype=np.int64)
     offset = 1
     row = 0
     for s in range(log_n - 1, 0, -1):
-        m = 1 << s
-        block = idx >> (log_n - s)
-        inv[row] = np.asarray(
-            [h.inv_root_powers[offset + b] for b in block], dtype=object
-        )
-        offset += m
+        inv_idx[row] = offset + (idx >> (log_n - s))
+        offset += 1 << s
         row += 1
-    # final stage: inv_n on the x0 half, root*inv_n on the x1 half
-    half = n >> 1
-    last = np.where(idx < half, h.inv_degree, h.inv_last_scaled)
-    inv[log_n - 1] = last.astype(object)
+    last_sel = (idx >= (n >> 1)).astype(np.int64)
 
-    def pack(arr):
-        ops = arr
-        quots = np.vectorize(lambda v: (int(v) << 64) // q, otypes=[object])(ops)
-        out = []
-        for val in (ops, quots):
-            lo = np.vectorize(lambda t: int(t) & 0xFFFFFFFF, otypes=[np.uint32])(val)
-            hi = np.vectorize(lambda t: (int(t) >> 32) & 0xFFFFFFFF, otypes=[np.uint32])(val)
-            out.extend([lo, hi])
-        return out  # op_lo, op_hi, qt_lo, qt_hi each [log_n, n]
-
-    return pack(fwd), pack(inv)
+    fwd = [a[fwd_idx] for a in fwd_packed]
+    inv = [
+        np.concatenate([a[inv_idx], f[last_sel][None, :]], axis=0)
+        for a, f in zip(inv_packed, fin_packed)
+    ]
+    return fwd, inv
 
 
 def build_pallas_tables(log_n: int, moduli) -> PallasNTTTables:
