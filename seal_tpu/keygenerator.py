@@ -50,7 +50,7 @@ class KeyGenerator:
         n = cd.parms.poly_modulus_degree
         prng = rlwe._prng_for(self.context)
         sk = to_device(rlwe.sample_poly_ternary(prng, moduli, n))
-        sk = ntt_mod.ntt_forward(sk, cd.ntt_tables)
+        sk = ntt_mod.ntt_forward_eager(sk, cd.ntt_tables)
         return SecretKey(sk, tuple(cd.parms_id))
 
     def secret_key(self) -> SecretKey:

@@ -227,6 +227,40 @@ def _dispatch_pallas(t: NTTDeviceTables):
     return t.pallas is not None and pallas_ntt_enabled(1 << t.log_n)
 
 
+_eager_jit_cache: dict = {}
+
+
+def _cached_jit(kind: str, lazy: bool):
+    """One jitted executable per (transform, lazy, current backend) for the
+    EAGER host paths (keygen/sampling): the stage loop otherwise dispatches
+    ~2·log_n tiny executables per call (≈400 CPU compiles per fresh process
+    at n=16384). Keyed by the active default backend because the
+    Pallas-vs-XLA branch is decided at trace time."""
+    import jax
+    from seal_tpu.config import pallas_ntt_enabled
+
+    dd = jax.config.jax_default_device
+    plat = (dd if isinstance(dd, str) else dd.platform) if dd is not None \
+        else jax.default_backend()
+    key = (kind, lazy, plat)
+    fn = _eager_jit_cache.get(key)
+    if fn is None:
+        base = ntt_forward if kind == "fwd" else ntt_inverse
+        fn = jax.jit(lambda x, t, _b=base, _l=lazy: _b(x, t, lazy=_l))
+        _eager_jit_cache[key] = fn
+    return fn
+
+
+def ntt_forward_eager(x, t, lazy: bool = False):
+    """Cached-jit forward NTT for eager host-side code (NOT for use inside
+    other traces — call ntt_forward there)."""
+    return _cached_jit("fwd", lazy)(x, t)
+
+
+def ntt_inverse_eager(x, t, lazy: bool = False):
+    return _cached_jit("inv", lazy)(x, t)
+
+
 def ntt_forward(x: limb.U64Pair, t: NTTDeviceTables, lazy: bool = False) -> limb.U64Pair:
     """Negacyclic NTT: natural order in, bit-reversed order out.
 

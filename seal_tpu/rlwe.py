@@ -192,7 +192,7 @@ def encrypt_zero_asymmetric(
 
     prng = _prng_for(context)
     u = to_device(sample_poly_ternary(prng, moduli, n))
-    u_ntt = ntt_mod.ntt_forward(u, tables)
+    u_ntt = ntt_mod.ntt_forward_eager(u, tables)
 
     L = len(moduli)
     polys = []
@@ -203,7 +203,7 @@ def encrypt_zero_asymmetric(
         pkj = (pkj[0][:L], pkj[1][:L])
         cj = modring.dyadic_product(u_ntt, pkj, mc)
         if not is_ntt_form:
-            cj = ntt_mod.ntt_inverse(cj, tables)
+            cj = ntt_mod.ntt_inverse_eager(cj, tables)
         polys.append(cj)
 
     for j in range(size):
@@ -211,7 +211,7 @@ def encrypt_zero_asymmetric(
         e_dev = to_device(e)
         if scheme == SchemeType.BGV:
             if is_ntt_form:
-                e_dev = ntt_mod.ntt_forward(e_dev, tables, lazy=True)
+                e_dev = ntt_mod.ntt_forward_eager(e_dev, tables, lazy=True)
             t_op, t_qt = modring.shoup_pair(
                 [[parms.plain_modulus.value % q] for q in moduli],
                 [[q] for q in moduli], shape=(len(moduli), 1),
@@ -219,7 +219,7 @@ def encrypt_zero_asymmetric(
             e_dev = limb.mul_mod_shoup(e_dev, t_op, t_qt, mc.q)
         else:
             if is_ntt_form:
-                e_dev = ntt_mod.ntt_forward(e_dev, tables)
+                e_dev = ntt_mod.ntt_forward_eager(e_dev, tables)
         polys[j] = modring.add_poly(e_dev, polys[j], mc)
 
     return Ciphertext(
@@ -257,7 +257,7 @@ def encrypt_zero_symmetric(
         # fork's encrypt_zero_symmetric_with_c1 (rlwe.cpp:276-413): reuse a
         # reference c1 (caller passes the NTT form)
         c1_ntt = c1_override
-        c1_out = c1_ntt if is_ntt_form else ntt_mod.ntt_inverse(c1_ntt, tables)
+        c1_out = c1_ntt if is_ntt_form else ntt_mod.ntt_inverse_eager(c1_ntt, tables)
         if c1_seed is not None:
             seed_info = c1_seed
     else:
@@ -269,13 +269,13 @@ def encrypt_zero_symmetric(
         elif save_seed:
             # sample is the coefficient form; NTT only for computing c0
             # (rlwe.cpp:482-491); serialized c1 is just the seed
-            c1_ntt = ntt_mod.ntt_forward(a_raw, tables)
+            c1_ntt = ntt_mod.ntt_forward_eager(a_raw, tables)
             c1_out = a_raw
         else:
             # sample interpreted as NTT form, output in coefficient form
             # (rlwe.cpp:529-536)
             c1_ntt = a_raw
-            c1_out = ntt_mod.ntt_inverse(a_raw, tables)
+            c1_out = ntt_mod.ntt_inverse_eager(a_raw, tables)
 
     noise = sample_noise(bootstrap_prng, moduli, n)
     noise_dev = to_device(noise)
@@ -285,9 +285,9 @@ def encrypt_zero_symmetric(
     sk = (secret_key.data[0][:L], secret_key.data[1][:L])
     c0 = modring.dyadic_product(sk, c1_ntt, mc)
     if is_ntt_form:
-        noise_dev = ntt_mod.ntt_forward(noise_dev, tables)
+        noise_dev = ntt_mod.ntt_forward_eager(noise_dev, tables)
     else:
-        c0 = ntt_mod.ntt_inverse(c0, tables)
+        c0 = ntt_mod.ntt_inverse_eager(c0, tables)
     if scheme == SchemeType.BGV:
         t_op, t_qt = modring.shoup_pair(
             [[parms.plain_modulus.value % q] for q in moduli],
