@@ -15,9 +15,9 @@ Measurement methodology (hard-won, see memory/BASELINE notes):
 * the reported number is the DIFFERENTIAL between a long and a short chain,
   i.e. pure marginal device throughput.
 
-vs_baseline: measured reference comparator (BASELINE.md "Measured x86
-comparator"): 13.39 ops/s/socket for the same pipeline, reference built
-Release -O3 -march=native (no HEXL; network-fetch forbidden here).
+vs_baseline: measured reference comparator (BASELINE.md "x86 comparator
+correction (r2)"): 26.6 ops/s/socket for the same pipeline, reference
+built Release -O3 -march=native (no HEXL; network-fetch forbidden here).
 """
 
 from __future__ import annotations
@@ -27,7 +27,10 @@ import time
 
 import numpy as np
 
-REFERENCE_OPS_PER_S = 13.394  # tools/oracle/bench_reference.cpp on build host
+# tools/oracle/bench_reference.cpp re-measured on an idle host (r2
+# correction, BASELINE.md): the round-1 13.39 ops/s recording was taken
+# under load; the honest comparator is the faster observation.
+REFERENCE_OPS_PER_S = 26.599
 
 
 def main():
