@@ -20,11 +20,12 @@ class GlobalConfig:
     noise_sampler: str = "cbd"
     # smallest n for which the fused Pallas NTT is used
     pallas_ntt_min_n: int = 256
-    # largest n for the fused kernel: the whole transform + expanded
-    # per-stage root tables must fit the ~16 MB VMEM scoped allocation;
-    # n=32768 exceeds it (measured: 18.11M > 16M on v5e) and dispatches
-    # to the XLA stage-by-stage path instead
-    pallas_ntt_max_n: int = 16384
+    # largest n for the fused kernel. Beyond ~16384 the expanded per-stage
+    # root tables exceed the ~16 MB VMEM scoped allocation in one pass
+    # (measured: 18.11M > 16M at n=32768 on v5e), so the kernel pages
+    # itself into stage-range passes (ops/ntt_pallas.py _PASS_TABLE_BYTES)
+    # — bit-transparent, one extra HBM roundtrip per extra pass
+    pallas_ntt_max_n: int = 131072
     # NTT-domain Galois permutation: "gather" (default — measured at
     # parity with the MXU route on v5e, BASELINE.md r2) or "matmul"
     # (Clos-routed one-hot matmuls; same speed, kept as an option)

@@ -37,6 +37,11 @@ from seal_tpu.utils import numth
 
 LANES = 128
 
+# Per-pass table budget for the expanded kernel's stage-range split
+# (double-buffered by Pallas, so the VMEM working set is ~2x this + data).
+# Tests shrink it to force the multi-pass path at small n.
+_PASS_TABLE_BYTES = 7 << 20
+
 
 class PallasNTTTables(NamedTuple):
     """Expanded per-position root tables for a tower of L primes."""
@@ -424,7 +429,8 @@ def _call_compact(x_pair, t: PallasNTTCompact, inverse: bool, lazy: bool,
 
 
 def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
-                *, log_n: int, inverse: bool, lazy: bool):
+                *, log_n: int, inverse: bool, lazy: bool,
+                stage_lo: int = 0, stage_hi: int | None = None):
     n = 1 << log_n
     R = max(n // LANES, 1)
     C = min(n, LANES)
@@ -446,8 +452,16 @@ def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
     x = (x_lo_ref[0, 0], x_hi_ref[0, 0])
     w_lo_op, w_hi_op, w_lo_qt, w_hi_qt = w_refs
 
+    if stage_hi is None:
+        stage_hi = log_n
     gaps = _stage_geometry(log_n, inverse)
-    for row, gap in enumerate(gaps):
+    # stage-range split (VMEM paging): the per-stage lazy-range invariant
+    # ([0,4q) fwd entry / [0,2q) inv carry) holds at every stage boundary,
+    # so running [stage_lo, stage_hi) as its own pallas_call with the table
+    # slice for just those rows is bit-transparent — only the final
+    # reduction is deferred to the pass that contains the last stage.
+    for off, gap in enumerate(gaps[stage_lo:stage_hi]):
+        row = stage_lo + off
         log_gap = gap.bit_length() - 1
         if gap >= C:
             shift_axis, amt, size = 0, gap // C, R
@@ -462,7 +476,7 @@ def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
         is_x0 = ((flat >> log_gap) & 1) == 0
         u = (jnp.where(is_x0, x[0], bwd_l), jnp.where(is_x0, x[1], bwd_h))
         v = (jnp.where(is_x0, fwd_l, x[0]), jnp.where(is_x0, fwd_h, x[1]))
-        w = ((w_lo_op[0, row], w_hi_op[0, row]), (w_lo_qt[0, row], w_hi_qt[0, row]))
+        w = ((w_lo_op[0, off], w_hi_op[0, off]), (w_lo_qt[0, off], w_hi_qt[0, off]))
 
         if not inverse:
             uu = limb.select64(limb.ge64(u, two_qb), limb.sub64(u, two_qb), u)
@@ -486,7 +500,7 @@ def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
             y1 = limb.mul_mod_shoup_lazy(d, w[0], w[1], qb)
         x = (jnp.where(is_x0, y0[0], y1[0]), jnp.where(is_x0, y0[1], y1[1]))
 
-    if not lazy:
+    if stage_hi == log_n and not lazy:
         if not inverse:
             x = limb.select64(limb.ge64(x, two_qb), limb.sub64(x, two_qb), x)
         x = limb.select64(limb.ge64(x, qb), limb.sub64(x, qb), x)
@@ -507,8 +521,15 @@ def _call(x_pair, t: PallasNTTTables, inverse: bool, lazy: bool, interpret: bool
     hi4 = hi.reshape(B, L, R, C)
     tables = t.inv if inverse else t.fwd
 
-    kernel = functools.partial(
-        _ntt_kernel, log_n=log_n, inverse=inverse, lazy=lazy)
+    # VMEM paging: a pass's table slice is double-buffered, so its working
+    # set is ~2 · stages · 16n bytes (+ the data block). Cap each pass at
+    # ~7 MB of tables (n=32768's full 15 stages measured 18.11M > the 16M
+    # scoped VMEM limit); n <= 16384 stays a single pass.
+    max_stages = max(1, _PASS_TABLE_BYTES // (16 * n))
+    n_pass = -(-log_n // max_stages)
+    bounds = [
+        (p * log_n // n_pass, (p + 1) * log_n // n_pass) for p in range(n_pass)
+    ]
 
     # Grid order (L, B): the batch axis iterates fastest, so consecutive
     # programs share the same prime's (multi-MB) expanded root tables and
@@ -517,31 +538,40 @@ def _call(x_pair, t: PallasNTTTables, inverse: bool, lazy: bool, interpret: bool
     grid = (L, B)
     data_spec = pl.BlockSpec(
         (1, 1, R, C), lambda l, b: (b, l, 0, 0), memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec(
-        (1, log_n, R, C), lambda l, b: (l, 0, 0, 0), memory_space=pltpu.VMEM)
     # full-array SMEM ref; rows are picked by program_id inside the kernel
     consts_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    # kernel signature: consts, x_lo, x_hi, 4 tables -> out lo, hi
-    def body(consts, xl, xh, w0, w1, w2, w3, ol, oh):
-        kernel(consts, xl, xh, (w0, w1, w2, w3), ol, oh)
+    cur = (lo4, hi4)
+    for s0, s1 in bounds:
+        kernel = functools.partial(
+            _ntt_kernel, log_n=log_n, inverse=inverse, lazy=lazy,
+            stage_lo=s0, stage_hi=s1)
+        table_spec = pl.BlockSpec(
+            (1, s1 - s0, R, C), lambda l, b: (l, 0, 0, 0),
+            memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        body,
-        grid=grid,
-        in_specs=[consts_spec, data_spec, data_spec,
-                  table_spec, table_spec, table_spec, table_spec],
-        out_specs=(
-            pl.BlockSpec((1, 1, R, C), lambda l, b: (b, l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, R, C), lambda l, b: (b, l, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, L, R, C), jnp.uint32),
-            jax.ShapeDtypeStruct((B, L, R, C), jnp.uint32),
-        ),
-        interpret=interpret,
-    )(t.consts, lo4, hi4, *tables)
-    return out[0].reshape(lo.shape), out[1].reshape(hi.shape)
+        # kernel signature: consts, x_lo, x_hi, 4 tables -> out lo, hi
+        def body(consts, xl, xh, w0, w1, w2, w3, ol, oh, _k=kernel):
+            _k(consts, xl, xh, (w0, w1, w2, w3), ol, oh)
+
+        cur = pl.pallas_call(
+            body,
+            grid=grid,
+            in_specs=[consts_spec, data_spec, data_spec,
+                      table_spec, table_spec, table_spec, table_spec],
+            out_specs=(
+                pl.BlockSpec((1, 1, R, C), lambda l, b: (b, l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, R, C), lambda l, b: (b, l, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, L, R, C), jnp.uint32),
+                jax.ShapeDtypeStruct((B, L, R, C), jnp.uint32),
+            ),
+            interpret=interpret,
+        )(t.consts, cur[0], cur[1], *(a[:, s0:s1] for a in tables))
+    return cur[0].reshape(lo.shape), cur[1].reshape(hi.shape)
 
 
 def ntt_forward_pallas(x_pair, t, lazy: bool = False, interpret: bool = False):

@@ -97,3 +97,39 @@ def test_galois_matmul_route_matches_gather():
         ref = (x[0][..., tab], x[1][..., tab])
         assert np.array_equal(np.asarray(got[0]), np.asarray(ref[0])), elt
         assert np.array_equal(np.asarray(got[1]), np.asarray(ref[1])), elt
+
+
+def test_pallas_multipass_split_bit_identical(monkeypatch):
+    """The stage-range VMEM paging (n=32768's path) must be bit-transparent:
+    shrink the per-pass table budget so even n=1024 splits into 3+ passes
+    and compare against the single-pass XLA reference, incl. lazy outputs."""
+    log_n = 10
+    n = 1 << log_n
+    qs = [int(m) for m in CoeffModulus.create(n, [30, 45])]
+    ref_t = ntt_mod.build_device_tables(log_n, qs)
+    pt = npk.build_pallas_tables(log_n, qs)
+    vals = [[random.randrange(q) for _ in range(n)] for q in qs]
+    x = limb.arr_to_u64(vals, shape=(len(qs), n))
+
+    # 16n bytes/stage; 4 stages per pass -> 3 passes at log_n=10
+    monkeypatch.setattr(npk, "_PASS_TABLE_BYTES", 16 * n * 4)
+
+    fwd_ref = limb.u64_to_ints(ntt_mod.ntt_forward(x, ref_t))
+    fwd_got = limb.u64_to_ints(npk.ntt_forward_pallas(x, pt, interpret=True))
+    for i in range(len(qs)):
+        assert list(fwd_got[i]) == list(fwd_ref[i])
+
+    y = ntt_mod.ntt_forward(x, ref_t)
+    inv_ref = limb.u64_to_ints(ntt_mod.ntt_inverse(y, ref_t))
+    inv_got = limb.u64_to_ints(npk.ntt_inverse_pallas(y, pt, interpret=True))
+    for i in range(len(qs)):
+        assert list(inv_got[i]) == list(inv_ref[i])
+
+    # lazy forward keeps the [0,4q) range across pass boundaries
+    lz_ref = limb.u64_to_ints(ntt_mod.ntt_forward(x, ref_t, lazy=True))
+    lz_got = limb.u64_to_ints(
+        npk.ntt_forward_pallas(x, pt, lazy=True, interpret=True))
+    for i, q in enumerate(qs):
+        for a, b in zip(lz_got[i], lz_ref[i]):
+            assert a % q == b % q
+            assert a < 4 * q
