@@ -314,3 +314,28 @@ def test_mod_t_and_divide_q_last():
         # result = (v - c_last)/q_last - neg_c (mod q_0)
         expected = ((v - c_last) // q_last - neg_c) % q.base[0]
         assert out[0][k] == expected
+
+
+def test_rnsbase_contains_and_subbase():
+    """RNSBaseTest.Contains / IsSubbaseOf parity (tests/seal/util/rns.cpp)."""
+    from seal_tpu.ops.rns import RNSBase
+
+    base = RNSBase([2, 3, 5, 7])
+    assert base.contains(3)
+    assert not base.contains(11)
+    assert RNSBase([3, 5]).is_subbase_of(base)
+    assert RNSBase([2, 3, 5, 7]).is_subbase_of(base)
+    assert not RNSBase([3, 11]).is_subbase_of(base)
+    assert not base.is_subbase_of(RNSBase([3, 5]))
+
+
+def test_rnsbase_array_access():
+    """RNSBaseTest.ArrayAccess parity: indexing and size."""
+    from seal_tpu.ops.rns import RNSBase
+
+    base = RNSBase([2, 3, 5])
+    assert base.size == 3
+    assert [base[i] for i in range(3)] == [2, 3, 5]
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        base[3]
