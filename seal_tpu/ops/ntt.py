@@ -221,10 +221,24 @@ def _root_slice(op, qt, start, m):
     )
 
 
-def _dispatch_pallas(t: NTTDeviceTables):
-    from seal_tpu.config import pallas_ntt_enabled
+def _dispatch_pallas(t: NTTDeviceTables, x=None):
+    from seal_tpu.config import config, pallas_ntt_enabled
 
-    return t.pallas is not None and pallas_ntt_enabled(1 << t.log_n)
+    if t.pallas is None or not pallas_ntt_enabled(1 << t.log_n):
+        return False
+    if x is not None and (1 << t.log_n) > config.pallas_ntt_max_n_single:
+        # above this size the expanded tables no longer fit one VMEM pass
+        # (the kernel pages itself in stage-range passes) and the per-prime
+        # table fetch dominates unless several polys amortize it: measured
+        # at n=32768, Pallas wins the [15, 16, N] relinearize decompose
+        # (11.6 vs 25.2 ms) but loses the [2, L, N] rescale (5.0 vs
+        # 3.6 ms). Dispatch small batches to the XLA path.
+        shape = x[0].shape
+        batch = 1
+        for d in shape[:-2]:
+            batch *= int(d)
+        return batch >= 4
+    return True
 
 
 _eager_jit_cache: dict = {}
@@ -271,7 +285,7 @@ def ntt_forward(x: limb.U64Pair, t: NTTDeviceTables, lazy: bool = False) -> limb
     semantics: the Pallas path's lazy output range matches ([0,4q)) and all
     fully-reduced results are bit-identical.
     """
-    if _dispatch_pallas(t):
+    if _dispatch_pallas(t, x):
         from seal_tpu.ops import ntt_pallas
 
         return ntt_pallas.ntt_forward_pallas(x, t.pallas, lazy=lazy)
@@ -307,7 +321,7 @@ def ntt_inverse(x: limb.U64Pair, t: NTTDeviceTables, lazy: bool = False) -> limb
     x: u64 tensor [..., L, N] in bit-reversed order, values < 2q (canonical
     < q). Output in natural order, < q (< 2q when lazy=True).
     """
-    if _dispatch_pallas(t):
+    if _dispatch_pallas(t, x):
         from seal_tpu.ops import ntt_pallas
 
         return ntt_pallas.ntt_inverse_pallas(x, t.pallas, lazy=lazy)
