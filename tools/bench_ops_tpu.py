@@ -229,16 +229,102 @@ def bench_one(n: int, rotations: int = 8):
                 / us[f"rotate_{rotations}_hoisted"], 2)}
 
 
+def bench_bfv(n: int):
+    """BFV rows: the BEHZ 8-step multiply (the reference's heaviest op,
+    evaluator.cpp:395-567), relinearize, and modulus switch."""
+    import jax
+    import jax.numpy as jnp
+
+    from seal_tpu import (
+        BatchEncoder, CoeffModulus, EncryptionParameters, Encryptor,
+        Evaluator, KeyGenerator, PlainModulus, SEALContext,
+    )
+    from seal_tpu.encryption_params import SchemeType
+    from seal_tpu.dtypes import RelinKeys
+
+    cpu = jax.devices("cpu")[0]
+    target = jax.devices()[0]
+    bits = BITS[n]
+    L = len(bits) - 1
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_plain_modulus(PlainModulus.batching(n, 20))
+    parms.set_random_seed((1, 2, 3, 4, 5, 6, 7, 8))
+
+    with jax.default_device(cpu):
+        ctx = SEALContext(parms)
+        kg = KeyGenerator(ctx)
+        pk = kg.create_public_key()
+        rk = kg.create_relin_keys()
+        enc = Encryptor(ctx, pk)
+        ev = Evaluator(ctx)
+        encoder = BatchEncoder(ctx)
+        vals = list(range(8)) + [0] * (encoder.slot_count - 8)
+        ct1 = enc.encrypt(encoder.encode(vals))
+        ct2 = enc.encrypt(encoder.encode(vals[::-1]))
+
+    d1 = jax.device_put(ct1.data, target)
+    d2 = jax.device_put(ct2.data, target)
+    rkt = jax.device_put(rk.key(2), target)
+    us = {}
+
+    def wrap(proto, pair):
+        c = proto.copy()
+        c.data = pair
+        return c
+
+    def _rk_like(kt):
+        r = RelinKeys(); r.parms_id = rk.parms_id; r.keys = [kt]
+        return r
+
+    with jax.default_device(target):
+        def mult_chain(x, steps_):
+            def body(i, cur):
+                cm = ev.multiply(wrap(ct1, cur), wrap(ct2, d2))
+                return (cm.data[0][:2], cm.data[1][:2])
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["multiply_behz"] = _marginal(mult_chain, d1, long_=136) * 1e6
+
+        cm0 = jax.jit(
+            lambda a, b: ev.multiply(wrap(ct1, a), wrap(ct2, b)).data)(d1, d2)
+        ct3 = wrap(ct1, cm0)
+
+        def relin_chain(x, steps_, key_tensor):
+            def body(i, cur):
+                c = ct3.copy(); c.data = cur
+                out = ev.relinearize(c, _rk_like(key_tensor))
+                lo = jnp.concatenate([out.data[0], cur[0][2:]], axis=0)
+                hi = jnp.concatenate([out.data[1], cur[1][2:]], axis=0)
+                return (lo, hi)
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["relinearize"] = _marginal(relin_chain, cm0, extra=(rkt,)) * 1e6
+
+        def ms_chain(x, steps_):
+            def body(i, cur):
+                out = ev.mod_switch_to_next(wrap(ct1, cur))
+                lo = jnp.concatenate([out.data[0], cur[0][:, L - 1:]], axis=1)
+                hi = jnp.concatenate([out.data[1], cur[1][:, L - 1:]], axis=1)
+                return (lo, hi)
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["mod_switch"] = _marginal(ms_chain, d1) * 1e6
+
+    return {"n": n, "L": L, "scheme": "bfv",
+            "us": {k: round(v, 1) for k, v in us.items()}}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ns", type=int, nargs="*", default=[4096, 8192, 16384, 32768])
     ap.add_argument("--rotations", type=int, default=8)
+    ap.add_argument("--scheme", choices=["ckks", "bfv"], default="ckks")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
     reports = []
     for n in args.ns:
         t0 = time.time()
-        rep = bench_one(n, args.rotations)
+        rep = (bench_bfv(n) if args.scheme == "bfv"
+               else bench_one(n, args.rotations))
         rep["bench_wall_s"] = round(time.time() - t0, 1)
         print(json.dumps(rep), flush=True)
         reports.append(rep)

@@ -105,8 +105,60 @@ static void bench_one(size_t n, const vector<int> &bits)
     fflush(stdout);
 }
 
-int main()
+static void bench_bfv(size_t n, const vector<int> &bits)
 {
+    EncryptionParameters parms(scheme_type::bfv);
+    parms.set_poly_modulus_degree(n);
+    parms.set_coeff_modulus(CoeffModulus::Create(n, bits));
+    parms.set_plain_modulus(PlainModulus::Batching(n, 20));
+    SEALContext ctx(parms);
+
+    KeyGenerator keygen(ctx);
+    PublicKey pk;
+    keygen.create_public_key(pk);
+    RelinKeys rk;
+    keygen.create_relin_keys(rk);
+
+    Encryptor enc(ctx, pk);
+    Evaluator ev(ctx);
+    BatchEncoder encoder(ctx);
+
+    vector<uint64_t> vals(encoder.slot_count());
+    for (size_t i = 0; i < 8; i++)
+        vals[i] = i + 1;
+    Plaintext p1;
+    encoder.encode(vals, p1);
+    Ciphertext c1, c2, c3;
+    enc.encrypt(p1, c1);
+    enc.encrypt(p1, c2);
+    ev.multiply(c1, c2, c3);
+
+    int reps = n >= 16384 ? 10 : 25;
+    map<string, double> us;
+    us["multiply_behz"] = time_us([&] { Ciphertext o; ev.multiply(c1, c2, o); }, reps);
+    us["relinearize"] = time_us([&] { Ciphertext o = c3; ev.relinearize_inplace(o, rk); }, reps);
+    us["mod_switch"] = time_us([&] { Ciphertext o; ev.mod_switch_to_next(c1, o); }, reps);
+
+    printf("{\"n\": %zu, \"L\": %zu, \"scheme\": \"bfv\", \"us\": {", n, bits.size() - 1);
+    bool first = true;
+    for (auto &kv : us)
+    {
+        printf("%s\"%s\": %.1f", first ? "" : ", ", kv.first.c_str(), kv.second);
+        first = false;
+    }
+    printf("}}\n");
+    fflush(stdout);
+}
+
+int main(int argc, char **argv)
+{
+    bool bfv = argc > 1 && string(argv[1]) == "bfv";
+    if (bfv)
+    {
+        bench_bfv(4096, { 36, 36, 37 });
+        bench_bfv(16384, { 48, 48, 48, 48, 48, 48, 48, 48, 54 });
+        return 0;
+    }
     bench_one(4096, { 36, 36, 37 });
     bench_one(8192, { 43, 43, 43, 43, 46 });
     bench_one(16384, { 48, 48, 48, 48, 48, 48, 48, 48, 54 });
