@@ -229,9 +229,11 @@ def bench_one(n: int, rotations: int = 8):
                 / us[f"rotate_{rotations}_hoisted"], 2)}
 
 
-def bench_bfv(n: int):
-    """BFV rows: the BEHZ 8-step multiply (the reference's heaviest op,
-    evaluator.cpp:395-567), relinearize, and modulus switch."""
+def bench_bfv(n: int, scheme_name: str = "bfv"):
+    """BFV/BGV rows: BFV = the BEHZ 8-step multiply (the reference's
+    heaviest op, evaluator.cpp:395-567); BGV = NTT-domain multiply with
+    correction factors (evaluator.cpp:710-794); plus relinearize and
+    modulus switch for both."""
     import jax
     import jax.numpy as jnp
 
@@ -246,7 +248,8 @@ def bench_bfv(n: int):
     target = jax.devices()[0]
     bits = BITS[n]
     L = len(bits) - 1
-    parms = EncryptionParameters(SchemeType.BFV)
+    parms = EncryptionParameters(
+        SchemeType.BGV if scheme_name == "bgv" else SchemeType.BFV)
     parms.set_poly_modulus_degree(n)
     parms.set_coeff_modulus(CoeffModulus.create(n, bits))
     parms.set_plain_modulus(PlainModulus.batching(n, 20))
@@ -284,7 +287,8 @@ def bench_bfv(n: int):
                 cm = ev.multiply(wrap(ct1, cur), wrap(ct2, d2))
                 return (cm.data[0][:2], cm.data[1][:2])
             return jax.lax.fori_loop(0, steps_, body, x)
-        us["multiply_behz"] = _marginal(mult_chain, d1, long_=136) * 1e6
+        mult_key = "multiply_behz" if scheme_name == "bfv" else "multiply"
+        us[mult_key] = _marginal(mult_chain, d1, long_=136) * 1e6
 
         cm0 = jax.jit(
             lambda a, b: ev.multiply(wrap(ct1, a), wrap(ct2, b)).data)(d1, d2)
@@ -309,7 +313,7 @@ def bench_bfv(n: int):
             return jax.lax.fori_loop(0, steps_, body, x)
         us["mod_switch"] = _marginal(ms_chain, d1) * 1e6
 
-    return {"n": n, "L": L, "scheme": "bfv",
+    return {"n": n, "L": L, "scheme": scheme_name,
             "us": {k: round(v, 1) for k, v in us.items()}}
 
 
@@ -317,14 +321,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ns", type=int, nargs="*", default=[4096, 8192, 16384, 32768])
     ap.add_argument("--rotations", type=int, default=8)
-    ap.add_argument("--scheme", choices=["ckks", "bfv"], default="ckks")
+    ap.add_argument("--scheme", choices=["ckks", "bfv", "bgv"], default="ckks")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
     reports = []
     for n in args.ns:
         t0 = time.time()
-        rep = (bench_bfv(n) if args.scheme == "bfv"
-               else bench_one(n, args.rotations))
+        rep = (bench_one(n, args.rotations) if args.scheme == "ckks"
+               else bench_bfv(n, args.scheme))
         rep["bench_wall_s"] = round(time.time() - t0, 1)
         print(json.dumps(rep), flush=True)
         reports.append(rep)

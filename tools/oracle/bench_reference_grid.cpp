@@ -105,9 +105,9 @@ static void bench_one(size_t n, const vector<int> &bits)
     fflush(stdout);
 }
 
-static void bench_bfv(size_t n, const vector<int> &bits)
+static void bench_bfv(size_t n, const vector<int> &bits, bool bgv = false)
 {
-    EncryptionParameters parms(scheme_type::bfv);
+    EncryptionParameters parms(bgv ? scheme_type::bgv : scheme_type::bfv);
     parms.set_poly_modulus_degree(n);
     parms.set_coeff_modulus(CoeffModulus::Create(n, bits));
     parms.set_plain_modulus(PlainModulus::Batching(n, 20));
@@ -135,11 +135,13 @@ static void bench_bfv(size_t n, const vector<int> &bits)
 
     int reps = n >= 16384 ? 10 : 25;
     map<string, double> us;
-    us["multiply_behz"] = time_us([&] { Ciphertext o; ev.multiply(c1, c2, o); }, reps);
+    us[bgv ? "multiply" : "multiply_behz"] =
+        time_us([&] { Ciphertext o; ev.multiply(c1, c2, o); }, reps);
     us["relinearize"] = time_us([&] { Ciphertext o = c3; ev.relinearize_inplace(o, rk); }, reps);
     us["mod_switch"] = time_us([&] { Ciphertext o; ev.mod_switch_to_next(c1, o); }, reps);
 
-    printf("{\"n\": %zu, \"L\": %zu, \"scheme\": \"bfv\", \"us\": {", n, bits.size() - 1);
+    printf("{\"n\": %zu, \"L\": %zu, \"scheme\": \"%s\", \"us\": {",
+           n, bits.size() - 1, bgv ? "bgv" : "bfv");
     bool first = true;
     for (auto &kv : us)
     {
@@ -152,11 +154,12 @@ static void bench_bfv(size_t n, const vector<int> &bits)
 
 int main(int argc, char **argv)
 {
-    bool bfv = argc > 1 && string(argv[1]) == "bfv";
-    if (bfv)
+    string mode = argc > 1 ? argv[1] : "ckks";
+    if (mode == "bfv" || mode == "bgv")
     {
-        bench_bfv(4096, { 36, 36, 37 });
-        bench_bfv(16384, { 48, 48, 48, 48, 48, 48, 48, 48, 54 });
+        bool bgv = mode == "bgv";
+        bench_bfv(4096, { 36, 36, 37 }, bgv);
+        bench_bfv(16384, { 48, 48, 48, 48, 48, 48, 48, 48, 54 }, bgv);
         return 0;
     }
     bench_one(4096, { 36, 36, 37 });
