@@ -26,10 +26,6 @@ class GlobalConfig:
     # itself into stage-range passes (ops/ntt_pallas.py _PASS_TABLE_BYTES)
     # — bit-transparent, one extra HBM roundtrip per extra pass
     pallas_ntt_max_n: int = 131072
-    # largest n at which the fused kernel wins regardless of batch size;
-    # above it (multi-pass paging, tables re-fetched per pass) small-batch
-    # transforms dispatch to the XLA path (see ops/ntt.py _dispatch_pallas)
-    pallas_ntt_max_n_single: int = 16384
     # NTT-domain Galois permutation: "gather" (default — measured at
     # parity with the MXU route on v5e, BASELINE.md r2) or "matmul"
     # (Clos-routed one-hot matmuls; same speed, kept as an option)

@@ -224,21 +224,14 @@ def _root_slice(op, qt, start, m):
 def _dispatch_pallas(t: NTTDeviceTables, x=None):
     from seal_tpu.config import config, pallas_ntt_enabled
 
-    if t.pallas is None or not pallas_ntt_enabled(1 << t.log_n):
-        return False
-    if x is not None and (1 << t.log_n) > config.pallas_ntt_max_n_single:
-        # above this size the expanded tables no longer fit one VMEM pass
-        # (the kernel pages itself in stage-range passes) and the per-prime
-        # table fetch dominates unless several polys amortize it: measured
-        # at n=32768, Pallas wins the [15, 16, N] relinearize decompose
-        # (11.6 vs 25.2 ms) but loses the [2, L, N] rescale (5.0 vs
-        # 3.6 ms). Dispatch small batches to the XLA path.
-        shape = x[0].shape
-        batch = 1
-        for d in shape[:-2]:
-            batch *= int(d)
-        return batch >= 4
-    return True
+    # A batch-size heuristic (XLA for small batches above the single-pass
+    # VMEM size) was tried and MEASURED WORSE on v5e: mixing XLA and Pallas
+    # transforms inside one executable regressed n=32768 rescale 5.0->37 ms
+    # and rotate 1.35->27 ms (layout transitions between the paths dwarf
+    # the per-kernel differences). All-Pallas is the best single policy
+    # (BASELINE.md n=32768 notes); `x` is kept for future shape heuristics.
+    del x
+    return t.pallas is not None and pallas_ntt_enabled(1 << t.log_n)
 
 
 _eager_jit_cache: dict = {}
