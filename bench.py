@@ -33,7 +33,7 @@ import numpy as np
 REFERENCE_OPS_PER_S = 26.599
 
 
-def main():
+def main(batches=(16,)):
     import jax
     import jax.numpy as jnp
 
@@ -74,14 +74,6 @@ def main():
 
     rk.keys = [jax.device_put(k, target) if k is not None else None for k in rk.keys]
 
-    # B=16 saturates the chip (B=16 and B=64 give the same per-ct cost).
-    B = 16
-    a, b = ct1.copy(), ct2.copy()
-    a.data = jax.device_put(
-        tuple(jnp.broadcast_to(d, (B,) + d.shape) for d in ct1.data), target)
-    b.data = jax.device_put(
-        tuple(jnp.broadcast_to(d, (B,) + d.shape) for d in ct2.data), target)
-
     def one(x_pair, y_pair):
         ca = ct1.copy(); ca.data = x_pair
         cb = ct2.copy(); cb.data = y_pair
@@ -98,34 +90,46 @@ def main():
             return (lo, hi)
         return jax.lax.fori_loop(0, steps, body, x)
 
-    with jax.default_device(target):
-        fn = jax.jit(chained)
-        out = fn(a.data, b.data, 1)
-        _ = np.asarray(out[0][0, 0, 0, :2])   # forces completion (block_until_ready lies here)
+    for B in batches:
+        # B=16 saturates the chip (see BASELINE.md saturation curve).
+        a, b = ct1.copy(), ct2.copy()
+        a.data = jax.device_put(
+            tuple(jnp.broadcast_to(d, (B,) + d.shape) for d in ct1.data), target)
+        b.data = jax.device_put(
+            tuple(jnp.broadcast_to(d, (B,) + d.shape) for d in ct2.data), target)
 
-        def run(steps):
-            t0 = time.perf_counter()
-            o = fn(a.data, b.data, steps)
-            _ = np.asarray(o[0][0, 0, 0, :2])
-            return time.perf_counter() - t0
+        with jax.default_device(target):
+            fn = jax.jit(chained)
+            out = fn(a.data, b.data, 1)
+            # forces completion (block_until_ready lies here)
+            _ = np.asarray(out[0][0, 0, 0, :2])
 
-        run(2)
-        # min EACH chain length over repeats, then subtract — min over
-        # (long-short) pairs picks the most favorable noise draw and can
-        # report an optimistic (or even negative) marginal
-        short, long_ = 2, 18
-        ts = min(run(short) for _ in range(4))
-        tl = min(run(long_) for _ in range(4))
-        dt = (tl - ts) / (long_ - short)
+            def run(steps):
+                t0 = time.perf_counter()
+                o = fn(a.data, b.data, steps)
+                _ = np.asarray(o[0][0, 0, 0, :2])
+                return time.perf_counter() - t0
 
-    ops_per_sec = B / dt
-    print(json.dumps({
-        "metric": f"ckks_n{n}_L8_mult_relin_rescale ({target.platform})",
-        "value": round(ops_per_sec, 3),
-        "unit": "ops/s/chip",
-        "vs_baseline": round(ops_per_sec / REFERENCE_OPS_PER_S, 3),
-    }))
+            run(2)
+            # min EACH chain length over repeats, then subtract — min over
+            # (long-short) pairs picks the most favorable noise draw and can
+            # report an optimistic (or even negative) marginal
+            short, long_ = 2, max(18 // max(B // 16, 1), 4)
+            ts = min(run(short) for _ in range(4))
+            tl = min(run(long_) for _ in range(4))
+            dt = (tl - ts) / (long_ - short)
+
+        ops_per_sec = B / dt
+        print(json.dumps({
+            "metric": f"ckks_n{n}_L8_mult_relin_rescale ({target.platform})"
+                      + (f" B={B}" if len(batches) > 1 else ""),
+            "value": round(ops_per_sec, 3),
+            "unit": "ops/s/chip",
+            "vs_baseline": round(ops_per_sec / REFERENCE_OPS_PER_S, 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(tuple(int(a) for a in sys.argv[1:]) or (16,))
