@@ -141,3 +141,31 @@ def test_common_galois_keys(mp):
     got = be.decode(agg)
     r1, r2 = vals[:32], vals[32:]
     assert got == r1[1:] + r1[:1] + r2[1:] + r2[:1]
+
+
+def test_five_party_flow():
+    """Party count is NOT hardcoded (the reference fork loops exactly 3
+    parties, decryptor.cpp:108): a full 5-party CPK encrypt ->
+    distributed-decrypt flow."""
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    parms.set_plain_modulus(257)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    parties = 5
+    sks = [kg.generate_secret_key() for _ in range(parties)]
+    pks = [kg.create_public_key_with_sk(sks[0])]
+    for i in range(1, parties):
+        pks.append(kg.create_public_key_with_same_c1(sks[i], pks[0]))
+    cpk = kg.create_common_public_key(pks)
+    csk = kg.create_common_secret_key(sks)
+
+    enc = Encryptor(ctx, cpk)
+    ct = enc.encrypt(Plaintext.from_hex_string("3x^2 + 9"))
+    # joint secret key decrypts directly
+    assert Decryptor(ctx, csk).decrypt(ct).to_hex_string() == "3x^2 + 9"
+    # and the 5 per-party partials aggregate to the same plaintext
+    partials = [Decryptor(ctx, sk).distributed_decrypt(ct) for sk in sks]
+    agg = Decryptor(ctx, sks[0]).aggregate_partial_decryption(ct, partials)
+    assert agg.to_hex_string() == "3x^2 + 9"
