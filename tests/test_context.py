@@ -146,3 +146,16 @@ def test_get_context_data_lookup():
     cd = ctx.get_context_data(ctx.first_parms_id)
     assert cd is ctx.first_context_data()
     assert ctx.get_context_data((1, 2, 3, 4)) is None
+
+
+def test_hash_function_distinctness():
+    """HashTest.Hash parity (tests/seal/util/hash.cpp): the parms_id hash
+    distinguishes word counts and values, and is deterministic."""
+    from seal_tpu.encryption_params import _hash_u64_words
+
+    h0 = _hash_u64_words([0])
+    assert _hash_u64_words([]) != h0
+    assert _hash_u64_words([0]) == h0
+    assert _hash_u64_words([0, 0]) != h0
+    assert _hash_u64_words([0x123456]) != _hash_u64_words([0x023456])
+    assert len(h0) == 4 and all(0 <= w < (1 << 64) for w in h0)
