@@ -320,3 +320,31 @@ class TestCKKSNaiveMultiply:
         assert cm.size == 3
         out = encoder.decode(dec.decrypt(cm))
         assert np.max(np.abs(out - vals * vals)) < 1e-3
+
+
+class TestHugeN:
+    """The reference supports n up to 131072 (defines.h:52); a 65536 CKKS
+    roundtrip proves the table builders, NTT paths, and encoder scale past
+    the default grid. Env-gated (83 s on this one-core box):
+    SEAL_TPU_RUN_ALL_EXAMPLES=1."""
+
+    @pytest.mark.skipif(
+        not __import__("os").environ.get("SEAL_TPU_RUN_ALL_EXAMPLES"),
+        reason="set SEAL_TPU_RUN_ALL_EXAMPLES=1 for the n=65536 smoke")
+    def test_n65536_ckks_roundtrip(self):
+        n = 65536
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, [50, 40, 50]))
+        parms.set_random_seed(SEED)
+        ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+        assert ctx.parameters_set
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key())
+        dec = Decryptor(ctx, kg.secret_key())
+        encoder = CKKSEncoder(ctx)
+        ev = Evaluator(ctx)
+        vals = np.linspace(-1, 1, encoder.slot_count)
+        ct = enc.encrypt(encoder.encode(vals, 2.0 ** 40))
+        out = encoder.decode(dec.decrypt(ev.add(ct, ct)))
+        assert np.max(np.abs(out - 2 * vals)) < 1e-4
