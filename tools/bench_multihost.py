@@ -39,7 +39,14 @@ def main():
     ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # this sandbox's sitecustomize hard-sets the axon backend; the env
+        # var alone does not select CPU (CLAUDE.md gotcha)
+        jax.config.update("jax_platforms", "cpu")
 
     if args.coordinator:
         jax.distributed.initialize(
@@ -111,17 +118,26 @@ def main():
         return ev.rescale_to_next(ev.relinearize(ev.multiply(ca, cb), rk)).data
 
     def timed(fn, xa, xb):
+        # force completion with a host transfer of one local shard —
+        # `block_until_ready` does not wait on tunneled backends (BASELINE
+        # r2); device program order makes the last transfer cover all reps
+        def sync(o):
+            leaf = jax.tree.leaves(o)[0]
+            _ = np.asarray(leaf.addressable_data(0)).reshape(-1)[:1]
+
         out = fn(xa, xb)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.perf_counter()
-        outs = [fn(xa, xb) for _ in range(args.reps)]
-        jax.block_until_ready(outs)
+        for _ in range(args.reps):
+            out = fn(xa, xb)
+        sync(out)
         return (time.perf_counter() - t0) / args.reps
 
     with mesh:
+        # output sharding left to XLA: the rescaled tower has L-1 rows,
+        # which need not stay divisible by tp
         fn = jax.jit(lambda x, y: jax.vmap(one)(x, y),
-                     in_shardings=(ct_spec, ct_spec),
-                     out_shardings=ct_spec)
+                     in_shardings=(ct_spec, ct_spec))
         dt = timed(fn, a_data, b_data)
 
     sharded_cts_per_s = B / dt
