@@ -42,6 +42,50 @@ LANES = 128
 # Tests shrink it to force the multi-pass path at small n.
 _PASS_TABLE_BYTES = 7 << 20
 
+# Paired-butterfly compaction (r2): the roll+select formulation computes the
+# Shoup multiply and both butterfly outputs at BOTH positions of every
+# (i, i+gap) pair and selects — 2x redundant VPU work. When the pair
+# structure is expressible as a static reshape (sublane-axis pairs for
+# gap >= 128 lanes, lane-axis pairs below), the kernel splits x into the
+# (u, v) halves, does the multiply/adds once per pair on half-size tensors,
+# and interleaves the results back. Bit-identical by construction (same
+# integer ops, half the tensor). Tests monkeypatch these to force either
+# path; both are covered by the interpret-mode bit-exactness suite.
+_PAIR_COMPACT_SUBLANE = True
+_PAIR_COMPACT_LANE = True
+
+
+def _pair_split_rows(a, gr):
+    """[R, C] -> (x0_half, x1_half), each [R//2, C], for row-gap gr pairs."""
+    R, C = a.shape
+    A = R // (2 * gr)
+    x4 = a.reshape(A, 2, gr, C)
+    return x4[:, 0].reshape(R // 2, C), x4[:, 1].reshape(R // 2, C)
+
+
+def _pair_merge_rows(y0, y1, gr):
+    """Inverse of _pair_split_rows."""
+    H, C = y0.shape
+    A = H // gr
+    y = jnp.stack([y0.reshape(A, gr, C), y1.reshape(A, gr, C)], axis=1)
+    return y.reshape(2 * H, C)
+
+
+def _pair_split_lanes(a, g):
+    """[R, C] -> (x0_half, x1_half), each [R, C//2], for lane-gap g pairs."""
+    R, C = a.shape
+    A = C // (2 * g)
+    x4 = a.reshape(R, A, 2, g)
+    return x4[:, :, 0].reshape(R, C // 2), x4[:, :, 1].reshape(R, C // 2)
+
+
+def _pair_merge_lanes(y0, y1, g):
+    """Inverse of _pair_split_lanes."""
+    R, H = y0.shape
+    A = H // g
+    y = jnp.stack([y0.reshape(R, A, g), y1.reshape(R, A, g)], axis=2)
+    return y.reshape(R, 2 * H)
+
 
 class PallasNTTTables(NamedTuple):
     """Expanded per-position root tables for a tower of L primes."""
@@ -463,6 +507,53 @@ def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
     for off, gap in enumerate(gaps[stage_lo:stage_hi]):
         row = stage_lo + off
         log_gap = gap.bit_length() - 1
+        w = ((w_lo_op[0, off], w_hi_op[0, off]), (w_lo_qt[0, off], w_hi_qt[0, off]))
+
+        # paired-butterfly compaction: do the work once per (i, i+gap) pair
+        # on half-size tensors (see _PAIR_COMPACT_* above); bit-identical
+        if gap >= C:
+            compact = _PAIR_COMPACT_SUBLANE
+            split = functools.partial(_pair_split_rows, gr=gap // C)
+            merge = functools.partial(_pair_merge_rows, gr=gap // C)
+        else:
+            compact = _PAIR_COMPACT_LANE
+            split = functools.partial(_pair_split_lanes, g=gap)
+            merge = functools.partial(_pair_merge_lanes, g=gap)
+        if compact:
+            u0, v0 = split(x[0])
+            u1, v1 = split(x[1])
+            u, v = (u0, u1), (v0, v1)
+            qh = (jnp.full(u0.shape, q[0], jnp.uint32),
+                  jnp.full(u0.shape, q[1], jnp.uint32))
+            two_qh = (jnp.full(u0.shape, two_q[0], jnp.uint32),
+                      jnp.full(u0.shape, two_q[1], jnp.uint32))
+            # pair positions share the root, so the x0-half table suffices
+            wh = ((split(w[0][0])[0], split(w[0][1])[0]),
+                  (split(w[1][0])[0], split(w[1][1])[0]))
+            if not inverse:
+                uu = limb.select64(limb.ge64(u, two_qh), limb.sub64(u, two_qh), u)
+                vv = limb.mul_mod_shoup_lazy(v, wh[0], wh[1], qh)
+                y0 = limb.add64(uu, vv)
+                y1 = limb.sub64(limb.add64(uu, two_qh), vv)
+                x = (merge(y0[0], y1[0]), merge(y0[1], y1[1]))
+            elif row == log_n - 1:
+                # folded final stage: the two halves carry DIFFERENT
+                # multipliers (inv_n / root*inv_n), so merge first and
+                # multiply under the full per-position table
+                u = limb.select64(limb.ge64(u, two_qh), limb.sub64(u, two_qh), u)
+                s0 = limb.add64(u, v)
+                s0 = limb.select64(limb.ge64(s0, two_qh), limb.sub64(s0, two_qh), s0)
+                d = limb.sub64(limb.add64(u, two_qh), v)
+                t = (merge(s0[0], d[0]), merge(s0[1], d[1]))
+                x = limb.mul_mod_shoup_lazy(t, w[0], w[1], qb)
+            else:
+                s0 = limb.add64(u, v)
+                s0 = limb.select64(limb.ge64(s0, two_qh), limb.sub64(s0, two_qh), s0)
+                d = limb.sub64(limb.add64(u, two_qh), v)
+                y1 = limb.mul_mod_shoup_lazy(d, wh[0], wh[1], qh)
+                x = (merge(s0[0], y1[0]), merge(s0[1], y1[1]))
+            continue
+
         if gap >= C:
             shift_axis, amt, size = 0, gap // C, R
         else:
@@ -476,7 +567,6 @@ def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
         is_x0 = ((flat >> log_gap) & 1) == 0
         u = (jnp.where(is_x0, x[0], bwd_l), jnp.where(is_x0, x[1], bwd_h))
         v = (jnp.where(is_x0, fwd_l, x[0]), jnp.where(is_x0, fwd_h, x[1]))
-        w = ((w_lo_op[0, off], w_hi_op[0, off]), (w_lo_qt[0, off], w_hi_qt[0, off]))
 
         if not inverse:
             uu = limb.select64(limb.ge64(u, two_qb), limb.sub64(u, two_qb), u)

@@ -14,7 +14,7 @@ from seal_tpu.ops import ntt_pallas as npk
 random.seed(11)
 
 
-@pytest.mark.parametrize("log_n", [6, 8, 10])
+@pytest.mark.parametrize("log_n", [6, 8, 10, 11, 12])
 def test_pallas_matches_reference(log_n):
     n = 1 << log_n
     qs = [int(m) for m in CoeffModulus.create(n, [30, 45])]
@@ -52,6 +52,36 @@ def test_pallas_batched_and_lazy():
     for b in range(3):
         for a, r in zip(lazy[b][0], ref[b][0]):
             assert a < 4 * q and a % q == r
+
+
+@pytest.mark.parametrize(
+    "sub,lane", [(False, False), (True, False), (False, True)])
+def test_pallas_pair_compaction_modes(monkeypatch, sub, lane):
+    """Paired-butterfly compaction (r2): every on/off combination of the
+    sublane/lane compaction flags is bit-identical to the XLA reference
+    (the default both-on path is covered by test_pallas_matches_reference).
+    log_n=11 exercises row gaps 8/4/2/1 (tile-aligned and sub-tile) and
+    every lane gap."""
+    monkeypatch.setattr(npk, "_PAIR_COMPACT_SUBLANE", sub)
+    monkeypatch.setattr(npk, "_PAIR_COMPACT_LANE", lane)
+    log_n = 11
+    n = 1 << log_n
+    qs = [int(m) for m in CoeffModulus.create(n, [30, 45])]
+    ref_t = ntt_mod.build_device_tables(log_n, qs)
+    pt = npk.build_pallas_tables(log_n, qs)
+    vals = [[random.randrange(q) for _ in range(n)] for q in qs]
+    x = limb.arr_to_u64(vals, shape=(len(qs), n))
+
+    fwd_ref = limb.u64_to_ints(ntt_mod.ntt_forward(x, ref_t))
+    fwd_got = limb.u64_to_ints(npk.ntt_forward_pallas(x, pt, interpret=True))
+    for i in range(len(qs)):
+        assert list(fwd_got[i]) == list(fwd_ref[i])
+
+    y = ntt_mod.ntt_forward(x, ref_t)
+    inv_ref = limb.u64_to_ints(ntt_mod.ntt_inverse(y, ref_t))
+    inv_got = limb.u64_to_ints(npk.ntt_inverse_pallas(y, pt, interpret=True))
+    for i in range(len(qs)):
+        assert list(inv_got[i]) == list(inv_ref[i])
 
 
 @pytest.mark.parametrize("log_n", [6, 8, 10])
