@@ -40,7 +40,10 @@ from seal_tpu.keygenerator import KeyGenerator
 from seal_tpu.encryptor import Encryptor
 from seal_tpu.decryptor import Decryptor
 from seal_tpu.encoders import BatchEncoder
+from seal_tpu.ckks import CKKSEncoder
 from seal_tpu.evaluator import Evaluator
 from seal_tpu.jit import JitEvaluator
+from seal_tpu.serialization import ComprMode
+from seal_tpu.valcheck import is_valid_for, is_metadata_valid_for
 
 __version__ = "0.1.0"
