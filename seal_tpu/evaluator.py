@@ -447,18 +447,47 @@ class Evaluator:
         ext_q = tuple(a[None, :, :] for a in ext_mc.q)          # [1, L+1, 1]
         ext_r1 = tuple(a[None, :, :] for a in ext_mc.ratio1)
         reduced = limb.barrett_reduce_64((tt_lo, tt_hi), ext_q, ext_r1)
-        # NTT over the extended-tower axis (axis -2), batched over J
-        t_op = ntt_mod.ntt_forward(reduced, ext_tables)          # [J=L, I=L+1, N]
         if scheme == SchemeType.CKKS:
-            # rows where I == J already exist in NTT form in the input
-            eye = (jnp.arange(L)[:, None] == jnp.arange(L + 1)[None, :])
-            orig_lo = jnp.broadcast_to(target[0][:, None, :], (L, L + 1, n))
-            orig_hi = jnp.broadcast_to(target[1][:, None, :], (L, L + 1, n))
-            t_op = (
-                jnp.where(eye[:, :, None], orig_lo, t_op[0]),
-                jnp.where(eye[:, :, None], orig_hi, t_op[1]),
+            # diagonal skip (r2): rows I == J already exist in NTT form in
+            # the input (SEAL's eye shortcut, evaluator.cpp:2488-2496), so
+            # their forward NTTs are never computed — L*(L+1) -> L*L
+            # transform rows. Body rows regroup as [J'=L-1, I=L, N] (for
+            # each level modulus I, the L-1 targets J != I) so the level
+            # tables stay dense; the special-prime row is its own [L, 1, N]
+            # call. Bit-identical to the compute-then-overwrite form.
+            ts = ntt_mod.ntt_forward(
+                (reduced[0][:, L:, :], reduced[1][:, L:, :]),
+                ntt_mod.slice_tables(ext_tables, L, L + 1))      # [L, 1, N]
+            if L > 1:
+                jidx = jnp.asarray(
+                    [[j for j in range(L) if j != i] for i in range(L)]
+                ).T                                              # [L-1, I=L]
+                body_in = tuple(
+                    jnp.take_along_axis(a[:, :L, :], jidx[:, :, None], axis=0)
+                    for a in reduced)                            # [L-1, L, N]
+                body = ntt_mod.ntt_forward(
+                    body_in, ntt_mod.slice_tables(ext_tables, 0, L))
+                # scatter back: out[j, i<L] = target[j] if i==j else body[k, i]
+                # with k = j if j < i else j-1
+                k_idx = jnp.asarray(
+                    [[j if j < i else max(j - 1, 0) for i in range(L)]
+                     for j in range(L)])                         # [J=L, I=L]
+                lvl = tuple(
+                    jnp.take_along_axis(b, k_idx[:, :, None], axis=0)
+                    for b in body)                               # [L, L, N]
+            else:
+                lvl = tuple(jnp.zeros((L, L, n), jnp.uint32) for _ in range(2))
+            eye = (jnp.arange(L)[:, None] == jnp.arange(L)[None, :])
+            orig_lo = jnp.broadcast_to(target[0][:, None, :], (L, L, n))
+            orig_hi = jnp.broadcast_to(target[1][:, None, :], (L, L, n))
+            return (
+                jnp.concatenate(
+                    [jnp.where(eye[:, :, None], orig_lo, lvl[0]), ts[0]], axis=1),
+                jnp.concatenate(
+                    [jnp.where(eye[:, :, None], orig_hi, lvl[1]), ts[1]], axis=1),
             )
-        return t_op
+        # NTT over the extended-tower axis (axis -2), batched over J
+        return ntt_mod.ntt_forward(reduced, ext_tables)          # [J=L, I=L+1, N]
 
     def _switch_key_inner(self, ct: Ciphertext, t_op, keys_tensor) -> Ciphertext:
         """Inner product of a decomposed target with one kswitch key, then
