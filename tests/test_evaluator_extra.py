@@ -242,3 +242,67 @@ class TestHoistedNoiseBound:
                 assert int(max(d)) < 2 ** 14, (
                     f"level {level} row {row}: max diff {max(d)}"
                 )
+
+
+class TestDiagonalSkipDecompose:
+    """The CKKS diagonal-skip decompose (r2) must equal the dense
+    compute-all-rows-then-overwrite form bit-for-bit, at every level of the
+    chain down to L=1 (the L=1 edge has no off-diagonal body rows at all)."""
+
+    def _dense_decompose(self, ev, ct, target):
+        """The pre-r2 formulation: NTT all L*(L+1) rows, then substitute the
+        already-NTT input on the I == J diagonal."""
+        import jax.numpy as jnp
+
+        from seal_tpu.ops import limb, modring
+        from seal_tpu.ops import ntt as ntt_mod2
+
+        ctx = ev.context
+        cd = ctx.get_context_data(ct.parms_id)
+        key_cd = ctx.key_context_data()
+        L = cd.coeff_modulus_size
+        key_moduli = key_cd.key_moduli()
+        key_indices = list(range(L)) + [len(key_moduli) - 1]
+        ext_tables = ntt_mod2.gather_tables(key_cd.ntt_tables, key_indices)
+        ext_mc = modring.make_mod_consts([key_moduli[i] for i in key_indices])
+        t_target = ntt_mod2.ntt_inverse(target, cd.ntt_tables)
+        n = t_target[0].shape[-1]
+        tt_lo = jnp.broadcast_to(t_target[0][:, None, :], (L, L + 1, n))
+        tt_hi = jnp.broadcast_to(t_target[1][:, None, :], (L, L + 1, n))
+        ext_q = tuple(a[None, :, :] for a in ext_mc.q)
+        ext_r1 = tuple(a[None, :, :] for a in ext_mc.ratio1)
+        reduced = limb.barrett_reduce_64((tt_lo, tt_hi), ext_q, ext_r1)
+        t_op = ntt_mod2.ntt_forward(reduced, ext_tables)
+        eye = (jnp.arange(L)[:, None] == jnp.arange(L + 1)[None, :])
+        orig_lo = jnp.broadcast_to(target[0][:, None, :], (L, L + 1, n))
+        orig_hi = jnp.broadcast_to(target[1][:, None, :], (L, L + 1, n))
+        return (
+            jnp.where(eye[:, :, None], orig_lo, t_op[0]),
+            jnp.where(eye[:, :, None], orig_hi, t_op[1]),
+        )
+
+    def test_matches_dense_every_level(self):
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(64)
+        parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40, 40]))
+        parms.set_random_seed(SEED)
+        ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key())
+        ev = Evaluator(ctx)
+        encd = CKKSEncoder(ctx)
+        vals = np.linspace(-1, 1, encd.slot_count)
+        ct = enc.encrypt(encd.encode(vals, 2.0 ** 30))
+        levels = 0
+        while True:
+            target = ct.poly(1)
+            got = ev._switch_key_decompose(ct, target)
+            want = self._dense_decompose(ev, ct, target)
+            np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+            np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+            levels += 1
+            cd = ctx.get_context_data(ct.parms_id)
+            if cd.coeff_modulus_size == 1:
+                break
+            ct = ev.mod_switch_to_next(ct)
+        assert levels >= 3  # L = 3, 2, 1 all exercised
