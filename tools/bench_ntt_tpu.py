@@ -17,6 +17,8 @@ def main():
     ap.add_argument("--n", type=int, default=16384)
     ap.add_argument("--L", type=int, default=8)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--no-pair-compact", action="store_true",
+                    help="A/B: force the roll+select butterfly formulation")
     args = ap.parse_args()
 
     import jax
@@ -25,6 +27,10 @@ def main():
     from seal_tpu.ops import ntt as ntt_mod
     from seal_tpu.ops import ntt_pallas as npk
     from seal_tpu.dtypes import to_device
+
+    if args.no_pair_compact:
+        npk._PAIR_COMPACT_SUBLANE = False
+        npk._PAIR_COMPACT_LANE = False
 
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
