@@ -19,6 +19,7 @@ QUICK = ["2_encoders.py", "7_serialization.py"]
 HEAVY = [
     "1_bfv_basics.py", "3_levels.py", "4_bgv_basics.py",
     "5_ckks_basics.py", "6_rotation.py", "8_performance.py",
+    "9_encrypted_matvec.py", "10_encrypted_logreg.py",
 ]
 
 
@@ -74,6 +75,11 @@ def test_example_bgv_basics_reduced():
 def test_example_matvec_reduced():
     """9_encrypted_matvec diagonal-method hoisted rotations at n=256."""
     _import("9_encrypted_matvec.py").main(n=256)
+
+
+def test_example_logreg_reduced():
+    """10_encrypted_logreg batched sigmoid inference at n=256."""
+    _import("10_encrypted_logreg.py").main(n=256)
 
 
 @pytest.mark.skipif(
