@@ -32,28 +32,46 @@ class GlobalConfig:
     galois_permute: str = "gather"
     # smallest n for which the Clos-routed MXU permutation is used
     galois_matmul_min_n: int = 2048
+    # fused Pallas key-switch inner product (ops/keyswitch_pallas.py):
+    # keeps the 4-limb accumulator in VMEM across the decomp contraction
+    use_pallas_keyswitch: str = "auto"
+    pallas_keyswitch_min_n: int = 256
 
 
 config = GlobalConfig()
 
 
-def pallas_ntt_enabled(n: int) -> bool:
+def _on_tpu_backend() -> bool:
+    """Whether traces built right now target a TPU backend. Respects a
+    `with jax.default_device(...)` override (bench.py pins eager setup to
+    the CPU backend while the jitted pipeline targets the TPU); falls back
+    to the process default backend."""
     import jax
 
-    if (config.use_pallas_ntt == "never" or n < config.pallas_ntt_min_n
-            or n > config.pallas_ntt_max_n):
-        return False
-    if config.use_pallas_ntt == "always":
-        return True
-    # Respect a `with jax.default_device(...)` override (bench.py pins
-    # eager setup to the CPU backend while the jitted pipeline targets the
-    # TPU); fall back to the process default backend.
     dd = jax.config.jax_default_device
     if dd is not None:
         # jax.default_device accepts a platform string ('cpu') or a Device
         plat = dd if isinstance(dd, str) else dd.platform
         return plat == "tpu"
     return jax.default_backend() == "tpu"
+
+
+def pallas_ntt_enabled(n: int) -> bool:
+    if (config.use_pallas_ntt == "never" or n < config.pallas_ntt_min_n
+            or n > config.pallas_ntt_max_n):
+        return False
+    if config.use_pallas_ntt == "always":
+        return True
+    return _on_tpu_backend()
+
+
+def pallas_keyswitch_enabled(n: int) -> bool:
+    if (config.use_pallas_keyswitch == "never"
+            or n < config.pallas_keyswitch_min_n):
+        return False
+    if config.use_pallas_keyswitch == "always":
+        return True
+    return _on_tpu_backend()
 
 
 def galois_matmul_enabled(n: int) -> bool:

@@ -512,8 +512,18 @@ class Evaluator:
 
         # key rows gathered to the extended tower: [L_decomp(=L), 2, L+1, N]
         klo, khi = keys_tensor
-        klo = klo[:, :, jnp.asarray(key_indices), :]
-        khi = khi[:, :, jnp.asarray(key_indices), :]
+        klo = klo[:L, :, jnp.asarray(key_indices), :]
+        khi = khi[:L, :, jnp.asarray(key_indices), :]
+
+        from seal_tpu.config import _on_tpu_backend, pallas_keyswitch_enabled
+
+        if pallas_keyswitch_enabled(n):
+            from seal_tpu.ops import keyswitch_pallas as ksp
+
+            lo, hi = ksp.keyswitch_inner_pallas(
+                t_op, (klo, khi), ksp.pack_mod_consts(ext_moduli),
+                interpret=not _on_tpu_backend())
+            return [(lo[0], hi[0]), (lo[1], hi[1])]
 
         # inner product over J with 128-bit accumulation: out [2, L+1, N]
         acc = [

@@ -323,7 +323,13 @@ def main():
     ap.add_argument("--rotations", type=int, default=8)
     ap.add_argument("--scheme", choices=["ckks", "bfv", "bgv"], default="ckks")
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--keyswitch-xla", action="store_true",
+                    help="A/B: force the XLA key-switch inner product "
+                         "(default: fused Pallas kernel on TPU)")
     args = ap.parse_args()
+    if args.keyswitch_xla:
+        from seal_tpu.config import config as _cfg
+        _cfg.use_pallas_keyswitch = "never"
     reports = []
     for n in args.ns:
         t0 = time.time()
