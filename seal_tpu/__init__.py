@@ -27,6 +27,7 @@ from seal_tpu.encryption_params import (
     parms_id_zero,
 )
 from seal_tpu.context import SEALContext
+from seal_tpu.randomgen import PrngType
 from seal_tpu.dtypes import (
     Ciphertext,
     GaloisKeys,

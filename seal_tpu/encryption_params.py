@@ -46,6 +46,7 @@ class EncryptionParameters:
         self._coeff_modulus: list[Modulus] = []
         self._plain_modulus = Modulus(0)
         self._random_seed = None  # optional fixed PRNG seed (8-tuple of u64)
+        self._prng_type = None    # PrngType; None = blake2xb default
         self._compute_parms_id()
 
     # -- setters (mirroring the reference API) ------------------------------
@@ -103,6 +104,21 @@ class EncryptionParameters:
     def random_seed(self):
         return self._random_seed
 
+    def set_prng_type(self, prng_type):
+        """Select the PRNG family (blake2xb default or shake256) — the
+        analogue of SEAL's set_random_generator with a Shake256PRNGFactory
+        (encryptionparams.h:257-266 + randomgen.h:501-560). Like the
+        reference's factory, this is NOT part of parms_id."""
+        from seal_tpu.randomgen import PrngType
+
+        self._prng_type = PrngType(prng_type) if prng_type is not None else None
+
+    @property
+    def prng_type(self):
+        from seal_tpu.randomgen import PrngType
+
+        return PrngType.BLAKE2XB if self._prng_type is None else self._prng_type
+
     @property
     def parms_id(self) -> ParmsId:
         return self._parms_id
@@ -121,6 +137,7 @@ class EncryptionParameters:
         p._coeff_modulus = list(self._coeff_modulus)
         p._plain_modulus = self._plain_modulus
         p._random_seed = self._random_seed
+        p._prng_type = self._prng_type
         p._compute_parms_id()
         return p
 

@@ -172,8 +172,9 @@ sample_noise = sample_poly_cbd
 # ---------------------------------------------------------------------------
 
 def _prng_for(context: SEALContext):
-    seed = context.key_context_data().parms.random_seed
-    factory = randomgen.UniformRandomGeneratorFactory(seed=seed)
+    parms = context.key_context_data().parms
+    factory = randomgen.UniformRandomGeneratorFactory(
+        parms.prng_type, seed=parms.random_seed)
     return factory.create()
 
 
@@ -250,9 +251,10 @@ def encrypt_zero_symmetric(
     public_seed = tuple(
         np.frombuffer(bootstrap_prng.generate(randomgen.PRNG_SEED_BYTE_COUNT), dtype="<u8").tolist()
     )
-    ciphertext_prng = randomgen.UniformRandomGeneratorFactory().create(public_seed)
+    prng_type = context.key_context_data().parms.prng_type
+    ciphertext_prng = randomgen.UniformRandomGeneratorFactory(prng_type).create(public_seed)
 
-    seed_info = (int(randomgen.PrngType.BLAKE2XB), public_seed)
+    seed_info = (int(prng_type), public_seed)
     if c1_override is not None:
         # fork's encrypt_zero_symmetric_with_c1 (rlwe.cpp:276-413): reuse a
         # reference c1 (caller passes the NTT form)

@@ -112,3 +112,43 @@ class TestLegacySamplers:
         assert flat[:32].tolist() == vectors["uniform_4096_head"]
         assert flat[-32:].tolist() == vectors["uniform_4096_tail"]
         assert int(flat.astype(object).sum()) & 0xFFFFFFFFFFFFFFFF == vectors["uniform_4096_sum"]
+
+
+def test_shake256_prng_type_end_to_end():
+    """parms.set_prng_type(SHAKE256) drives keygen/encrypt and survives the
+    seeded-ciphertext wire format (randomgen.h:501-560 Shake256PRNGFactory
+    selection parity)."""
+    import seal_tpu
+    from seal_tpu import serialization
+    from seal_tpu.modulus import CoeffModulus
+    from seal_tpu.randomgen import PrngType
+
+    n = 64
+    parms = seal_tpu.EncryptionParameters(seal_tpu.SchemeType.BFV)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [40, 40]))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed((1, 2, 3, 4, 5, 6, 7, 8))
+    parms.set_prng_type(PrngType.SHAKE256)
+    # prng choice must not perturb parms_id (not hashed, like the factory)
+    blake = parms.clone()
+    blake.set_prng_type(None)
+    assert tuple(parms.parms_id) == tuple(blake.parms_id)
+
+    ctx = seal_tpu.SEALContext(parms, sec_level=seal_tpu.SecLevelType.NONE)
+    kg = seal_tpu.KeyGenerator(ctx)
+    enc = seal_tpu.Encryptor(ctx, kg.create_public_key(), kg.secret_key())
+    dec = seal_tpu.Decryptor(ctx, kg.secret_key())
+    pt = seal_tpu.Plaintext.from_hex_string("5x^3 + 2x^1 + 1")
+    ct = enc.encrypt_symmetric(pt, save_seed=True)
+    assert ct.seed_info is not None and ct.seed_info[0] == int(PrngType.SHAKE256)
+    blob = serialization.save_ciphertext(ct)
+    ct2 = serialization.load_ciphertext(ctx, blob)
+    assert dec.decrypt(ct2).to_hex_string() == pt.to_hex_string()
+
+    # a blake2xb context under the same seed must produce a DIFFERENT stream
+    ctx_b = seal_tpu.SEALContext(blake, sec_level=seal_tpu.SecLevelType.NONE)
+    kg_b = seal_tpu.KeyGenerator(ctx_b)
+    import numpy as np
+    assert not np.array_equal(
+        np.asarray(kg.secret_key().data[0]), np.asarray(kg_b.secret_key().data[0]))
