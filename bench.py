@@ -33,7 +33,7 @@ import numpy as np
 REFERENCE_OPS_PER_S = 26.599
 
 
-def main(batches=(16,)):
+def main(batches=(16,), alpha=1):
     import jax
     import jax.numpy as jnp
 
@@ -53,10 +53,18 @@ def main(batches=(16,)):
     target = jax.devices()[0]
 
     n = 16384
-    bits = [48] * 8 + [54]  # 8 data primes + special, total 438 = MaxBitCount
+    if alpha == 1:
+        # the reference's algorithm: 8 data primes + 1 special = 438 bits
+        # = MaxBitCount(16384, tc128)
+        bits = [48] * 8 + [54]
+    else:
+        # hybrid keyswitch (--hybrid): SAME depth (8 data primes), SAME
+        # 128-bit security budget (8*44 + alpha*ceil(86/alpha) <= 438)
+        bits = [44] * 8 + [86 // alpha] * alpha
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
     parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_special_modulus_size(alpha)
     parms.set_random_seed((1, 2, 3, 4, 5, 6, 7, 8))
 
     with jax.default_device(cpu):
@@ -120,8 +128,9 @@ def main(batches=(16,)):
             dt = (tl - ts) / (long_ - short)
 
         ops_per_sec = B / dt
+        hyb = f"_hybrid{alpha}" if alpha > 1 else ""
         print(json.dumps({
-            "metric": f"ckks_n{n}_L8_mult_relin_rescale ({target.platform})"
+            "metric": f"ckks_n{n}_L8_mult_relin_rescale{hyb} ({target.platform})"
                       + (f" B={B}" if len(batches) > 1 else ""),
             "value": round(ops_per_sec, 3),
             "unit": "ops/s/chip",
@@ -132,4 +141,13 @@ def main(batches=(16,)):
 if __name__ == "__main__":
     import sys
 
-    main(tuple(int(a) for a in sys.argv[1:]) or (16,))
+    args = sys.argv[1:]
+    alpha = 1
+    if "--hybrid" in args:
+        args.remove("--hybrid")
+        alpha = 2
+    for a in list(args):
+        if a.startswith("--alpha="):
+            alpha = int(a.split("=")[1])
+            args.remove(a)
+    main(tuple(int(a) for a in args) or (16,), alpha=alpha)

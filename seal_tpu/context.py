@@ -183,10 +183,15 @@ class SEALContext:
         self._context_data_map[parms.parms_id] = key_cd
         self.key_parms_id = parms.parms_id
 
-        if not key_cd.qualifiers.parameters_set or len(parms.coeff_modulus) == 1:
+        alpha = parms.special_modulus_size
+        if (not key_cd.qualifiers.parameters_set
+                or len(parms.coeff_modulus) <= alpha):
             self.first_parms_id = self.key_parms_id
         else:
-            next_id = self._create_next_context_data(self.key_parms_id)
+            # hybrid keyswitching (alpha > 1): the key level reserves alpha
+            # special primes, so the first DATA level drops all of them at
+            # once (the reference's alpha=1 chain drops one: context.cpp:498)
+            next_id = self._create_next_context_data(self.key_parms_id, drop=alpha)
             self.first_parms_id = self.key_parms_id if next_id == PARMS_ID_ZERO else next_id
 
         self.last_parms_id = self.first_parms_id
@@ -232,10 +237,10 @@ class SEALContext:
 
     # -- construction -----------------------------------------------------------
 
-    def _create_next_context_data(self, prev_id: ParmsId) -> ParmsId:
+    def _create_next_context_data(self, prev_id: ParmsId, drop: int = 1) -> ParmsId:
         next_parms = self._context_data_map[prev_id].parms.clone()
         moduli = next_parms.coeff_modulus
-        next_parms.set_coeff_modulus(moduli[:-1])
+        next_parms.set_coeff_modulus(moduli[:-drop])
         next_id = next_parms.parms_id
 
         next_cd = self._validate(next_parms)

@@ -47,6 +47,7 @@ class EncryptionParameters:
         self._plain_modulus = Modulus(0)
         self._random_seed = None  # optional fixed PRNG seed (8-tuple of u64)
         self._prng_type = None    # PrngType; None = blake2xb default
+        self._special_modulus_size = 1  # key-switching special primes (α)
         self._compute_parms_id()
 
     # -- setters (mirroring the reference API) ------------------------------
@@ -104,6 +105,24 @@ class EncryptionParameters:
     def random_seed(self):
         return self._random_seed
 
+    def set_special_modulus_size(self, alpha: int):
+        """Number of special (key-switching-only) primes at the tail of
+        coeff_modulus. 1 = the reference's scheme (evaluator.cpp:2382-2677,
+        single special prime, per-prime decomposition — the default, bit-
+        exact to SEAL). α > 1 enables HYBRID key switching (GHS-style α-prime
+        digits, as in OpenFHE/Lattigo/HEAAN-RNS): ⌈L/α⌉ decomposition digits
+        instead of L, cutting the decompose NTT count ≈α× at the cost of α
+        reserved primes. Like the PRNG factory, α is NOT part of parms_id
+        (it changes only which chain levels ciphertexts occupy)."""
+        alpha = int(alpha)
+        if alpha < 1:
+            raise ValueError("special_modulus_size must be >= 1")
+        self._special_modulus_size = alpha
+
+    @property
+    def special_modulus_size(self) -> int:
+        return self._special_modulus_size
+
     def set_prng_type(self, prng_type):
         """Select the PRNG family (blake2xb default or shake256) — the
         analogue of SEAL's set_random_generator with a Shake256PRNGFactory
@@ -138,6 +157,7 @@ class EncryptionParameters:
         p._plain_modulus = self._plain_modulus
         p._random_seed = self._random_seed
         p._prng_type = self._prng_type
+        p._special_modulus_size = self._special_modulus_size
         p._compute_parms_id()
         return p
 

@@ -77,21 +77,44 @@ class Encryptor:
                 raise RuntimeError("public key is not set")
             prev_cd = cd.prev_context_data
             if prev_cd is not None:
-                # encrypt at key level, then switch the modulus down
+                # encrypt at the level above, then switch the modulus down
                 temp = rlwe.encrypt_zero_asymmetric(
                     self.public_key, ctx, prev_cd.parms_id, is_ntt_form
                 )
-                rt = prev_cd.rns_tool_device
+                alpha = ctx.key_context_data().parms.special_modulus_size
+                hybrid_step = (alpha > 1
+                               and tuple(prev_cd.parms_id) == tuple(ctx.key_parms_id))
                 polys = []
-                for j in range(temp.size):
-                    p = temp.poly(j)
-                    if is_ntt_form:
-                        p = rns_ops.divide_and_round_q_last_ntt(p, rt, prev_cd.ntt_tables)
-                    elif scheme != SchemeType.BGV:
-                        p = rns_ops.divide_and_round_q_last(p, rt)
-                    else:
-                        p = rns_ops.mod_t_and_divide_q_last(p, rt)
-                    polys.append(p)
+                if hybrid_step:
+                    # key -> first data level drops all alpha special primes
+                    # in one fast-base-conversion divide (hybrid keyswitch)
+                    from seal_tpu.ops import hybrid_keyswitch as hyb
+                    from seal_tpu.ops import ntt as ntt_mod
+
+                    key_moduli = tuple(prev_cd.key_moduli())
+                    L = cd.coeff_modulus_size
+                    L_key = len(key_moduli)
+                    special_tables = ntt_mod.slice_tables(
+                        prev_cd.ntt_tables, L_key - alpha, L_key)
+                    t_mod = (cd.parms.plain_modulus.value
+                             if scheme != SchemeType.CKKS else 0)
+                    for j in range(temp.size):
+                        polys.append(hyb.mod_down(
+                            temp.poly(j), scheme == SchemeType.BGV,
+                            key_moduli, alpha, L, t_mod, cd.ntt_tables,
+                            special_tables, cd.mod_consts,
+                            is_ntt_out=is_ntt_form, rows_ntt=is_ntt_form))
+                else:
+                    rt = prev_cd.rns_tool_device
+                    for j in range(temp.size):
+                        p = temp.poly(j)
+                        if is_ntt_form:
+                            p = rns_ops.divide_and_round_q_last_ntt(p, rt, prev_cd.ntt_tables)
+                        elif scheme != SchemeType.BGV:
+                            p = rns_ops.divide_and_round_q_last(p, rt)
+                        else:
+                            p = rns_ops.mod_t_and_divide_q_last(p, rt)
+                        polys.append(p)
                 from seal_tpu.dtypes import stack_polys
 
                 return Ciphertext(

@@ -427,9 +427,10 @@ class Evaluator:
         key_moduli = key_cd.key_moduli()
         L_key = len(key_moduli)
         key_tables = key_cd.ntt_tables
+        alpha = key_cd.parms.special_modulus_size
 
-        # extended row indices: decomp primes then the special prime
-        key_indices = list(range(L)) + [L_key - 1]
+        # extended row indices: decomp primes then the special prime(s)
+        key_indices = list(range(L)) + list(range(L_key - alpha, L_key))
         ext_tables = ntt_mod.gather_tables(key_tables, key_indices)
         ext_moduli = [key_moduli[i] for i in key_indices]
         ext_mc = modring.make_mod_consts(ext_moduli)
@@ -438,6 +439,13 @@ class Evaluator:
         t_target = target
         if scheme == SchemeType.CKKS:
             t_target = ntt_mod.ntt_inverse(target, cd.ntt_tables)
+
+        if alpha > 1:
+            # hybrid digits (ops/hybrid_keyswitch.py): [d, I, N] rows
+            from seal_tpu.ops import hybrid_keyswitch as hyb
+
+            y = hyb.decompose(t_target, tuple(key_moduli), alpha, L, ext_mc)
+            return ntt_mod.ntt_forward(y, ext_tables)
 
         # build t_operand[J, I, N]: target row J reduced into extended row I
         # and NTT'd in row I's domain
@@ -505,15 +513,17 @@ class Evaluator:
         L = cd.coeff_modulus_size
         key_moduli = key_cd.key_moduli()
         L_key = len(key_moduli)
-        key_indices = list(range(L)) + [L_key - 1]
+        alpha = key_cd.parms.special_modulus_size
+        key_indices = list(range(L)) + list(range(L_key - alpha, L_key))
         ext_moduli = [key_moduli[i] for i in key_indices]
         ext_mc = modring.make_mod_consts(ext_moduli)
         n = t_op[0].shape[-1]
+        d = t_op[0].shape[0]  # decomp count: L, or ceil(L/alpha) hybrid
 
-        # key rows gathered to the extended tower: [L_decomp(=L), 2, L+1, N]
+        # key rows gathered to the extended tower: [d, 2, L+alpha, N]
         klo, khi = keys_tensor
-        klo = klo[:L, :, jnp.asarray(key_indices), :]
-        khi = khi[:L, :, jnp.asarray(key_indices), :]
+        klo = klo[:d, :, jnp.asarray(key_indices), :]
+        khi = khi[:d, :, jnp.asarray(key_indices), :]
 
         from seal_tpu.config import _on_tpu_backend, pallas_keyswitch_enabled
 
@@ -525,15 +535,15 @@ class Evaluator:
                 interpret=not _on_tpu_backend())
             return [(lo[0], hi[0]), (lo[1], hi[1])]
 
-        # inner product over J with 128-bit accumulation: out [2, L+1, N]
+        # inner product over J with 128-bit accumulation: out [2, L+alpha, N]
         acc = [
-            tuple(jnp.zeros((L + 1, n), dtype=jnp.uint32) for _ in range(4))
+            tuple(jnp.zeros((L + alpha, n), dtype=jnp.uint32) for _ in range(4))
             for _ in range(2)
         ]
-        for J in range(L):
-            tj = (t_op[0][J], t_op[1][J])                        # [L+1, N]
+        for J in range(d):
+            tj = (t_op[0][J], t_op[1][J])                        # [L+alpha, N]
             for c in range(2):
-                kc = (klo[J, c], khi[J, c])                      # [L+1, N]
+                kc = (klo[J, c], khi[J, c])                      # [L+alpha, N]
                 acc[c] = limb.mul_add_128(acc[c], tj, kc)
         prod = []
         for c in range(2):
@@ -559,6 +569,26 @@ class Evaluator:
         last_tables = ntt_mod.slice_tables(key_tables, L_key - 1, L_key)
         lvl_tables = cd.ntt_tables
         mc = cd.mod_consts
+        alpha = key_cd.parms.special_modulus_size
+        if alpha > 1:
+            from seal_tpu.ops import hybrid_keyswitch as hyb
+
+            special_tables = ntt_mod.slice_tables(
+                key_tables, L_key - alpha, L_key)
+            t_mod = (cd.parms.plain_modulus.value
+                     if scheme != SchemeType.CKKS else 0)
+            out_polys = [
+                hyb.mod_down(
+                    prod[c], scheme == SchemeType.BGV, tuple(key_moduli),
+                    alpha, L, t_mod, lvl_tables, special_tables, mc,
+                    is_ntt_out=(scheme == SchemeType.CKKS))
+                for c in range(2)
+            ]
+            return Ciphertext(
+                stack_polys(out_polys), parms_id=ct.parms_id,
+                is_ntt_form=ct.is_ntt_form, scale=ct.scale,
+                correction_factor=ct.correction_factor,
+            )
         out_polys = []
         if scheme == SchemeType.BGV:
             t_mod = cd.parms.plain_modulus.value

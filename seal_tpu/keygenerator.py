@@ -133,27 +133,38 @@ class KeyGenerator:
         if not ctx.using_keyswitching:
             raise RuntimeError("keyswitching is not supported by the context")
         key_moduli = key_cd.key_moduli()
-        decomp_count = len(ctx.first_context_data().key_moduli())
-        q_special = key_moduli[-1]
+        data_count = len(ctx.first_context_data().key_moduli())
+        alpha = key_cd.parms.special_modulus_size
+        # P = product of the special primes; the absorbed per-row factor
+        # P mod q_i generalizes the reference's q_special mod q_i. With
+        # hybrid digits (alpha > 1) digit j absorbs on ALL its rows — the
+        # CRT value P·s'·W_j·[W_j^{-1}]_{Q_j} the inner product needs
+        # (docs/HYBRID_KEYSWITCH.md derivation).
+        p_special = 1
+        for q in key_moduli[len(key_moduli) - alpha:]:
+            p_special *= q
+        decomp_count = -(-data_count // alpha)
         mc = key_cd.mod_consts
 
         c0s, c1s = [], []
-        for i in range(decomp_count):
+        for j in range(decomp_count):
+            rows = list(range(j * alpha, min((j + 1) * alpha, data_count)))
             ct = rlwe.encrypt_zero_symmetric(
                 secret_key, ctx, key_cd.parms_id, is_ntt_form=True,
-                c1_override=c1_refs[i] if c1_refs is not None else None,
+                c1_override=c1_refs[j] if c1_refs is not None else None,
             )
-            factor = q_special % key_moduli[i]
-            f_op, f_qt = modring.shoup_pair([[factor]], [[key_moduli[i]]], shape=(1, 1))
-            row = (new_key[0][i:i + 1], new_key[1][i:i + 1])  # [1, N]
-            mc_i = mc.slice_row(i)
-            temp = limb.mul_mod_shoup(row, f_op, f_qt, mc_i.q)
             c0, c1 = ct.poly(0), ct.poly(1)
-            new_row = limb.add_mod((c0[0][i:i + 1], c0[1][i:i + 1]), temp, mc_i.q)
-            c0 = (
-                c0[0].at[i:i + 1].set(new_row[0]),
-                c0[1].at[i:i + 1].set(new_row[1]),
-            )
+            for i in rows:
+                factor = p_special % key_moduli[i]
+                f_op, f_qt = modring.shoup_pair([[factor]], [[key_moduli[i]]], shape=(1, 1))
+                row = (new_key[0][i:i + 1], new_key[1][i:i + 1])  # [1, N]
+                mc_i = mc.slice_row(i)
+                temp = limb.mul_mod_shoup(row, f_op, f_qt, mc_i.q)
+                new_row = limb.add_mod((c0[0][i:i + 1], c0[1][i:i + 1]), temp, mc_i.q)
+                c0 = (
+                    c0[0].at[i:i + 1].set(new_row[0]),
+                    c0[1].at[i:i + 1].set(new_row[1]),
+                )
             c0s.append(c0)
             c1s.append(c1)
         lo = jnp.stack([jnp.stack([a[0], b[0]]) for a, b in zip(c0s, c1s)])

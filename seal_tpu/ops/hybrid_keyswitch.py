@@ -1,0 +1,213 @@
+r"""Hybrid (GHS-style) key switching: α-prime digits, α special primes.
+
+The reference implements exactly one key-switching variant — a single
+special prime and per-prime decomposition (evaluator.cpp:2382-2677,
+keygenerator.cpp:732-765). seal_tpu generalizes it to α ≥ 1 special primes
+with ⌈L/α⌉ decomposition digits (the scheme of Gentry-Halevi-Smart /
+HEAAN-RNS, standard in OpenFHE and Lattigo): the decompose stage — 60% of
+the mult+relin+rescale pipeline on TPU — shrinks from L·(L+1) lifted NTTs
+to ⌈L/α⌉·(L+α), and the inner-product contraction from L to ⌈L/α⌉ terms.
+α = 1 reproduces the reference's algorithm bit-exactly (it is the same
+special case) and remains the default.
+
+Math (why the key factor is just P mod q_i):
+  digit j covers key data primes D_j = [jα, (j+1)α); KSK_j = Enc_s(m_j·s')
+  where m_j has RNS residues (P mod q_i) for i ∈ D_j and 0 elsewhere, i.e.
+  m_j = P·W_j·[W_j⁻¹]_{Q_j} mod QP with Q_j = Π_{i∈D_j} q_i, W_j = Q/Q_j.
+  The evaluator decomposes c into y_j = fast-base-extension of
+  [c·\hat{Q}'_{j,t}⁻¹]_{q_t} over the level's digit primes T_j = D_j ∩ [0,L);
+  then Σ_j y_j·m_j ≡ P·c (mod Q_level) — the extension error k·Q'_j
+  annihilates against W_j (k·Q'_j·W_j·P ≡ 0 mod QP restricted to live rows),
+  so no centering is needed, exactly as in the reference's α = 1 row trick.
+  ModDown divides by P with the same half-P-centered rounding the reference
+  applies for its single q_k (evaluator.cpp:2616-2675), via one fast base
+  conversion from the α special rows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from seal_tpu.ops import limb, modring
+from seal_tpu.ops import ntt as ntt_mod
+
+
+def digit_ranges(L: int, alpha: int) -> list[list[int]]:
+    """Key-level digit partition restricted to the level's first L primes."""
+    return [list(range(j * alpha, min((j + 1) * alpha, L)))
+            for j in range(-(-L // alpha))]
+
+
+@functools.lru_cache(maxsize=None)
+def decomp_consts(key_moduli: tuple, alpha: int, L: int):
+    """Host constants for the hybrid decompose at a level with L data primes.
+
+    Returns (digits, per_digit) where per_digit[j] =
+      (inv_hat_op, inv_hat_qt, q_dig, hat_ext_pair):
+      * inv_hat: Shoup pairs of [\\hat{Q}'_{j,t}^{-1}]_{q_t}, shape [a_j, 1]
+      * q_dig: u64 pair [a_j, 1] of the digit's own moduli
+      * hat_ext_pair: u64 pair [a_j, I] of \\hat{Q}'_{j,t} mod ext_modulus_i
+        (I = L data + alpha special rows)
+    """
+    K = list(key_moduli[:len(key_moduli) - alpha])
+    specials = list(key_moduli[len(key_moduli) - alpha:])
+    ext = K[:L] + specials
+    digits = digit_ranges(L, alpha)
+    per_digit = []
+    for rows in digits:
+        qd = [K[i] for i in rows]
+        Qj = 1
+        for q in qd:
+            Qj *= q
+        hats = [Qj // q for q in qd]
+        inv_hats = [pow(h % q, -1, q) for h, q in zip(hats, qd)]
+        inv_op, inv_qt = modring.shoup_pair(
+            [[v] for v in inv_hats], [[q] for q in qd], shape=(len(qd), 1))
+        q_dig = limb.arr_to_u64([[q] for q in qd], shape=(len(qd), 1))
+        hat_ext = limb.arr_to_u64(
+            [[h % m for m in ext] for h in hats], shape=(len(qd), len(ext)))
+        per_digit.append((inv_op, inv_qt, q_dig, hat_ext))
+    return digits, per_digit
+
+
+@functools.lru_cache(maxsize=None)
+def tail_consts(key_moduli: tuple, alpha: int, L: int, t_mod: int):
+    """Host constants for the one-shot ModDown-by-P tail.
+
+    t_mod = 0 for BFV/CKKS (half-P centered rounding, the reference's
+    qk_half trick generalized); t_mod = plain modulus for BGV (exact
+    t-multiple correction, the reference's inv_q_last_mod_t path)."""
+    K = list(key_moduli[:len(key_moduli) - alpha])[:L]
+    specials = list(key_moduli[len(key_moduli) - alpha:])
+    P = 1
+    for p in specials:
+        P *= p
+    a = alpha
+    hats = [P // p for p in specials]
+    inv_hats = [pow(h % p, -1, p) for h, p in zip(hats, specials)]
+    out = {
+        "p_mc": modring.make_mod_consts(specials),
+        "inv_hatP_shoup": modring.shoup_pair(
+            [[v] for v in inv_hats], [[p] for p in specials], shape=(a, 1)),
+        "hatP_q": limb.arr_to_u64(
+            [[h % q for q in K] for h in hats], shape=(a, L)),
+        "pinv_q_shoup": modring.shoup_pair(
+            [[pow(P % q, -1, q)] for q in K], [[q] for q in K], shape=(L, 1)),
+    }
+    if t_mod:
+        out["hatP_t"] = limb.arr_to_u64([[h % t_mod] for h in hats], shape=(a, 1))
+        out["pinv_t_shoup"] = modring.shoup_pair(
+            [[pow(P % t_mod, -1, t_mod)]], [[t_mod]], shape=(1, 1))
+        out["p_mod_q"] = limb.arr_to_u64([[P % q] for q in K], shape=(L, 1))
+    else:
+        half = P >> 1
+        out["phalf_p"] = limb.arr_to_u64(
+            [[half % p] for p in specials], shape=(a, 1))
+        out["phalf_q"] = limb.arr_to_u64([[half % q] for q in K], shape=(L, 1))
+    return out
+
+
+def decompose(t_target, key_moduli: tuple, alpha: int, L: int, ext_mc):
+    r"""Coeff-domain target [L, N] → digit rows [d, I, N] (pre-NTT).
+
+    y_j[i] = Σ_{t∈T_j} (t_t·[\hat{Q}'_{j,t}^{-1}]_{q_t} mod q_t)·
+             (\hat{Q}'_{j,t} mod q_i), one Barrett-128 per row — the
+    α-digit analogue of evaluator.cpp:2489-2514's per-prime reduction."""
+    import jax.numpy as jnp
+
+    digits, per_digit = decomp_consts(key_moduli, alpha, L)
+    I = ext_mc.q[0].shape[0]
+    n = t_target[0].shape[-1]
+    outs_lo, outs_hi = [], []
+    for rows, (inv_op, inv_qt, q_dig, hat_ext) in zip(digits, per_digit):
+        idx = jnp.asarray(rows)
+        tr = (t_target[0][idx], t_target[1][idx])            # [a, N]
+        w = limb.mul_mod_shoup(tr, inv_op, inv_qt, q_dig)    # [a, N], < q_t
+        z = jnp.zeros((I, n), jnp.uint32)
+        acc = (z, z, z, z)
+        for t in range(len(rows)):
+            wt = (w[0][t][None, :], w[1][t][None, :])        # [1, N]
+            ht = (hat_ext[0][t][:, None], hat_ext[1][t][:, None])  # [I, 1]
+            acc = limb.mul_add_128(acc, wt, ht)
+        y = limb.barrett_reduce_128(
+            (acc[0], acc[1]), (acc[2], acc[3]),
+            ext_mc.q, ext_mc.ratio0, ext_mc.ratio1)          # [I, N]
+        outs_lo.append(y[0])
+        outs_hi.append(y[1])
+    return jnp.stack(outs_lo), jnp.stack(outs_hi)            # [d, I, N]
+
+
+def mod_down(rows, scheme_is_bgv: bool, key_moduli: tuple, alpha: int, L: int,
+             t_mod: int, lvl_tables, special_tables, mc, is_ntt_out: bool,
+             rows_ntt: bool = True):
+    """Divide a key-level poly [L+α, N] by P = Π specials.
+
+    rows arrive in NTT domain when rows_ntt (the keyswitch inner product)
+    or coefficient domain otherwise (encrypt-at-lower-level zero
+    encryptions). Returns [L, N] in NTT domain if is_ntt_out (CKKS) else
+    coefficient domain (BFV/BGV) — mirroring the reference's single-special
+    tail (evaluator.cpp:2572-2676) with one fast base conversion replacing
+    the single-row Barrett lift."""
+    import jax.numpy as jnp
+
+    c = tail_consts(key_moduli, alpha, L, t_mod if scheme_is_bgv else 0)
+    spec = (rows[0][L:], rows[1][L:])                        # [α, N]
+    if rows_ntt:
+        spec = ntt_mod.ntt_inverse(spec, special_tables)     # coeff, < p_k
+    p_mc = c["p_mc"]
+    inv_op, inv_qt = c["inv_hatP_shoup"]
+
+    if scheme_is_bgv:
+        w = limb.mul_mod_shoup(spec, inv_op, inv_qt, p_mc.q)
+    else:
+        y = limb.add_mod(spec, c["phalf_p"], p_mc.q)
+        w = limb.mul_mod_shoup(y, inv_op, inv_qt, p_mc.q)    # [α, N]
+
+    n = rows[0].shape[-1]
+    z = jnp.zeros((L, n), jnp.uint32)
+    acc = (z, z, z, z)
+    for k in range(alpha):
+        wk = (w[0][k][None, :], w[1][k][None, :])
+        hk = (c["hatP_q"][0][k][:, None], c["hatP_q"][1][k][:, None])
+        acc = limb.mul_add_128(acc, wk, hk)
+    r = limb.barrett_reduce_128(
+        (acc[0], acc[1]), (acc[2], acc[3]), mc.q, mc.ratio0, mc.ratio1)
+
+    pinv_op, pinv_qt = c["pinv_q_shoup"]
+    if scheme_is_bgv:
+        # y_t = Σ w_k·(hatP_k mod t): the SAME integer the q-rows carry,
+        # reduced mod t — makes the numerator ≡ x (mod t) exactly
+        t_mc = modring.make_mod_consts([t_mod])
+        zt = jnp.zeros((1, n), jnp.uint32)
+        acct = (zt, zt, zt, zt)
+        for k in range(alpha):
+            wk = (w[0][k][None, :], w[1][k][None, :])
+            hk = (c["hatP_t"][0][k][:, None], c["hatP_t"][1][k][:, None])
+            acct = limb.mul_add_128(acct, wk, hk)
+        y_t = limb.barrett_reduce_128(
+            (acct[0], acct[1]), (acct[2], acct[3]),
+            t_mc.q, t_mc.ratio0, t_mc.ratio1)
+        k_t = limb.neg_mod(y_t, t_mc.q)
+        pt_op, pt_qt = c["pinv_t_shoup"]
+        k_t = limb.mul_mod_shoup(k_t, pt_op, pt_qt, t_mc.q)
+        k_q = limb.barrett_reduce_64(k_t, mc.q, mc.ratio1)
+        delta = limb.mul_mod(k_q, c["p_mod_q"], mc.q, mc.ratio0, mc.ratio1)
+        body = (rows[0][:L], rows[1][:L])
+        if rows_ntt:
+            body = ntt_mod.ntt_inverse(body, lvl_tables)
+        summed = limb.add64(
+            body, limb.sub64(limb.sub64(mc.two_q, delta), r))
+        return limb.mul_mod_shoup(summed, pinv_op, pinv_qt, mc.q)
+
+    fix = limb.sub64(mc.q, c["phalf_q"])
+    r = limb.add64(r, fix)                                   # < 2q
+    body = (rows[0][:L], rows[1][:L])
+    if is_ntt_out:
+        r = ntt_mod.ntt_forward(r, lvl_tables, lazy=True)    # < 4q
+    elif rows_ntt:
+        body = ntt_mod.ntt_inverse(body, lvl_tables, lazy=True)
+    qi_lazy = limb.shl64(mc.q, 2)
+    summed = limb.sub64(limb.add64(body, qi_lazy), r)
+    return limb.mul_mod_shoup(summed, pinv_op, pinv_qt, mc.q)

@@ -233,7 +233,10 @@ class TPEvaluator(Evaluator):
         if key not in self._tks_cache:
             cd = self.context.get_context_data(parms_id)
             tp = self.mesh.shape[self.tp_axis]
-            if cd.coeff_modulus_size % tp:
+            alpha = self.context.key_context_data().parms.special_modulus_size
+            if cd.coeff_modulus_size % tp or alpha > 1:
+                # hybrid digits shrink the decomp axis below the mesh size;
+                # fall back to the (still correct) single-chip contraction
                 self._tks_cache[key] = None
             else:
                 self._tks_cache[key] = TPKeySwitch(

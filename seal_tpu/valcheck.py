@@ -58,7 +58,9 @@ def is_metadata_valid_for(obj, context: SEALContext, allow_pure_key_levels: bool
         key_cd = context.key_context_data()
         L_key = key_cd.coeff_modulus_size
         n = key_cd.parms.poly_modulus_degree
-        decomp = len(context.first_context_data().key_moduli())
+        alpha = key_cd.parms.special_modulus_size
+        data_count = len(context.first_context_data().key_moduli())
+        decomp = -(-data_count // alpha)  # hybrid: one key per alpha-digit
         for k in obj.keys:
             if k is None:
                 continue

@@ -1,0 +1,213 @@
+"""Hybrid (alpha > 1 special primes) key switching — correctness across all
+three schemes, chain levels, partial digits, rotations, and the encryptor's
+key->data alpha-prime drop. Reference baseline: the alpha = 1 algorithm
+(evaluator.cpp:2382-2677), which stays the bit-exact default; hybrid is the
+seal_tpu extension documented in ops/hybrid_keyswitch.py."""
+
+import numpy as np
+import pytest
+
+import seal_tpu
+from seal_tpu import SchemeType, SecLevelType
+from seal_tpu.modulus import CoeffModulus, PlainModulus
+
+
+def _ckks_ctx(n, bits, alpha):
+    parms = seal_tpu.EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_special_modulus_size(alpha)
+    parms.set_random_seed((9, 8, 7, 6, 5, 4, 3, 2))
+    return seal_tpu.SEALContext(parms, sec_level=SecLevelType.NONE)
+
+
+def _bfv_ctx(n, bits, alpha, scheme=SchemeType.BFV, t_bits=20):
+    parms = seal_tpu.EncryptionParameters(scheme)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_plain_modulus(PlainModulus.batching(n, t_bits))
+    parms.set_special_modulus_size(alpha)
+    parms.set_random_seed((9, 8, 7, 6, 5, 4, 3, 2))
+    return seal_tpu.SEALContext(parms, sec_level=SecLevelType.NONE)
+
+
+def test_chain_drops_alpha_specials():
+    ctx = _ckks_ctx(64, [40, 40, 40, 40, 40], alpha=2)
+    assert ctx.key_context_data().coeff_modulus_size == 5
+    assert ctx.first_context_data().coeff_modulus_size == 3
+    assert ctx.using_keyswitching
+    # data levels then drop one at a time: 3 -> 2 -> 1
+    sizes = []
+    cd = ctx.first_context_data()
+    while cd is not None:
+        sizes.append(cd.coeff_modulus_size)
+        cd = cd.next_context_data
+    assert sizes == [3, 2, 1]
+
+
+def test_relin_key_count_is_digit_count():
+    ctx = _ckks_ctx(64, [40] * 5 + [40, 40], alpha=2)   # 5 data, 2 special
+    kg = seal_tpu.KeyGenerator(ctx)
+    rk = kg.create_relin_keys()
+    # ceil(5/2) = 3 digits, each [3, 2, 7, 64]
+    assert rk.key(2)[0].shape == (3, 2, 7, 64)
+
+
+@pytest.mark.parametrize("alpha,bits", [
+    (2, [40, 40, 40, 40, 40]),          # 3 data, 2 special, partial digit
+    (2, [40, 40, 40, 40, 40, 40]),      # 4 data, 2 special, even digits
+    (3, [40, 40, 40, 40, 40, 40]),      # 3 data, 3 special, one digit
+])
+def test_ckks_mult_relin_rescale_rotate(alpha, bits):
+    n = 128
+    ctx = _ckks_ctx(n, bits, alpha)
+    kg = seal_tpu.KeyGenerator(ctx)
+    enc = seal_tpu.Encryptor(ctx, kg.create_public_key())
+    dec = seal_tpu.Decryptor(ctx, kg.secret_key())
+    ev = seal_tpu.Evaluator(ctx)
+    encd = seal_tpu.CKKSEncoder(ctx)
+    rk = kg.create_relin_keys()
+    gk = kg.create_galois_keys()
+    scale = 2.0 ** 30
+    vals = np.linspace(-1, 1, encd.slot_count)
+    ct = enc.encrypt(encd.encode(vals, scale))
+
+    out = ev.rescale_to_next(ev.relinearize(ev.multiply(ct, ct), rk))
+    got = encd.decode(dec.decrypt(out))
+    assert np.max(np.abs(got - vals ** 2)) < 1e-4
+
+    rot = ev.rotate_vector(ct, 1, gk)
+    got = encd.decode(dec.decrypt(rot))
+    assert np.max(np.abs(got - np.roll(vals, -1))) < 1e-4
+
+    conj = ev.complex_conjugate(ct, gk)
+    got = encd.decode(dec.decrypt(conj), complex_out=True)
+    assert np.max(np.abs(got - vals)) < 1e-4
+
+
+def test_ckks_second_level_ops():
+    """Hybrid keyswitch at a LOWER chain level (digit partition restricted
+    to the level's prime prefix, incl. a partial digit). Scale tracks the
+    40-bit rescale primes (the standard CKKS chain discipline), so the
+    noise floor stays ~2^-25 at every level."""
+    ctx = _ckks_ctx(128, [50, 40, 40, 40, 50, 50], alpha=2)  # 4 data
+    kg = seal_tpu.KeyGenerator(ctx)
+    enc = seal_tpu.Encryptor(ctx, kg.create_public_key())
+    dec = seal_tpu.Decryptor(ctx, kg.secret_key())
+    ev = seal_tpu.Evaluator(ctx)
+    encd = seal_tpu.CKKSEncoder(ctx)
+    rk = kg.create_relin_keys()
+    scale = 2.0 ** 40
+    vals = np.linspace(0.1, 1, encd.slot_count)
+    ct = enc.encrypt(encd.encode(vals, scale))
+    sq = ev.rescale_to_next(ev.relinearize(ev.multiply(ct, ct), rk))
+    # now at 3 data primes -> partial last digit {q2}
+    q4 = ev.rescale_to_next(ev.relinearize(ev.multiply(sq, sq), rk))
+    got = encd.decode(dec.decrypt(q4))
+    assert np.max(np.abs(got - vals ** 4)) < 1e-3
+
+
+@pytest.mark.parametrize("scheme", [SchemeType.BFV, SchemeType.BGV])
+def test_bfv_bgv_exact_roundtrip(scheme):
+    n = 64
+    ctx = _bfv_ctx(n, [40, 40, 40, 40], alpha=2, scheme=scheme)
+    kg = seal_tpu.KeyGenerator(ctx)
+    enc = seal_tpu.Encryptor(ctx, kg.create_public_key())
+    dec = seal_tpu.Decryptor(ctx, kg.secret_key())
+    ev = seal_tpu.Evaluator(ctx)
+    be = seal_tpu.BatchEncoder(ctx)
+    rk = kg.create_relin_keys()
+    gk = kg.create_galois_keys()
+    vals = np.arange(n, dtype=np.uint64) % 17
+    ct = enc.encrypt(be.encode(vals))
+
+    sq = ev.relinearize(ev.multiply(ct, ct), rk)
+    got = be.decode(dec.decrypt(sq))
+    t = ctx.first_context_data().parms.plain_modulus.value
+    np.testing.assert_array_equal(got, (vals * vals) % t)
+
+    rot = ev.rotate_rows(ct, 1, gk)
+    got = be.decode(dec.decrypt(rot))
+    want = np.concatenate([np.roll(vals[:n // 2], -1), np.roll(vals[n // 2:], -1)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bfv_noise_budget_positive_after_relin():
+    ctx = _bfv_ctx(64, [40, 40, 40, 40], alpha=2)
+    kg = seal_tpu.KeyGenerator(ctx)
+    enc = seal_tpu.Encryptor(ctx, kg.create_public_key())
+    dec = seal_tpu.Decryptor(ctx, kg.secret_key())
+    ev = seal_tpu.Evaluator(ctx)
+    rk = kg.create_relin_keys()
+    pt = seal_tpu.Plaintext.from_hex_string("2x^3 + 1")
+    ct = enc.encrypt(pt)
+    fresh = dec.invariant_noise_budget(ct)
+    sq = ev.relinearize(ev.multiply(ct, ct), rk)
+    after = dec.invariant_noise_budget(sq)
+    assert fresh > 0 and after > 0
+    assert dec.decrypt(sq).to_hex_string() == "4x^6 + 4x^3 + 1"
+
+
+def test_encrypt_at_lower_level_hybrid():
+    ctx = _ckks_ctx(64, [40, 40, 40, 40, 40], alpha=2)
+    kg = seal_tpu.KeyGenerator(ctx)
+    enc = seal_tpu.Encryptor(ctx, kg.create_public_key(), kg.secret_key())
+    dec = seal_tpu.Decryptor(ctx, kg.secret_key())
+    encd = seal_tpu.CKKSEncoder(ctx)
+    second = ctx.first_context_data().next_context_data
+    vals = np.linspace(-2, 2, encd.slot_count)
+    pt = encd.encode(vals, 2.0 ** 30, parms_id=second.parms_id)
+    for asym in (True, False):
+        ct = (enc.encrypt(pt) if asym else enc.encrypt_symmetric(pt))
+        assert tuple(ct.parms_id) == tuple(second.parms_id)
+        got = encd.decode(dec.decrypt(ct))
+        assert np.max(np.abs(got - vals)) < 1e-4
+
+
+def test_alpha_one_unchanged_bit_exact():
+    """special_modulus_size=1 must produce byte-identical relin keys and
+    keyswitch outputs to the default path (it IS the default path)."""
+    n = 64
+    for alpha_set in (False, True):
+        parms = seal_tpu.EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, [40, 40, 40]))
+        if alpha_set:
+            parms.set_special_modulus_size(1)
+        parms.set_random_seed((1, 2, 3, 4, 5, 6, 7, 8))
+        ctx = seal_tpu.SEALContext(parms, sec_level=SecLevelType.NONE)
+        kg = seal_tpu.KeyGenerator(ctx)
+        rk = kg.create_relin_keys()
+        if not alpha_set:
+            ref = np.asarray(rk.key(2)[0])
+        else:
+            np.testing.assert_array_equal(ref, np.asarray(rk.key(2)[0]))
+
+
+def test_pallas_keyswitch_kernel_hybrid_path():
+    """The fused Pallas inner product must agree with the XLA loop when the
+    decomposition axis is hybrid digits (J = ceil(L/alpha))."""
+    from seal_tpu import config as cfg_mod
+
+    ctx = _ckks_ctx(256, [40, 30, 30, 40, 40], alpha=2)
+    kg = seal_tpu.KeyGenerator(ctx)
+    enc = seal_tpu.Encryptor(ctx, kg.create_public_key())
+    ev = seal_tpu.Evaluator(ctx)
+    encd = seal_tpu.CKKSEncoder(ctx)
+    rk = kg.create_relin_keys()
+    ct = enc.encrypt(encd.encode([1.0, -0.5], 2.0 ** 30))
+
+    def run():
+        out = ev.relinearize(ev.multiply(ct, ct), rk)
+        return [np.asarray(a) for a in out.data]
+
+    old = cfg_mod.config.use_pallas_keyswitch
+    try:
+        cfg_mod.config.use_pallas_keyswitch = "never"
+        want = run()
+        cfg_mod.config.use_pallas_keyswitch = "always"
+        got = run()
+    finally:
+        cfg_mod.config.use_pallas_keyswitch = old
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
