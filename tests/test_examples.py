@@ -82,6 +82,11 @@ def test_example_logreg_reduced():
     _import("10_encrypted_logreg.py").main(n=256)
 
 
+def test_example_hybrid_keyswitch():
+    """11_hybrid_keyswitch alpha=1 vs alpha=2 agreement at n=128."""
+    _import("11_hybrid_keyswitch.py").main(n=128)
+
+
 @pytest.mark.skipif(
     not os.environ.get("SEAL_TPU_RUN_ALL_EXAMPLES"),
     reason="set SEAL_TPU_RUN_ALL_EXAMPLES=1 to run the heavyweight examples",

@@ -211,3 +211,47 @@ def test_pallas_keyswitch_kernel_hybrid_path():
         cfg_mod.config.use_pallas_keyswitch = old
     for w, g in zip(want, got):
         np.testing.assert_array_equal(w, g)
+
+
+def test_hoisted_rotations_hybrid():
+    """rotate_batch_hoisted shares ONE hybrid decomposition across steps."""
+    ctx = _ckks_ctx(128, [50, 40, 40, 40, 50, 50], alpha=2)
+    kg = seal_tpu.KeyGenerator(ctx)
+    enc = seal_tpu.Encryptor(ctx, kg.create_public_key())
+    dec = seal_tpu.Decryptor(ctx, kg.secret_key())
+    ev = seal_tpu.Evaluator(ctx)
+    encd = seal_tpu.CKKSEncoder(ctx)
+    steps = [1, 2, 5]
+    gt = ctx.key_context_data().galois_tool
+    gk = kg.create_galois_keys(gt.get_elts_from_steps(steps))
+    vals = np.linspace(-1, 1, encd.slot_count)
+    ct = enc.encrypt(encd.encode(vals, 2.0 ** 40))
+    outs = ev.rotate_batch_hoisted(ct, steps, gk)
+    for s, out in zip(steps, outs):
+        got = encd.decode(dec.decrypt(out))
+        assert np.max(np.abs(got - np.roll(vals, -s))) < 1e-4, s
+
+
+def test_multiparty_hybrid():
+    """3-party common keys with digit-shaped kswitch tensors: common PK
+    encrypt -> relinearize under aggregated... (multiparty flows reuse
+    _generate_one_kswitch_key, so digits come for free)."""
+    ctx = _bfv_ctx(64, [40, 40, 40, 40], alpha=2)
+    kgs = [seal_tpu.KeyGenerator(ctx) for _ in range(3)]
+    sks = [kg.generate_secret_key() for kg in kgs]
+    csk = kgs[0].create_common_secret_key(sks)
+    pk0 = kgs[0].create_public_key_with_sk(sks[0])
+    pks = [pk0] + [kg.create_public_key_with_same_c1(sk, pk0)
+                   for kg, sk in zip(kgs[1:], sks[1:])]
+    cpk = kgs[0].create_common_public_key(pks)
+    enc = seal_tpu.Encryptor(ctx, cpk)
+    dec = seal_tpu.Decryptor(ctx, csk)
+    ev = seal_tpu.Evaluator(ctx)
+    pt = seal_tpu.Plaintext.from_hex_string("3x^2 + 2")
+    ct = enc.encrypt(pt)
+    ct2 = ev.add(ct, ct)
+    # distributed decryption under the hybrid context
+    partials = [seal_tpu.Decryptor(ctx, sk).distributed_decrypt(ct2, smudging_bits=8)
+                for sk in sks]
+    got = dec.aggregate_partial_decryption(ct2, partials)
+    assert got.to_hex_string() == "6x^2 + 4"
