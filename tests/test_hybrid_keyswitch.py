@@ -255,3 +255,29 @@ def test_multiparty_hybrid():
                 for sk in sks]
     got = dec.aggregate_partial_decryption(ct2, partials)
     assert got.to_hex_string() == "6x^2 + 4"
+
+
+def test_hybrid_key_serialization_roundtrip():
+    """Digit-shaped relin/galois keys survive the wire format (the SEAL 4.0
+    KSwitchKeys layout is shape-driven, so hybrid tensors serialize
+    unchanged); valcheck accepts the digit count."""
+    from seal_tpu import serialization, valcheck
+
+    ctx = _ckks_ctx(64, [40, 40, 40, 40, 40], alpha=2)
+    kg = seal_tpu.KeyGenerator(ctx)
+    rk = kg.create_relin_keys()
+    gk = kg.create_galois_keys([3, 5])
+    rk2 = serialization.load_relin_keys(ctx, serialization.save_relin_keys(rk))
+    assert valcheck.is_valid_for(rk2, ctx)
+    np.testing.assert_array_equal(np.asarray(rk.key(2)[0]), np.asarray(rk2.key(2)[0]))
+    gk2 = serialization.load_galois_keys(ctx, serialization.save_galois_keys(gk))
+    for elt in (3, 5):
+        np.testing.assert_array_equal(
+            np.asarray(gk.key(elt)[0]), np.asarray(gk2.key(elt)[0]))
+
+    # a ciphertext at the hybrid first level roundtrips too
+    enc = seal_tpu.Encryptor(ctx, kg.create_public_key())
+    encd = seal_tpu.CKKSEncoder(ctx)
+    ct = enc.encrypt(encd.encode([1.0, 2.0], 2.0 ** 30))
+    ct2 = serialization.load_ciphertext(ctx, serialization.save_ciphertext(ct))
+    np.testing.assert_array_equal(np.asarray(ct.data[0]), np.asarray(ct2.data[0]))

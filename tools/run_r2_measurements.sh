@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# One-shot TPU measurement sweep for the round-2 kernel/algorithm changes:
+#   1. headline bench (alpha=1, SEAL-parity algorithm)
+#   2. headline bench --hybrid (alpha=2 GHS digits, same depth + security)
+#   3. NTT pair-compact A/B (ops/ntt_pallas.py butterfly formulations)
+#   4. keyswitch inner-product A/B (fused Pallas kernel vs XLA loop)
+# Each writes to tools/results/. Run on the real TPU; total ~30-45 min
+# (dominated by tunnel remote-compiles).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p tools/results
+R=tools/results
+
+run() {
+    local name=$1; shift
+    echo "== $name: $* =="
+    timeout 2400 "$@" 2>&1 | tee "$R/$name.log" | tail -3
+}
+
+run headline_alpha1   python bench.py
+run headline_hybrid2  python bench.py --hybrid
+run ntt_paircompact   python tools/bench_ntt_tpu.py --n 16384 --L 8 --batch 4
+run ntt_rollselect    python tools/bench_ntt_tpu.py --n 16384 --L 8 --batch 4 --no-pair-compact
+run ops_pallas_ks     python tools/bench_ops_tpu.py --ns 16384
+run ops_xla_ks        python tools/bench_ops_tpu.py --ns 16384 --keyswitch-xla
+
+echo "== done; logs in $R/ =="
