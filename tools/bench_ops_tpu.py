@@ -27,6 +27,15 @@ BITS = {
     32768: [55] * 15 + [56],
 }
 
+# --alpha 2: same data-prime count and total budget, 2 special primes
+# (hybrid keyswitch; see docs/HYBRID_KEYSWITCH.md)
+BITS_ALPHA2 = {
+    4096: [27, 27, 27, 28],
+    8192: [38, 38, 38, 38, 33, 33],
+    16384: [44] * 8 + [43, 43],
+    32768: [52] * 15 + [50, 51],
+}
+
 
 def _marginal(fn, x0, short=8, long_=520, repeats=4, extra=()):
     """fn(x, steps, *extra) jitted; returns seconds per step (differential).
@@ -73,7 +82,7 @@ def _marginal(fn, x0, short=8, long_=520, repeats=4, extra=()):
     return (tl - ts) / (long_ - short)
 
 
-def bench_one(n: int, rotations: int = 8):
+def bench_one(n: int, rotations: int = 8, alpha: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -87,11 +96,12 @@ def bench_one(n: int, rotations: int = 8):
 
     cpu = jax.devices("cpu")[0]
     target = jax.devices()[0]
-    bits = BITS[n]
-    L = len(bits) - 1
+    bits = BITS[n] if alpha == 1 else BITS_ALPHA2[n]
+    L = len(bits) - alpha
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
     parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_special_modulus_size(alpha)
     parms.set_random_seed((1, 2, 3, 4, 5, 6, 7, 8))
 
     with jax.default_device(cpu):
@@ -223,7 +233,8 @@ def bench_one(n: int, rotations: int = 8):
             return jax.lax.fori_loop(0, steps_, body, x)
         us["encode_device"] = _marginal(enc_chain, b4) * 1e6
 
-    return {"n": n, "L": L, "us": {k: round(v, 1) for k, v in us.items()},
+    return {"n": n, "L": L, "alpha": alpha,
+            "us": {k: round(v, 1) for k, v in us.items()},
             "hoisting_speedup": round(
                 us[f"rotate_{rotations}_unhoisted"]
                 / us[f"rotate_{rotations}_hoisted"], 2)}
@@ -326,6 +337,9 @@ def main():
     ap.add_argument("--keyswitch-xla", action="store_true",
                     help="A/B: force the XLA key-switch inner product "
                          "(default: fused Pallas kernel on TPU)")
+    ap.add_argument("--alpha", type=int, default=1,
+                    help="hybrid keyswitch special-prime count (CKKS rows "
+                         "only; 2 uses the BITS_ALPHA2 same-budget parms)")
     args = ap.parse_args()
     if args.keyswitch_xla:
         from seal_tpu.config import config as _cfg
@@ -333,7 +347,7 @@ def main():
     reports = []
     for n in args.ns:
         t0 = time.time()
-        rep = (bench_one(n, args.rotations) if args.scheme == "ckks"
+        rep = (bench_one(n, args.rotations, args.alpha) if args.scheme == "ckks"
                else bench_bfv(n, args.scheme))
         rep["bench_wall_s"] = round(time.time() - t0, 1)
         print(json.dumps(rep), flush=True)
