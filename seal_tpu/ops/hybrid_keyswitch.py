@@ -109,6 +109,69 @@ def tail_consts(key_moduli: tuple, alpha: int, L: int, t_mod: int):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def decomp_consts_stacked(key_moduli: tuple, alpha: int, L: int):
+    """Digit constants stacked along a leading digit axis (uniform width α,
+    zero-padded partial digit) — the layout the TP-sharded keyswitch shards
+    over its mesh axis. Padding is exact: a padded slot has op = qt =
+    hat = 0, so its contribution is identically zero."""
+    import jax.numpy as jnp
+
+    digits, per_digit = decomp_consts(key_moduli, alpha, L)
+    d = len(digits)
+    I = L + alpha
+    rows_idx = np.zeros((d, alpha), dtype=np.int32)
+    inv_op = [np.zeros((d, alpha, 1), dtype=np.uint32) for _ in range(2)]
+    inv_qt = [np.zeros((d, alpha, 1), dtype=np.uint32) for _ in range(2)]
+    q_dig = [np.zeros((d, alpha, 1), dtype=np.uint32) for _ in range(2)]
+    hat_ext = [np.zeros((d, alpha, I), dtype=np.uint32) for _ in range(2)]
+    for j, (rows, (iop, iqt, qd, he)) in enumerate(zip(digits, per_digit)):
+        a = len(rows)
+        rows_idx[j, :a] = rows
+        for h in range(2):
+            inv_op[h][j, :a] = np.asarray(iop[h])
+            inv_qt[h][j, :a] = np.asarray(iqt[h])
+            q_dig[h][j, :a] = np.asarray(qd[h])
+            hat_ext[h][j, :a] = np.asarray(he[h])
+    return (jnp.asarray(rows_idx),
+            tuple(jnp.asarray(a) for a in inv_op),
+            tuple(jnp.asarray(a) for a in inv_qt),
+            tuple(jnp.asarray(a) for a in q_dig),
+            tuple(jnp.asarray(a) for a in hat_ext))
+
+
+def decompose_digits(t_target, rows_idx, inv_op, inv_qt, q_dig, hat_ext,
+                     ext_mc):
+    """decompose() over an explicit stacked-constants digit block
+    [d_loc, α, ...] (possibly a mesh shard of decomp_consts_stacked).
+    t_target is the full coeff-domain [L, N] pair (replicated)."""
+    import jax.numpy as jnp
+
+    d_loc, a = rows_idx.shape
+    I = ext_mc.q[0].shape[0]
+    n = t_target[0].shape[-1]
+    outs_lo, outs_hi = [], []
+    for jl in range(d_loc):
+        idx = rows_idx[jl]
+        tr = (t_target[0][idx], t_target[1][idx])            # [α, N]
+        w = limb.mul_mod_shoup(
+            tr, (inv_op[0][jl], inv_op[1][jl]),
+            (inv_qt[0][jl], inv_qt[1][jl]),
+            (q_dig[0][jl], q_dig[1][jl]))                    # [α, N]
+        z = jnp.zeros((I, n), jnp.uint32)
+        acc = (z, z, z, z)
+        for t in range(a):
+            wt = (w[0][t][None, :], w[1][t][None, :])
+            ht = (hat_ext[0][jl, t][:, None], hat_ext[1][jl, t][:, None])
+            acc = limb.mul_add_128(acc, wt, ht)
+        y = limb.barrett_reduce_128(
+            (acc[0], acc[1]), (acc[2], acc[3]),
+            ext_mc.q, ext_mc.ratio0, ext_mc.ratio1)
+        outs_lo.append(y[0])
+        outs_hi.append(y[1])
+    return jnp.stack(outs_lo), jnp.stack(outs_hi)            # [d_loc, I, N]
+
+
 def decompose(t_target, key_moduli: tuple, alpha: int, L: int, ext_mc):
     r"""Coeff-domain target [L, N] → digit rows [d, I, N] (pre-NTT).
 

@@ -86,24 +86,100 @@ class TPKeySwitch:
         self.tp = mesh.shape[tp_axis]
         self.scheme = cd.parms.scheme
         self.L = cd.coeff_modulus_size
-        if self.L % self.tp:
+        self.alpha = key_cd.parms.special_modulus_size
+        # decomposition axis length: per-prime rows (reference algorithm)
+        # or hybrid digits — either shards over 'tp' with one psum
+        self.decomp = (self.L if self.alpha == 1
+                       else -(-self.L // self.alpha))
+        if self.decomp % self.tp:
             raise ValueError(
-                f"tower size {self.L} not divisible by tp={self.tp}")
+                f"decomposition size {self.decomp} not divisible by "
+                f"tp={self.tp}")
         key_moduli = key_cd.key_moduli()
         self.L_key = len(key_moduli)
-        self.key_indices = list(range(self.L)) + [self.L_key - 1]
+        self.key_indices = (list(range(self.L))
+                            + list(range(self.L_key - self.alpha, self.L_key)))
         self.ext_tables = ntt_mod.gather_tables(
             key_cd.ntt_tables, self.key_indices)
         self.ext_mc = modring.make_mod_consts(
             [key_moduli[i] for i in self.key_indices])
+        if self.alpha > 1:
+            from seal_tpu.ops import hybrid_keyswitch as hyb
+
+            self._stacked = hyb.decomp_consts_stacked(
+                tuple(key_moduli), self.alpha, self.L)
         self._reduce_fn = None
 
     # -- the sharded contraction ------------------------------------------------
+
+    def _reduce_hybrid(self, t_coeff, keys_ext):
+        """Hybrid digits sharded over 'tp': the coeff target is replicated
+        (it is small), the stacked digit constants and the key tensor are
+        sharded over the digit axis, and the contraction ends in the same
+        single exact psum of 21-bit limb splits."""
+        from seal_tpu.ops import hybrid_keyswitch as hyb
+
+        d, tp, axis = self.decomp, self.tp, self.axis
+        I = self.L + self.alpha
+        ext_tables, ext_mc = self.ext_tables, self.ext_mc
+        d_loc = d // tp
+
+        def body(tc, stacked, k):
+            rows_idx, iop, iqt, qd, he = stacked
+            y = hyb.decompose_digits(tc, rows_idx, iop, iqt, qd, he, ext_mc)
+            t_op = ntt_mod.ntt_forward(y, ext_tables)        # [d_loc, I, n]
+            n = tc[0].shape[-1]
+            acc = [
+                tuple(jnp.zeros((I, n), dtype=jnp.uint32) for _ in range(4))
+                for _ in range(2)
+            ]
+            for Jl in range(d_loc):
+                tj = (t_op[0][Jl], t_op[1][Jl])
+                for c in range(2):
+                    kc = (k[0][Jl, c], k[1][Jl, c])
+                    acc[c] = limb.mul_add_128(acc[c], tj, kc)
+            parts = []
+            for c in range(2):
+                part = limb.barrett_reduce_128(
+                    (acc[c][0], acc[c][1]), (acc[c][2], acc[c][3]),
+                    ext_mc.q, ext_mc.ratio0, ext_mc.ratio1,
+                )
+                parts.append(_split21(part))
+            s = jax.lax.psum(jnp.stack(parts), axis)
+            out = [
+                _recombine21_mod(s[c], ext_mc.q, ext_mc.ratio0, ext_mc.ratio1)
+                for c in range(2)
+            ]
+            return (
+                jnp.stack([out[0][0], out[1][0]]),
+                jnp.stack([out[0][1], out[1][1]]),
+            )
+
+        if self._reduce_fn is None:
+            rep = P(None, None)
+            d1 = P(self.axis, None)
+            d2 = P(self.axis, None, None)
+            spec_k = P(self.axis, None, None, None)
+            self._reduce_fn = jax.jit(shard_map(
+                body, mesh=self.mesh,
+                in_specs=(
+                    (rep, rep),
+                    (d1, (d2, d2), (d2, d2), (d2, d2),
+                     (P(self.axis, None, None), P(self.axis, None, None))),
+                    (spec_k, spec_k),
+                ),
+                out_specs=(P(None, None, None), P(None, None, None)),
+                check_vma=False,
+            ))
+        plo, phi = self._reduce_fn(t_coeff, self._stacked, keys_ext)
+        return [((plo[0], phi[0])), ((plo[1], phi[1]))]
 
     def reduce(self, t_coeff, t_ntt, keys_ext):
         """prod[2, L+1, N] (replicated) from coefficient-domain target rows
         [L, N] (+ NTT-form rows for CKKS eye-substitution) and the key
         gathered to the extended base [L, 2, L+1, N]; J sharded over 'tp'."""
+        if self.alpha > 1:
+            return self._reduce_hybrid(t_coeff, keys_ext)
         L, tp, axis = self.L, self.tp, self.axis
         Lp1 = L + 1
         ext_tables, ext_mc = self.ext_tables, self.ext_mc
@@ -180,10 +256,10 @@ class TPKeySwitch:
     # -- Evaluator-compatible entry points --------------------------------------
 
     def gather_keys(self, keys_tensor):
-        """[L_decomp, 2, L_key, N] → extended-base rows [L, 2, L+1, N]."""
+        """[decomp, 2, L_key, N] → extended-base rows [decomp, 2, L+α, N]."""
         idx = jnp.asarray(self.key_indices)
-        return (keys_tensor[0][:self.L, :, idx, :],
-                keys_tensor[1][:self.L, :, idx, :])
+        return (keys_tensor[0][:self.decomp, :, idx, :],
+                keys_tensor[1][:self.decomp, :, idx, :])
 
     def switch_key(self, ev, ct: Ciphertext, target, keys_tensor) -> Ciphertext:
         """Drop-in TP replacement for Evaluator._switch_key: decompose
@@ -234,9 +310,12 @@ class TPEvaluator(Evaluator):
             cd = self.context.get_context_data(parms_id)
             tp = self.mesh.shape[self.tp_axis]
             alpha = self.context.key_context_data().parms.special_modulus_size
-            if cd.coeff_modulus_size % tp or alpha > 1:
-                # hybrid digits shrink the decomp axis below the mesh size;
-                # fall back to the (still correct) single-chip contraction
+            decomp = (cd.coeff_modulus_size if alpha == 1
+                      else -(-cd.coeff_modulus_size // alpha))
+            if decomp % tp:
+                # decomposition axis (primes, or hybrid digits) doesn't
+                # split over the mesh at this level; fall back to the
+                # (still correct) single-chip contraction
                 self._tks_cache[key] = None
             else:
                 self._tks_cache[key] = TPKeySwitch(

@@ -281,3 +281,21 @@ def test_hybrid_key_serialization_roundtrip():
     ct = enc.encrypt(encd.encode([1.0, 2.0], 2.0 ** 30))
     ct2 = serialization.load_ciphertext(ctx, serialization.save_ciphertext(ct))
     np.testing.assert_array_equal(np.asarray(ct.data[0]), np.asarray(ct2.data[0]))
+
+
+def test_jit_evaluator_hybrid():
+    """JitEvaluator's compiled-op cache works over a hybrid context."""
+    ctx = _ckks_ctx(64, [40, 40, 40, 40, 40], alpha=2)
+    kg = seal_tpu.KeyGenerator(ctx)
+    enc = seal_tpu.Encryptor(ctx, kg.create_public_key())
+    dec = seal_tpu.Decryptor(ctx, kg.secret_key())
+    jev = seal_tpu.JitEvaluator(ctx)
+    encd = seal_tpu.CKKSEncoder(ctx)
+    rk = kg.create_relin_keys()
+    vals = np.linspace(-1, 1, encd.slot_count)
+    ct = enc.encrypt(encd.encode(vals, 2.0 ** 30))
+    out = jev.rescale_to_next(jev.relinearize(jev.multiply(ct, ct), rk))
+    out2 = jev.rescale_to_next(jev.relinearize(jev.multiply(ct, ct), rk))
+    got = encd.decode(dec.decrypt(out))
+    assert np.max(np.abs(got - vals ** 2)) < 1e-4
+    np.testing.assert_array_equal(np.asarray(out.data[0]), np.asarray(out2.data[0]))

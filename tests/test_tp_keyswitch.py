@@ -155,3 +155,34 @@ def test_tp_evaluator_bfv_rotate_bit_identical():
     ref = ev.rotate_rows(ct, 1, gk)
     got = tev.rotate_rows(ct, 1, gk)
     assert np.array_equal(ref.to_numpy(), got.to_numpy())
+
+
+def test_hybrid_tp_relinearize_bit_identical():
+    """HYBRID digits sharded over tp=2: mult -> TPEvaluator.relinearize must
+    equal the single-chip hybrid Evaluator bit-for-bit (digit-axis shard,
+    replicated coeff target, same single psum)."""
+    mesh = _mesh(2)
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40] * 4 + [40, 40]))
+    parms.set_special_modulus_size(2)        # 4 data primes -> 2 digits
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    rk = kg.create_relin_keys()
+    enc = Encryptor(ctx, kg.create_public_key())
+    encd = CKKSEncoder(ctx)
+    ev = Evaluator(ctx)
+    tev = TPEvaluator(ctx, mesh)
+    ct = enc.encrypt(encd.encode(np.linspace(-1, 1, 32), 2.0 ** 30))
+    cm = ev.multiply(ct, ct)
+    want = ev.relinearize(cm, rk)
+    with mesh:
+        got = tev.relinearize(cm, rk)
+    np.testing.assert_array_equal(np.asarray(want.data[0]), np.asarray(got.data[0]))
+    np.testing.assert_array_equal(np.asarray(want.data[1]), np.asarray(got.data[1]))
+    # and it decrypts correctly
+    dec = __import__("seal_tpu").Decryptor(ctx, kg.secret_key())
+    out = ev.rescale_to_next(got)
+    vals = encd.decode(dec.decrypt(out))
+    assert np.max(np.abs(vals - np.linspace(-1, 1, 32) ** 2)) < 1e-4

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--logdir", default="/tmp/seal_tpu_trace")
     ap.add_argument("--attr-only", action="store_true",
                     help="skip the profiler trace, print attribution only")
+    ap.add_argument("--alpha", type=int, default=1,
+                    help="hybrid keyswitch special-prime count "
+                         "(2 = same-budget BITS_ALPHA2 parms)")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +42,9 @@ def main():
     n = 16384
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
-    parms.set_coeff_modulus(CoeffModulus.create(n, [48] * 8 + [54]))
+    bits = [48] * 8 + [54] if args.alpha == 1 else [44] * 8 + [43] * args.alpha
+    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_special_modulus_size(args.alpha)
     parms.set_random_seed((1, 2, 3, 4, 5, 6, 7, 8))
     with jax.default_device(cpu):
         ctx = SEALContext(parms)
