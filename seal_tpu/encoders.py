@@ -52,20 +52,21 @@ class BatchEncoder:
         return self.slots
 
     def encode(self, values) -> Plaintext:
-        values = list(values)
-        if len(values) > self.slots:
+        try:
+            v = np.asarray(list(values), dtype=np.int64)  # t < 2^60 fits signed
+        except OverflowError:
+            raise ValueError("input value is larger than plain_modulus")
+        if v.size > self.slots:
             raise ValueError("values_matrix size is too large")
         t = self._t
+        neg = v < 0
+        if np.any(-v[neg] > (t - 1) // 2):  # signed inputs like the int64 overload
+            raise ValueError("input value is larger than plain_modulus")
+        u = np.where(neg, v + t, v).astype(np.uint64)
+        if np.any(u >= t):
+            raise ValueError("input value is larger than plain_modulus")
         coeffs = np.zeros(self.slots, dtype=np.uint64)
-        for i, v in enumerate(values):
-            v = int(v)
-            if v < 0:
-                if -v > (t - 1) // 2:  # allow signed inputs like the int64 overload
-                    raise ValueError("input value is larger than plain_modulus")
-                v = v + t
-            if v >= t:
-                raise ValueError("input value is larger than plain_modulus")
-            coeffs[self._index_map[i]] = v
+        coeffs[self._index_map[: u.size]] = u
         dev = to_device(coeffs.reshape(1, self.slots))
         out = ntt_mod.ntt_inverse(dev, self._tables)
         p = Plaintext(self.slots)
@@ -83,5 +84,6 @@ class BatchEncoder:
         if signed:
             t = self._t
             half = (t + 1) >> 1
-            return [int(v) - t if v >= half else int(v) for v in values]
-        return [int(v) for v in values]
+            return (values.astype(np.int64)
+                    - np.where(values >= half, t, 0).astype(np.int64)).tolist()
+        return values.tolist()
