@@ -114,6 +114,35 @@ class TestLegacySamplers:
         assert int(flat.astype(object).sum()) & 0xFFFFFFFFFFFFFFFF == vectors["uniform_4096_sum"]
 
 
+def test_clipped_normal_sampler():
+    """ClipNormal.ClipNormalGenerate parity (util/clipnormal.h, rlwe.cpp:40):
+    statistical properties — values clipped to ±6σ, centered, σ≈3.2,
+    negative values lifted to q−|v| identically across RNS rows."""
+    import numpy as np
+    from seal_tpu import rlwe
+    from seal_tpu.rlwe import NOISE_MAX_DEVIATION, NOISE_STANDARD_DEVIATION
+
+    n = 4096
+    moduli = [0xFFFFEE001, 0xFFFFC4001]
+    out = rlwe.sample_poly_normal(Blake2xbPRNG(SEED), moduli, n)
+    assert out.shape == (2, n)
+    # recover signed values from row 0 and check the clip bound + moments
+    q0 = moduli[0]
+    signed = np.where(out[0] > q0 // 2, out[0].astype(np.int64) - q0,
+                      out[0].astype(np.int64))
+    assert np.abs(signed).max() <= NOISE_MAX_DEVIATION
+    assert abs(signed.mean()) < 0.5
+    assert abs(signed.std() - NOISE_STANDARD_DEVIATION) < 0.4
+    # same signed value on every RNS row (lifted per-modulus)
+    q1 = moduli[1]
+    signed1 = np.where(out[1] > q1 // 2, out[1].astype(np.int64) - q1,
+                       out[1].astype(np.int64))
+    assert np.array_equal(signed, signed1)
+    # deterministic under a fixed seed
+    again = rlwe.sample_poly_normal(Blake2xbPRNG(SEED), moduli, n)
+    assert np.array_equal(out, again)
+
+
 def test_shake256_prng_type_end_to_end():
     """parms.set_prng_type(SHAKE256) drives keygen/encrypt and survives the
     seeded-ciphertext wire format (randomgen.h:501-560 Shake256PRNGFactory
