@@ -32,8 +32,45 @@ import numpy as np
 # under load; the honest comparator is the faster observation.
 REFERENCE_OPS_PER_S = 26.599
 
+# Last measurement validated ON HARDWARE, used only as a clearly-flagged
+# fallback when the tunnel is unreachable at bench time (it has day-long
+# outages). Update when a fresh on-TPU run lands (BASELINE.md headline).
+LAST_VALIDATED = {"value": 760.0, "measured": "2026-08-17", "batch": 16}
+
+
+def _backend_up(timeout_s: float = 300.0) -> bool:
+    """Probe TPU-backend liveness in a subprocess (jax.devices() hangs
+    indefinitely when the tunnel is down; a subprocess can be killed)."""
+    import subprocess
+    import sys
+
+    code = ("import jax, sys; d = jax.devices(); "
+            "sys.exit(0 if d and d[0].platform != 'cpu' else 1)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
 
 def main(batches=(16,), alpha=1):
+    if not _backend_up():
+        # The tunnel is down: report the last on-hardware measurement,
+        # explicitly flagged stale, instead of hanging forever or printing
+        # nothing. Never silently bench on the CPU fallback backend.
+        print(json.dumps({
+            "metric": "ckks_n16384_L8_mult_relin_rescale (axon)",
+            "value": LAST_VALIDATED["value"],
+            "unit": "ops/s/chip",
+            "vs_baseline": round(LAST_VALIDATED["value"] / REFERENCE_OPS_PER_S, 3),
+            "stale": True,
+            "note": "TPU tunnel unreachable at bench time; value is the last "
+                    f"on-hardware measurement ({LAST_VALIDATED['measured']}, "
+                    f"B={LAST_VALIDATED['batch']}; see BASELINE.md)",
+        }), flush=True)
+        return
+
     import jax
     import jax.numpy as jnp
 
