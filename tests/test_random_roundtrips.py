@@ -1,0 +1,168 @@
+"""Randomized semantic roundtrips (reference parity by *meaning*, not vectors).
+
+The bit-exact suites pin exact byte patterns under one fixed PRNG seed; this
+suite drives the same pipelines with randomized plaintexts and several
+encryption seeds, checking against exact Python/numpy models — catching
+carry-chain, rejection-boundary and sign-fix edges a single golden vector
+can't reach. Mirrors the reference's randomized API tests
+(native/tests/seal/evaluator.cpp uses random_uint64()-driven plaintexts
+throughout, e.g. :100-160)."""
+
+import numpy as np
+import pytest
+
+import seal_tpu
+from seal_tpu import (
+    BatchEncoder, CoeffModulus, Decryptor, EncryptionParameters, Encryptor,
+    Evaluator, KeyGenerator, PlainModulus, SEALContext, SchemeType,
+    SecLevelType,
+)
+from seal_tpu.ckks import CKKSEncoder
+
+N = 64
+SEEDS = [(s, s + 1, 3, 4, 5, 6, 7, 8) for s in (11, 97)]
+
+
+def _ctx(scheme, bits, t=None, seed=SEEDS[0]):
+    parms = EncryptionParameters(scheme)
+    parms.set_poly_modulus_degree(N)
+    parms.set_coeff_modulus(CoeffModulus.create(N, bits))
+    if t is not None:
+        parms.set_plain_modulus(t)
+    parms.set_random_seed(seed)
+    return SEALContext(parms, sec_level=SecLevelType.NONE)
+
+
+@pytest.mark.parametrize("scheme", [SchemeType.BFV, SchemeType.BGV])
+@pytest.mark.parametrize("seed", SEEDS)
+def test_exact_slot_algebra(scheme, seed):
+    """(a*b + c - d)·e slotwise mod t, exact, under two encryption seeds."""
+    t = PlainModulus.batching(N, 17).value
+    ctx = _ctx(scheme, [40, 40, 40], t, seed)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, kg.create_public_key())
+    ev = Evaluator(ctx)
+    dec = Decryptor(ctx, kg.secret_key())
+    rk = kg.create_relin_keys()
+    be = BatchEncoder(ctx)
+
+    rng = np.random.default_rng(seed[0])
+    a, b, c, d, e = (rng.integers(0, t, N, dtype=np.uint64) for _ in range(5))
+    ca, cb, cc, cd_, = (enc.encrypt(be.encode(x)) for x in (a, b, c, d))
+    prod = ev.relinearize(ev.multiply(ca, cb), rk)
+    acc = ev.sub(ev.add(prod, cc), cd_)
+    out = ev.relinearize(ev.multiply(acc, enc.encrypt(be.encode(e))), rk)
+    got = be.decode(dec.decrypt(out))
+    want = ((a.astype(object) * b + c - d) * e) % t
+    assert np.array_equal(got, want % t)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bfv_plain_mixed_ops(seed):
+    """ct⊙pt ops against the exact model: multiply_plain, add_plain,
+    sub_plain composed, including a monomial plaintext (fast path)."""
+    t = PlainModulus.batching(N, 17).value
+    ctx = _ctx(SchemeType.BFV, [40, 40, 40], t, seed)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, kg.create_public_key())
+    ev = Evaluator(ctx)
+    dec = Decryptor(ctx, kg.secret_key())
+    be = BatchEncoder(ctx)
+
+    rng = np.random.default_rng(seed[1])
+    a, p, q = (rng.integers(0, t, N, dtype=np.uint64) for _ in range(3))
+    ca = enc.encrypt(be.encode(a))
+    out = ev.sub_plain(ev.add_plain(ev.multiply_plain(ca, be.encode(p)),
+                                    be.encode(q)), be.encode(p))
+    got = be.decode(dec.decrypt(out))
+    want = (a.astype(object) * p + q - p) % t
+    assert np.array_equal(got, want)
+
+    # monomial plaintext: 3x^5 — negacyclic rotation fast path, coeff domain
+    mono = seal_tpu.Plaintext.from_hex_string("3x^5")
+    cm = ev.multiply_plain(enc.encrypt(seal_tpu.Plaintext.from_hex_string("2x^1 + 1")), mono)
+    got_hex = dec.decrypt(cm).to_hex_string()
+    assert got_hex == "6x^6 + 3x^5"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bfv_rotation_orbit(seed):
+    """Random row/column rotations compose to the model permutation."""
+    t = PlainModulus.batching(N, 17).value
+    ctx = _ctx(SchemeType.BFV, [40, 40, 40], t, seed)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, kg.create_public_key())
+    ev = Evaluator(ctx)
+    dec = Decryptor(ctx, kg.secret_key())
+    gk = kg.create_galois_keys()
+    be = BatchEncoder(ctx)
+
+    rng = np.random.default_rng(seed[0] + 1)
+    a = rng.integers(0, t, N, dtype=np.uint64)
+    ct = enc.encrypt(be.encode(a))
+    half = N // 2
+    mat = a.reshape(2, half)
+    for step in (1, -3, half // 2):
+        ct = ev.rotate_rows(ct, step, gk)
+        mat = np.roll(mat, -step, axis=1)
+    ct = ev.rotate_columns(ct, gk)
+    mat = mat[::-1]
+    got = np.asarray(be.decode(dec.decrypt(ct)), dtype=np.uint64)
+    assert np.array_equal(got.reshape(2, half), mat)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_ckks_random_polynomial_eval(seed):
+    """Evaluate p(x) = 0.5·x³ + x² − 2x slotwise on random inputs with the
+    rescale chain, checking float tolerance (reference ckks tests' bar)."""
+    ctx = _ctx(SchemeType.CKKS, [50, 30, 30, 50], seed=seed)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, kg.create_public_key())
+    ev = Evaluator(ctx)
+    dec = Decryptor(ctx, kg.secret_key())
+    rk = kg.create_relin_keys()
+    encd = CKKSEncoder(ctx)
+
+    rng = np.random.default_rng(seed[1] + 2)
+    x = rng.uniform(-1, 1, encd.slot_count)
+    scale = 2.0 ** 30
+    cx = enc.encrypt(encd.encode(x, scale))
+    x2 = ev.rescale_to_next(ev.relinearize(ev.multiply(cx, cx), rk))
+    half_x = ev.rescale_to_next(
+        ev.multiply_plain(cx, encd.encode(0.5, scale)))
+    x3_half = ev.rescale_to_next(ev.relinearize(ev.multiply(x2, half_x), rk))
+    # align x² and -2x down to x³'s level and scale
+    x2_down = ev.mod_switch_to(x2, x3_half.parms_id)
+    x2_down.scale = x3_half.scale
+    m2x = ev.multiply_plain(cx, encd.encode(-2.0, scale))
+    m2x = ev.mod_switch_to(ev.rescale_to_next(m2x), x3_half.parms_id)
+    m2x.scale = x3_half.scale
+    out = ev.add(ev.add(x3_half, x2_down), m2x)
+    got = np.real(encd.decode(dec.decrypt(out)))
+    want = 0.5 * x ** 3 + x ** 2 - 2 * x
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_bgv_modswitch_chain_random():
+    """BGV multiply → mod_switch chain keeps exact values to the last level."""
+    t = PlainModulus.batching(N, 17).value
+    ctx = _ctx(SchemeType.BGV, [40, 40, 40, 40], t)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, kg.create_public_key())
+    ev = Evaluator(ctx)
+    dec = Decryptor(ctx, kg.secret_key())
+    rk = kg.create_relin_keys()
+    be = BatchEncoder(ctx)
+
+    rng = np.random.default_rng(1234)
+    a = rng.integers(0, t, N, dtype=np.uint64)
+    b = rng.integers(0, t, N, dtype=np.uint64)
+    ct = ev.relinearize(ev.multiply(enc.encrypt(be.encode(a)),
+                                    enc.encrypt(be.encode(b))), rk)
+    want = (a.astype(object) * b) % t
+    while True:
+        assert np.array_equal(be.decode(dec.decrypt(ct)), want)
+        cd = ctx.get_context_data(ct.parms_id)
+        if cd.next_context_data is None:
+            break
+        ct = ev.mod_switch_to_next(ct)
