@@ -1,0 +1,101 @@
+"""Scaling-efficiency model for the BASELINE multi-host targets.
+
+No multi-chip hardware is reachable from this sandbox (one tunneled v5e
+chip), so the multi-host claims are DERIVED, not measured — this tool makes
+the derivation explicit and reproducible from (a) measured single-chip op
+times (BASELINE.md honest differentials) and (b) the exact collective
+payload sizes of the sharded paths (parallel/keyswitch.py TPKeySwitch: ONE
+psum of 21-bit limb splits; parallel/fourstep.py: one all_gather), against
+stated link-bandwidth assumptions.
+
+Model
+-----
+* DP (ciphertext batch over chips/hosts): zero steady-state communication —
+  efficiency = 1.0 while every chip keeps a saturating local batch
+  (B>=16 measured saturation; 4096-ct batch saturates up to 256 chips).
+* TP (RNS tower/digit axis over chips): per keyswitch, compute scales ~1/P
+  (decompose NTTs are per-digit independent) and the ONE exact psum moves
+  a fixed payload M = N * 2(components) * 6(21-bit splits) * 4 B
+  (keyswitch.py _SPLIT factors); ring all-reduce time = 2M(P-1)/P / BW.
+  efficiency(P) = t_comp / (t_comp + P * t_comm_overlap-free)  [pessimistic:
+  no compute/comm overlap is assumed].
+* Cross-host DP over DCN: same as DP (no steady-state traffic); key/ct
+  distribution is a one-time cost amortized over the batch stream.
+
+Usage: python tools/scaling_model.py [--n 16384] [--L 8]
+       [--relin-us 1132] [--ici-gbs 180] [--dcn-gbs 25]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16384)
+    ap.add_argument("--L", type=int, default=8)
+    ap.add_argument("--relin-us", type=float, default=1132.0,
+                    help="measured single-chip relinearize (BASELINE grid)")
+    ap.add_argument("--pipeline-us", type=float, default=1290.0,
+                    help="measured single-chip mult+relin+rescale per ct (B=16)")
+    ap.add_argument("--ici-gbs", type=float, default=180.0,
+                    help="per-chip ICI all-reduce bandwidth assumption (GB/s)")
+    ap.add_argument("--dcn-gbs", type=float, default=25.0)
+    ap.add_argument("--batch", type=int, default=4096,
+                    help="BASELINE config #5 ciphertext batch")
+    args = ap.parse_args()
+
+    n = args.n
+    # TPKeySwitch psum payload: [2 components, 3 splits, L+1 extended key
+    # rows, N] u32 (parallel/keyswitch.py reduce(): `jax.lax.psum(... )
+    # # [2, 3, Lp1, n]`; 21-bit limb splits keep the psum exact).
+    # dryrun_multichip's "psum 1.97 MB" is this same formula at L=4.
+    M = 2 * 3 * (args.L + 1) * n * 4
+    print(f"== TP keyswitch: psum payload {M/1e6:.2f} MB, "
+          f"measured single-chip relin {args.relin_us:.0f} us ==")
+    rows = []
+    for P in (2, 4, 8):
+        t_comp = args.relin_us / P
+        t_comm = 2 * M * (P - 1) / P / (args.ici_gbs * 1e9) * 1e6
+        eff = (args.relin_us / P) / (t_comp + t_comm)
+        rows.append((P, t_comp, t_comm, eff))
+        print(f"  TP={P}: compute {t_comp:7.1f} us + psum {t_comm:5.1f} us "
+              f"-> speedup {args.relin_us/(t_comp+t_comm):4.2f}x, "
+              f"efficiency {eff*100:5.1f}%")
+
+    print(f"\n== DP over chips (no steady-state collectives) ==")
+    B_sat = 16
+    max_chips = args.batch // B_sat
+    print(f"  measured saturation batch {B_sat}/chip; a {args.batch}-ct "
+          f"stream keeps {max_chips} chips saturated -> efficiency ~100% "
+          f"to {max_chips} chips, dropping only when per-chip batch < {B_sat}")
+
+    print(f"\n== DP across hosts over DCN (BASELINE config #5) ==")
+    # one-time distribution: relin keys [d, 2, L+1, 2, N] u32 pairs + ct batch
+    d = args.L
+    key_bytes = d * 2 * (args.L + 1) * 2 * n * 4
+    ct_bytes = 2 * args.L * 2 * n * 4
+    for hosts in (2, 4):
+        bcast = key_bytes / (args.dcn_gbs * 1e9) * 1e6
+        stream = args.batch / hosts * args.pipeline_us
+        amort = stream / (stream + bcast)
+        print(f"  {hosts} hosts: key bcast {key_bytes/1e6:.0f} MB = "
+              f"{bcast/1e3:.1f} ms one-time vs {stream/1e3:.0f} ms of "
+              f"pipeline work -> steady-state efficiency "
+              f"{amort*100:.1f}% (communication-free thereafter)")
+
+    print("\nAssumptions are explicit inputs (--ici-gbs/--dcn-gbs); at ICI "
+          "90 GB/s the TP=4 row still clears 80%. The ≥80%-at-2-hosts "
+          "BASELINE target is met by construction under DP (no steady-state "
+          "traffic) and by the table above under TP.")
+    print(json.dumps({
+        "psum_MB": round(M / 1e6, 2),
+        "tp_efficiency": {str(P): round(e, 3) for P, _, _, e in rows},
+        "dp_saturated_chips": max_chips,
+    }))
+
+
+if __name__ == "__main__":
+    main()
