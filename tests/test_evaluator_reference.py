@@ -305,6 +305,42 @@ class TestBGVFamilies:
         assert dec.decrypt(sq).to_hex_string() == "1x^2 + Ax^1 + 19"
 
 
+class TestSize4Relinearize:
+    """Multi-power relinearization: a size-4 ciphertext (two unrelinearized
+    multiplies) reduced to size 2 with count=2 relin keys (s^2, s^3) —
+    the reference's RelinKeys::get_index chain (relinkeys.h:58,
+    evaluator.cpp:1104-1159 repeated switch_key)."""
+
+    def test_bfv_size4_chain(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257,
+                                      bits=(40, 40, 40, 40))
+        rk2 = kg.create_relin_keys(count=2)
+        a = enc.encrypt(Plaintext.from_hex_string("2x^1 + 3"))
+        b = enc.encrypt(Plaintext.from_hex_string("5"))
+        c = enc.encrypt(Plaintext.from_hex_string("1x^2 + 1"))
+        m = ev.multiply(ev.multiply(a, b), c)      # size 3 then size 4
+        assert m.size == 4
+        out = ev.relinearize(m, rk2)
+        assert out.size == 2
+        # (2x+3)*5*(x^2+1) = 10x^3 + 15x^2 + 10x + 15
+        want = dec.decrypt(out).to_hex_string()
+        assert want == "Ax^3 + Fx^2 + Ax^1 + F"
+        # must agree with relinearizing between the multiplies (count=1 path)
+        rk1 = kg.create_relin_keys()
+        step = ev.relinearize(ev.multiply(ev.relinearize(ev.multiply(a, b), rk1), c), rk1)
+        assert dec.decrypt(step).to_hex_string() == want
+
+    def test_count_validation(self):
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        with pytest.raises(ValueError):
+            kg.create_relin_keys(count=0)
+        rk1 = kg.create_relin_keys(count=1)
+        a = enc.encrypt(Plaintext.from_hex_string("3"))
+        m = ev.multiply(ev.multiply(a, a), a)
+        with pytest.raises((ValueError, IndexError, KeyError)):
+            ev.relinearize(m, rk1)  # size-4 needs the s^3 key
+
+
 class TestCKKSNaiveMultiply:
     """CKKSEncryptNaiveMultiplyDecrypt: decrypt a size-3 product without
     relinearization (evaluator.cpp CKKS cases)."""
