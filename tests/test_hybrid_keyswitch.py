@@ -184,6 +184,60 @@ def test_alpha_one_unchanged_bit_exact():
             np.testing.assert_array_equal(ref, np.asarray(rk.key(2)[0]))
 
 
+def test_alpha2_halves_decompose_transform_count(monkeypatch):
+    """The perf mechanism, verified statically: count actual NTT transform
+    rows executed by relinearize at L=8. alpha=1 runs d·k − L = 8·9 − 8 = 64
+    decompose lifts (diagonal skip included); alpha=2 runs
+    ⌈L/2⌉·(L+2) = 40 — the ≈α× decompose reduction claimed in
+    docs/HYBRID_KEYSWITCH.md — plus a fixed 2L-transform tail either way.
+    No TPU timing needed to verify the claim's mechanism."""
+    import seal_tpu.ops.ntt as ntt_mod
+
+    counts = {}
+
+    def counting(name, orig):
+        def wrapper(x, t, lazy=False):
+            counts[name] = counts.get(name, 0) + int(
+                np.prod(x[0].shape[:-1], dtype=np.int64))
+            return orig(x, t, lazy=lazy)
+        return wrapper
+
+    L = 8
+    results = {}
+    for alpha in (1, 2):
+        bits = [30] * L + [30] * alpha
+        ctx = _ckks_ctx(64, bits, alpha)
+        kg = seal_tpu.KeyGenerator(ctx)
+        enc = seal_tpu.Encryptor(ctx, kg.create_public_key())
+        ev = seal_tpu.Evaluator(ctx)
+        rk = kg.create_relin_keys()
+        from seal_tpu.ckks import CKKSEncoder
+        encd = CKKSEncoder(ctx)
+        vals = np.linspace(-1, 1, encd.slot_count)
+        ct = enc.encrypt(encd.encode(vals, 2.0 ** 25))
+        cm = ev.multiply(ct, ct)
+
+        counts.clear()
+        monkeypatch.setattr(ntt_mod, "ntt_forward",
+                            counting("fwd", ntt_mod.ntt_forward))
+        monkeypatch.setattr(ntt_mod, "ntt_inverse",
+                            counting("inv", ntt_mod.ntt_inverse))
+        ev.relinearize(cm, rk)
+        monkeypatch.undo()
+        results[alpha] = dict(counts)
+
+    # forward transforms = decompose lifts + the fixed 2L tail lift
+    tail = 2 * L
+    assert results[1]["fwd"] == (L * (L + 1) - L) + tail     # 64 + 16 = 80
+    assert results[2]["fwd"] == -(-L // 2) * (L + 2) + tail  # 40 + 16 = 56
+    dec1 = results[1]["fwd"] - tail
+    dec2 = results[2]["fwd"] - tail
+    assert dec2 <= 0.65 * dec1                               # the ~alpha x cut
+    # inverse side must not balloon to compensate (one extra special-row
+    # INTT per component per extra special prime)
+    assert results[2]["inv"] <= results[1]["inv"] + 2 * (2 - 1)
+
+
 def test_pallas_keyswitch_kernel_hybrid_path():
     """The fused Pallas inner product must agree with the XLA loop when the
     decomposition axis is hybrid digits (J = ceil(L/alpha))."""
