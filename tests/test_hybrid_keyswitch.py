@@ -204,7 +204,7 @@ def test_alpha2_halves_decompose_transform_count(monkeypatch):
 
     L = 8
     results = {}
-    for alpha in (1, 2):
+    for alpha in (1, 2, 3):
         bits = [30] * L + [30] * alpha
         ctx = _ckks_ctx(64, bits, alpha)
         kg = seal_tpu.KeyGenerator(ctx)
@@ -236,6 +236,9 @@ def test_alpha2_halves_decompose_transform_count(monkeypatch):
     # inverse side must not balloon to compensate (one extra special-row
     # INTT per component per extra special prime)
     assert results[2]["inv"] <= results[1]["inv"] + 2 * (2 - 1)
+    # ragged alpha=3: ceil(8/3)=3 digits, last digit holds only 2 rows
+    assert results[3]["fwd"] == -(-L // 3) * (L + 3) + tail  # 33 + 16 = 49
+    assert results[3]["inv"] <= results[1]["inv"] + 2 * (3 - 1)
 
 
 def test_pallas_keyswitch_kernel_hybrid_path():
