@@ -71,6 +71,13 @@ class Plaintext:
         nz = np.nonzero(self.data)[0]
         return int(nz[-1]) + 1 if len(nz) else 0
 
+    def is_zero(self) -> bool:
+        """All coefficients zero (plaintext.h is_zero parity)."""
+        if self.rns_data is not None:
+            return not (np.any(np.asarray(self.rns_data[0]))
+                        or np.any(np.asarray(self.rns_data[1])))
+        return not np.any(self.data)
+
     def to_hex_string(self) -> str:
         """Polynomial-as-hex-string form used by the reference tests
         (e.g. '3x^2 + 1x^1 + 2')."""
