@@ -54,7 +54,7 @@ def _backend_up(timeout_s: float = 300.0) -> bool:
         return False
 
 
-def main(batches=(16,), alpha=1):
+def main(batches=(16,), alpha=1, fused=False):
     if not _backend_up():
         # The tunnel is down: report the last on-hardware measurement,
         # explicitly flagged stale, instead of hanging forever or printing
@@ -122,6 +122,9 @@ def main(batches=(16,), alpha=1):
     def one(x_pair, y_pair):
         ca = ct1.copy(); ca.data = x_pair
         cb = ct2.copy(); cb.data = y_pair
+        if fused:
+            # --fused: ONE mod-down by P*q_last (Evaluator.relinearize_rescale)
+            return ev.relinearize_rescale(ev.multiply(ca, cb), rk).data
         return ev.rescale_to_next(ev.relinearize(ev.multiply(ca, cb), rk)).data
 
     L = ct1.data[0].shape[-2]
@@ -165,7 +168,7 @@ def main(batches=(16,), alpha=1):
             dt = (tl - ts) / (long_ - short)
 
         ops_per_sec = B / dt
-        hyb = f"_hybrid{alpha}" if alpha > 1 else ""
+        hyb = (f"_hybrid{alpha}" if alpha > 1 else "") + ("_fused" if fused else "")
         print(json.dumps({
             "metric": f"ckks_n{n}_L8_mult_relin_rescale{hyb} ({target.platform})"
                       + (f" B={B}" if len(batches) > 1 else ""),
@@ -180,11 +183,15 @@ if __name__ == "__main__":
 
     args = sys.argv[1:]
     alpha = 1
+    fused = False
     if "--hybrid" in args:
         args.remove("--hybrid")
         alpha = 2
+    if "--fused" in args:
+        args.remove("--fused")
+        fused = True
     for a in list(args):
         if a.startswith("--alpha="):
             alpha = int(a.split("=")[1])
             args.remove(a)
-    main(tuple(int(a) for a in args) or (16,), alpha=alpha)
+    main(tuple(int(a) for a in args) or (16,), alpha=alpha, fused=fused)

@@ -411,7 +411,16 @@ class Evaluator:
         ct) under one kswitch key tensor [L_decomp, 2, L_key, N]; returns a
         size-2 ciphertext to ADD into ct's (c0, c1)
         (parity: evaluator.cpp:2382-2677)."""
-        return self._switch_key_inner(
+        return self._switch_key_tail(
+            ct, self._switch_key_prod(ct, target, keys_tensor))
+
+    def _switch_key_prod(self, ct: Ciphertext, target, keys_tensor):
+        """Decompose + inner product, reduced to [0, q): the
+        collective-bearing half of key switching. TPEvaluator overrides
+        this (parallel/keyswitch.py) to shard the decomposition axis over
+        'tp' with one exact psum — both the standard and the fused
+        (relinearize_rescale) tails consume its output."""
+        return self._switch_key_reduce(
             ct, self._switch_key_decompose(ct, target), keys_tensor)
 
     def _switch_key_decompose(self, ct: Ciphertext, target) -> limb.U64Pair:
@@ -653,24 +662,101 @@ class Evaluator:
             raise ValueError("relin_keys is not valid for encryption parameters")
         if ct.size == 2:
             return ct.copy()
-        cd = self._cd(ct)
         cur = ct
         while cur.size > 2:
-            size = cur.size
-            target = cur.poly(size - 1)
-            delta = self._switch_key(cur, target, relin_keys.key(size - 1))
-            lo = cur.data[0][:size - 1]
-            hi = cur.data[1][:size - 1]
-            base = Ciphertext((lo, hi), cur.parms_id, cur.is_ntt_form,
-                              cur.scale, cur.correction_factor)
-            mc = cd.mod_consts
-            c0 = modring.add_poly(base.poly(0), delta.poly(0), mc)
-            c1 = modring.add_poly(base.poly(1), delta.poly(1), mc)
-            polys = [c0, c1] + [base.poly(j) for j in range(2, size - 1)]
-            base.data = stack_polys(polys)
-            cur = base
+            cur = self._relin_step(cur, relin_keys)
         self._check_transparent(cur)
         return cur
+
+    def _relin_step(self, cur: Ciphertext, relin_keys: RelinKeys) -> Ciphertext:
+        """Absorb the highest ciphertext power via one key switch
+        (the body of evaluator.cpp:1104-1159's loop)."""
+        cd = self._cd(cur)
+        size = cur.size
+        target = cur.poly(size - 1)
+        delta = self._switch_key(cur, target, relin_keys.key(size - 1))
+        lo = cur.data[0][:size - 1]
+        hi = cur.data[1][:size - 1]
+        base = Ciphertext((lo, hi), cur.parms_id, cur.is_ntt_form,
+                          cur.scale, cur.correction_factor)
+        mc = cd.mod_consts
+        c0 = modring.add_poly(base.poly(0), delta.poly(0), mc)
+        c1 = modring.add_poly(base.poly(1), delta.poly(1), mc)
+        polys = [c0, c1] + [base.poly(j) for j in range(2, size - 1)]
+        base.data = stack_polys(polys)
+        return base
+
+    def relinearize_rescale(self, ct: Ciphertext, relin_keys: RelinKeys) -> Ciphertext:
+        """Fused CKKS relinearize + rescale_to_next (beyond-reference fast
+        path; the reference always runs evaluator.cpp:2616-2675 ÷P followed
+        by evaluator.cpp:1441-1479 ÷q_last sequentially).
+
+        The ciphertext body is lifted into the keyswitch dividend as
+        P·(c0, c1) + ⟨decomp(c2), ksk⟩, and ONE centered division by
+        P·q_last replaces the two sequential mod-downs — saving 2L NTT rows
+        per call (pinned by tests/test_fused_relin_rescale.py). The result
+        equals round((c + prod/P)/q_last) up to a few units of last-prime
+        rounding, so it is NOT bit-exact to the sequential pair (documented
+        fast-path exception, like rotate_batch_hoisted); it decrypts to the
+        same values within noise, which the tests bound against the
+        sequential output."""
+        if self._scheme() != SchemeType.CKKS:
+            raise ValueError("unsupported operation for scheme type")
+        if relin_keys.parms_id != self.context.key_parms_id:
+            raise ValueError("relin_keys is not valid for encryption parameters")
+        cd = self._cd(ct)
+        if cd.next_context_data is None:
+            raise ValueError("end of modulus switching chain reached")
+        cur = ct
+        while cur.size > 3:
+            cur = self._relin_step(cur, relin_keys)
+        if cur.size == 2:
+            return self.rescale_to_next(cur)
+
+        from seal_tpu.ops import hybrid_keyswitch as hyb
+
+        ctx = self.context
+        key_cd = ctx.key_context_data()
+        L = cd.coeff_modulus_size
+        key_moduli = key_cd.key_moduli()
+        L_key = len(key_moduli)
+        key_tables = key_cd.ntt_tables
+        alpha = key_cd.parms.special_modulus_size
+        mc = cd.mod_consts
+        next_cd = cd.next_context_data
+
+        target = cur.poly(2)
+        prod = self._switch_key_prod(cur, target, relin_keys.key(2))
+
+        # the combined divisor tower: q_last then the alpha special primes
+        km2 = tuple(cd.key_moduli()) + tuple(key_moduli[L_key - alpha:])
+        spec_tables = ntt_mod.gather_tables(
+            key_tables, [L - 1] + list(range(L_key - alpha, L_key)))
+        pm_op, pm_qt = hyb.fused_rescale_consts(tuple(key_moduli), alpha, L)
+
+        out_polys = []
+        for c in range(2):
+            body = cur.poly(c)                               # NTT, [L, N] < q
+            lift = limb.mul_mod_shoup(body, pm_op, pm_qt, mc.q)
+            data = limb.add_mod(
+                (prod[c][0][:L], prod[c][1][:L]), lift, mc.q)
+            rows = (
+                jnp.concatenate([data[0], prod[c][0][L:]], axis=0),
+                jnp.concatenate([data[1], prod[c][1][L:]], axis=0),
+            )
+            out_polys.append(hyb.mod_down(
+                rows, False, km2, alpha + 1, L - 1, 0,
+                next_cd.ntt_tables, spec_tables, next_cd.mod_consts,
+                is_ntt_out=True))
+
+        out = Ciphertext(
+            stack_polys(out_polys), parms_id=tuple(next_cd.parms_id),
+            is_ntt_form=cur.is_ntt_form,
+            scale=cur.scale / cd.key_moduli()[-1],
+            correction_factor=cur.correction_factor,
+        )
+        self._check_transparent(out)
+        return out
 
     @staticmethod
     def _check_transparent(ct: Ciphertext):

@@ -110,6 +110,24 @@ def tail_consts(key_moduli: tuple, alpha: int, L: int, t_mod: int):
 
 
 @functools.lru_cache(maxsize=None)
+def fused_rescale_consts(key_moduli: tuple, alpha: int, L: int):
+    """Shoup pairs of (P mod q_i) on the L live data rows.
+
+    Used by the fused relinearize+rescale tail (Evaluator.relinearize_rescale):
+    the ciphertext body is lifted into the keyswitch dividend as P·(c0, c1),
+    so ONE centered division by P·q_{L-1} replaces the sequential ÷P
+    (evaluator.cpp:2616-2675) followed by ÷q_last (evaluator.cpp:1441-1479).
+    """
+    K = list(key_moduli[:len(key_moduli) - alpha])[:L]
+    specials = list(key_moduli[len(key_moduli) - alpha:])
+    P = 1
+    for p in specials:
+        P *= p
+    return modring.shoup_pair(
+        [[P % q] for q in K], [[q] for q in K], shape=(L, 1))
+
+
+@functools.lru_cache(maxsize=None)
 def decomp_consts_stacked(key_moduli: tuple, alpha: int, L: int):
     """Digit constants stacked along a leading digit axis (uniform width α,
     zero-padded partial digit) — the layout the TP-sharded keyswitch shards

@@ -261,26 +261,31 @@ class TPKeySwitch:
         return (keys_tensor[0][:self.decomp, :, idx, :],
                 keys_tensor[1][:self.decomp, :, idx, :])
 
-    def switch_key(self, ev, ct: Ciphertext, target, keys_tensor) -> Ciphertext:
-        """Drop-in TP replacement for Evaluator._switch_key: decompose
-        locally per shard, contract with one psum, reuse the single-chip
-        special-prime tail — bit-identical output."""
+    def prod_rows(self, target, keys_tensor):
+        """Decompose locally per shard and contract with one psum: the TP
+        replacement for Evaluator._switch_key_prod — feeds either the
+        standard special-prime tail or the fused relinearize_rescale tail."""
         if self.scheme == SchemeType.CKKS:
             t_ntt = target
             t_coeff = ntt_mod.ntt_inverse(target, self.cd.ntt_tables)
         else:
             t_ntt = None
             t_coeff = target
-        prod = self.reduce(t_coeff, t_ntt, self.gather_keys(keys_tensor))
-        return ev._switch_key_tail(ct, prod)
+        return self.reduce(t_coeff, t_ntt, self.gather_keys(keys_tensor))
+
+    def switch_key(self, ev, ct: Ciphertext, target, keys_tensor) -> Ciphertext:
+        """Drop-in TP replacement for Evaluator._switch_key: decompose
+        locally per shard, contract with one psum, reuse the single-chip
+        special-prime tail — bit-identical output."""
+        return ev._switch_key_tail(ct, self.prod_rows(target, keys_tensor))
 
 
 class TPEvaluator(Evaluator):
     """Drop-in tensor-parallel Evaluator (SURVEY §2.11 TP row).
 
-    The single override point is `_switch_key` — the only collective-bearing
-    computation in the whole op surface (evaluator.cpp:2382-2677) — which
-    routes through `TPKeySwitch`, so
+    The single override point is `_switch_key_prod` — the only
+    collective-bearing computation in the whole op surface
+    (evaluator.cpp:2382-2677) — which routes through `TPKeySwitch`, so
 
       * relinearize / apply_galois / rotate_rows / rotate_columns /
         rotate_vector / complex_conjugate read the (large) key tensor
@@ -322,11 +327,14 @@ class TPEvaluator(Evaluator):
                     self.context, parms_id, self.mesh, self.tp_axis)
         return self._tks_cache[key]
 
-    def _switch_key(self, ct: Ciphertext, target, keys_tensor) -> Ciphertext:
+    def _switch_key_prod(self, ct: Ciphertext, target, keys_tensor):
+        # overriding the prod half (rather than _switch_key) lets BOTH the
+        # standard tail and the fused relinearize_rescale tail ride the
+        # TP-sharded contraction
         tks = self._tks_for(ct.parms_id)
         if tks is None:
-            return super()._switch_key(ct, target, keys_tensor)
-        return tks.switch_key(self, ct, target, keys_tensor)
+            return super()._switch_key_prod(ct, target, keys_tensor)
+        return tks.prod_rows(target, keys_tensor)
 
 
 def tp_relinearize(ev, ct: Ciphertext, relin_keys, mesh: Mesh,

@@ -186,3 +186,36 @@ def test_hybrid_tp_relinearize_bit_identical():
     out = ev.rescale_to_next(got)
     vals = encd.decode(dec.decrypt(out))
     assert np.max(np.abs(vals - np.linspace(-1, 1, 32) ** 2)) < 1e-4
+
+
+def test_tp_fused_relinearize_rescale_bit_identical():
+    """The FUSED relinearize+rescale under TPEvaluator: the _switch_key_prod
+    override shards the contraction, the fused P*q_last tail runs unchanged —
+    output must be bit-identical to the single-chip fused Evaluator (the
+    fused op is deterministic; sharding must not change it)."""
+    mesh = _mesh(2)
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40] * 4 + [40, 40]))
+    parms.set_special_modulus_size(2)        # 4 data primes -> 2 digits
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    rk = kg.create_relin_keys()
+    enc = Encryptor(ctx, kg.create_public_key())
+    encd = CKKSEncoder(ctx)
+    ev = Evaluator(ctx)
+    tev = TPEvaluator(ctx, mesh)
+    base = np.linspace(-1, 1, 32)
+    ct = enc.encrypt(encd.encode(base, 2.0 ** 30))
+    cm = ev.multiply(ct, ct)
+    want = ev.relinearize_rescale(cm, rk)
+    with mesh:
+        got = tev.relinearize_rescale(cm, rk)
+    assert tuple(got.parms_id) == tuple(want.parms_id)
+    assert got.scale == want.scale
+    np.testing.assert_array_equal(np.asarray(want.data[0]), np.asarray(got.data[0]))
+    np.testing.assert_array_equal(np.asarray(want.data[1]), np.asarray(got.data[1]))
+    dec = __import__("seal_tpu").Decryptor(ctx, kg.secret_key())
+    vals = encd.decode(dec.decrypt(got))
+    assert np.max(np.abs(vals - base ** 2)) < 1e-4

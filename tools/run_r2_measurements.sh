@@ -19,6 +19,8 @@ run() {
 
 run headline_alpha1   python bench.py
 run headline_hybrid2  python bench.py --hybrid
+run headline_fused    python bench.py --fused
+run headline_hyb2fus  python bench.py --hybrid --fused
 run ntt_paircompact   python tools/bench_ntt_tpu.py --n 16384 --L 8 --batch 4
 run ntt_rollselect    python tools/bench_ntt_tpu.py --n 16384 --L 8 --batch 4 --no-pair-compact
 run ops_pallas_ks     python tools/bench_ops_tpu.py --ns 16384
