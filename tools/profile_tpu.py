@@ -106,11 +106,28 @@ def main():
         stages[name] = (tl - ts) / 8 / B
         print(f"{name}: {stages[name]*1e6:.0f} us/ct", flush=True)
 
+    def seq_full(p):
+        cm = ev.multiply(wrap(p), wrap(p))
+        out = ev.rescale_to_next(ev.relinearize(cm, rk))
+        lo = jnp.concatenate([out.data[0], p[0][:, L - 1:]], axis=1)
+        hi = jnp.concatenate([out.data[1], p[1][:, L - 1:]], axis=1)
+        return (lo, hi)
+
+    def fused_full(p):
+        # ONE mod-down by P*q_last (Evaluator.relinearize_rescale)
+        cm = ev.multiply(wrap(p), wrap(p))
+        out = ev.relinearize_rescale(cm, rk)
+        lo = jnp.concatenate([out.data[0], p[0][:, L - 1:]], axis=1)
+        hi = jnp.concatenate([out.data[1], p[1][:, L - 1:]], axis=1)
+        return (lo, hi)
+
     with jax.default_device(target):
         measure("multiply", mult_stage)
         measure("switch_key_decompose", dec_stage)
         measure("switch_key_full", sk_stage)
         measure("rescale", rs_stage)
+        measure("pipeline_sequential", seq_full)
+        measure("pipeline_fused", fused_full)
 
         if not args.attr_only:
             def full(p):

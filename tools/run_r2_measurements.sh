@@ -25,5 +25,6 @@ run ntt_paircompact   python tools/bench_ntt_tpu.py --n 16384 --L 8 --batch 4
 run ntt_rollselect    python tools/bench_ntt_tpu.py --n 16384 --L 8 --batch 4 --no-pair-compact
 run ops_pallas_ks     python tools/bench_ops_tpu.py --ns 16384
 run ops_xla_ks        python tools/bench_ops_tpu.py --ns 16384 --keyswitch-xla
+run profile_attr      python tools/profile_tpu.py --attr-only
 
 echo "== done; logs in $R/ =="
