@@ -8,8 +8,10 @@ decomposes into ceil(L/alpha) digits, cutting the decompose NTTs — the
 dominant cost of relinearize/rotate — roughly alpha-fold.
 
 This example runs the SAME CKKS workload under alpha=1 (the reference
-algorithm) and alpha=2 at an equal total-modulus budget, and checks both
-decrypt to the same values.
+algorithm) and alpha=2 at an equal total-modulus budget, plus the fused
+relinearize+rescale fast path (one mod-down by P*q_last instead of two,
+docs/HYBRID_KEYSWITCH.md "Fused rescale"), and checks all three decrypt
+to the same values.
 """
 
 import numpy as np
@@ -21,7 +23,7 @@ from seal_tpu import (
 from seal_tpu.encryption_params import SchemeType
 
 
-def run(n, bits, alpha, vals, scale):
+def run(n, bits, alpha, vals, scale, fused=False):
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
     parms.set_coeff_modulus(CoeffModulus.create(n, bits))
@@ -42,8 +44,12 @@ def run(n, bits, alpha, vals, scale):
           f"{tuple(rk.key(2)[0].shape)}")
 
     ct = encryptor.encrypt(encoder.encode(vals, scale))
-    out = evaluator.rescale_to_next(
-        evaluator.relinearize(evaluator.multiply(ct, ct), rk))
+    if fused:
+        # ONE mod-down by P*q_last (docs/HYBRID_KEYSWITCH.md "Fused rescale")
+        out = evaluator.relinearize_rescale(evaluator.multiply(ct, ct), rk)
+    else:
+        out = evaluator.rescale_to_next(
+            evaluator.relinearize(evaluator.multiply(ct, ct), rk))
     out = evaluator.rotate_vector(out, 1, gk)
     return encoder.decode(decryptor.decrypt(out))
 
@@ -59,11 +65,14 @@ def main(n: int = 256):
 
     got1 = run(n, bits1, 1, vals, scale)
     got2 = run(n, bits2, 2, vals, scale)
+    got3 = run(n, bits2, 2, vals, scale, fused=True)
     e1 = np.max(np.abs(got1 - want))
     e2 = np.max(np.abs(got2 - want))
-    print(f"mult+relin+rescale+rotate error: alpha=1 {e1:.2e}, alpha=2 {e2:.2e}")
-    assert e1 < 1e-5 and e2 < 1e-5
-    print("hybrid and reference key switching agree.")
+    e3 = np.max(np.abs(got3 - want))
+    print(f"mult+relin+rescale+rotate error: alpha=1 {e1:.2e}, "
+          f"alpha=2 {e2:.2e}, alpha=2 fused {e3:.2e}")
+    assert e1 < 1e-5 and e2 < 1e-5 and e3 < 1e-5
+    print("hybrid, fused, and reference key switching agree.")
 
 
 if __name__ == "__main__":
