@@ -454,7 +454,48 @@ class Evaluator:
             from seal_tpu.ops import hybrid_keyswitch as hyb
 
             y = hyb.decompose(t_target, tuple(key_moduli), alpha, L, ext_mc)
-            return ntt_mod.ntt_forward(y, ext_tables)
+            if scheme != SchemeType.CKKS:
+                return ntt_mod.ntt_forward(y, ext_tables)
+            # hybrid diagonal skip (r2): for i in T_j the fast conversion is
+            # exact — y_j[i] == t_target[i] per coefficient (all other digit
+            # terms vanish mod q_i), so NTT(y_j[i]) IS the original NTT-form
+            # target row i. Substitute it and transform only the d-1
+            # off-digit rows per data prime: ceil(L/a)*(L+a) -> ... - L
+            # forward rows. Bit-identical to the compute-then-overwrite
+            # form (the alpha=1 eye shortcut below, generalized to digits).
+            d = y[0].shape[0]
+            n = y[0].shape[-1]
+            ts = ntt_mod.ntt_forward(
+                (y[0][:, L:, :], y[1][:, L:, :]),
+                ntt_mod.slice_tables(ext_tables, L, L + alpha))  # [d, a, N]
+            dig_of = [min(i // alpha, d - 1) for i in range(L)]
+            if d > 1:
+                jidx = jnp.asarray(
+                    [[j for j in range(d) if j != dig_of[i]]
+                     for i in range(L)]).T                       # [d-1, L]
+                body_in = tuple(
+                    jnp.take_along_axis(a[:, :L, :], jidx[:, :, None], axis=0)
+                    for a in y)                                  # [d-1, L, N]
+                body = ntt_mod.ntt_forward(
+                    body_in, ntt_mod.slice_tables(ext_tables, 0, L))
+                k_idx = jnp.asarray(
+                    [[j if j < dig_of[i] else max(j - 1, 0) for i in range(L)]
+                     for j in range(d)])                         # [d, L]
+                lvl = tuple(
+                    jnp.take_along_axis(b, k_idx[:, :, None], axis=0)
+                    for b in body)                               # [d, L, N]
+            else:
+                lvl = tuple(jnp.zeros((d, L, n), jnp.uint32) for _ in range(2))
+            eye = jnp.asarray(
+                [[dig_of[i] == j for i in range(L)] for j in range(d)])
+            orig_lo = jnp.broadcast_to(target[0][None, :, :], (d, L, n))
+            orig_hi = jnp.broadcast_to(target[1][None, :, :], (d, L, n))
+            return (
+                jnp.concatenate(
+                    [jnp.where(eye[:, :, None], orig_lo, lvl[0]), ts[0]], axis=1),
+                jnp.concatenate(
+                    [jnp.where(eye[:, :, None], orig_hi, lvl[1]), ts[1]], axis=1),
+            )
 
         # build t_operand[J, I, N]: target row J reduced into extended row I
         # and NTT'd in row I's domain

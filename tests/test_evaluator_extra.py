@@ -306,3 +306,44 @@ class TestDiagonalSkipDecompose:
                 break
             ct = ev.mod_switch_to_next(ct)
         assert levels >= 3  # L = 3, 2, 1 all exercised
+
+    @pytest.mark.parametrize("alpha,bits", [
+        (2, [40] * 4 + [40, 40]),        # even digits
+        (2, [40] * 5 + [40, 40]),        # partial last digit
+        (3, [40] * 5 + [40, 40, 40]),    # ragged alpha=3
+    ])
+    def test_hybrid_matches_full_transform(self, alpha, bits):
+        """The HYBRID diagonal skip (rows i in T_j substitute the NTT-form
+        input) must equal transforming every decompose row, bit-for-bit —
+        even digits, partial digits, and ragged alpha all covered."""
+        from seal_tpu.ops import hybrid_keyswitch as hyb
+        from seal_tpu.ops import modring
+        from seal_tpu.ops import ntt as ntt_mod2
+
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(64)
+        parms.set_coeff_modulus(CoeffModulus.create(64, bits))
+        parms.set_special_modulus_size(alpha)
+        parms.set_random_seed(SEED)
+        ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key())
+        ev = Evaluator(ctx)
+        encd = CKKSEncoder(ctx)
+        ct = enc.encrypt(encd.encode(np.linspace(-1, 1, 32), 2.0 ** 30))
+        cm = ev.multiply(ct, ct)
+        cd = ctx.get_context_data(cm.parms_id)
+        key_cd = ctx.key_context_data()
+        L = cd.coeff_modulus_size
+        key_moduli = key_cd.key_moduli()
+        key_indices = (list(range(L))
+                       + list(range(len(key_moduli) - alpha, len(key_moduli))))
+        ext_tables = ntt_mod2.gather_tables(key_cd.ntt_tables, key_indices)
+        ext_mc = modring.make_mod_consts([key_moduli[i] for i in key_indices])
+        target = cm.poly(2)
+        got = ev._switch_key_decompose(cm, target)
+        t_coeff = ntt_mod2.ntt_inverse(target, cd.ntt_tables)
+        y = hyb.decompose(t_coeff, tuple(key_moduli), alpha, L, ext_mc)
+        want = ntt_mod2.ntt_forward(y, ext_tables)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))

@@ -226,18 +226,20 @@ def test_alpha2_halves_decompose_transform_count(monkeypatch):
         monkeypatch.undo()
         results[alpha] = dict(counts)
 
-    # forward transforms = decompose lifts + the fixed 2L tail lift
+    # forward transforms = decompose lifts + the fixed 2L tail lift; the
+    # diagonal skip (CKKS rows i in T_j reuse the NTT-form input) removes
+    # L rows at every alpha
     tail = 2 * L
-    assert results[1]["fwd"] == (L * (L + 1) - L) + tail     # 64 + 16 = 80
-    assert results[2]["fwd"] == -(-L // 2) * (L + 2) + tail  # 40 + 16 = 56
+    assert results[1]["fwd"] == (L * (L + 1) - L) + tail         # 64 + 16 = 80
+    assert results[2]["fwd"] == -(-L // 2) * (L + 2) - L + tail  # 32 + 16 = 48
     dec1 = results[1]["fwd"] - tail
     dec2 = results[2]["fwd"] - tail
-    assert dec2 <= 0.65 * dec1                               # the ~alpha x cut
+    assert dec2 <= 0.55 * dec1                               # the ~alpha x cut
     # inverse side must not balloon to compensate (one extra special-row
     # INTT per component per extra special prime)
     assert results[2]["inv"] <= results[1]["inv"] + 2 * (2 - 1)
     # ragged alpha=3: ceil(8/3)=3 digits, last digit holds only 2 rows
-    assert results[3]["fwd"] == -(-L // 3) * (L + 3) + tail  # 33 + 16 = 49
+    assert results[3]["fwd"] == -(-L // 3) * (L + 3) - L + tail  # 25 + 16 = 41
     assert results[3]["inv"] <= results[1]["inv"] + 2 * (3 - 1)
 
 
