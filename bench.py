@@ -59,6 +59,19 @@ def main(batches=(16,), alpha=1, fused=False):
         # The tunnel is down: report the last on-hardware measurement,
         # explicitly flagged stale, instead of hanging forever or printing
         # nothing. Never silently bench on the CPU fallback backend.
+        mode = (f"_hybrid{alpha}" if alpha > 1 else "") + ("_fused" if fused else "")
+        if mode:
+            # no on-hardware measurement exists for this mode yet: say so
+            # rather than attributing the alpha=1 sequential number to it
+            print(json.dumps({
+                "metric": f"ckks_n16384_L8_mult_relin_rescale{mode} (axon)",
+                "value": None,
+                "unit": "ops/s/chip",
+                "stale": True,
+                "note": "TPU tunnel unreachable at bench time and this mode "
+                        "has no recorded on-hardware measurement",
+            }), flush=True)
+            return
         print(json.dumps({
             "metric": "ckks_n16384_L8_mult_relin_rescale (axon)",
             "value": LAST_VALIDATED["value"],

@@ -457,45 +457,11 @@ class Evaluator:
             if scheme != SchemeType.CKKS:
                 return ntt_mod.ntt_forward(y, ext_tables)
             # hybrid diagonal skip (r2): for i in T_j the fast conversion is
-            # exact — y_j[i] == t_target[i] per coefficient (all other digit
-            # terms vanish mod q_i), so NTT(y_j[i]) IS the original NTT-form
-            # target row i. Substitute it and transform only the d-1
-            # off-digit rows per data prime: ceil(L/a)*(L+a) -> ... - L
-            # forward rows. Bit-identical to the compute-then-overwrite
-            # form (the alpha=1 eye shortcut below, generalized to digits).
+            # exact, so the NTT-form target row substitutes for the
+            # transform — ceil(L/a)*(L+a) − L forward rows
             d = y[0].shape[0]
-            n = y[0].shape[-1]
-            ts = ntt_mod.ntt_forward(
-                (y[0][:, L:, :], y[1][:, L:, :]),
-                ntt_mod.slice_tables(ext_tables, L, L + alpha))  # [d, a, N]
             dig_of = [min(i // alpha, d - 1) for i in range(L)]
-            if d > 1:
-                jidx = jnp.asarray(
-                    [[j for j in range(d) if j != dig_of[i]]
-                     for i in range(L)]).T                       # [d-1, L]
-                body_in = tuple(
-                    jnp.take_along_axis(a[:, :L, :], jidx[:, :, None], axis=0)
-                    for a in y)                                  # [d-1, L, N]
-                body = ntt_mod.ntt_forward(
-                    body_in, ntt_mod.slice_tables(ext_tables, 0, L))
-                k_idx = jnp.asarray(
-                    [[j if j < dig_of[i] else max(j - 1, 0) for i in range(L)]
-                     for j in range(d)])                         # [d, L]
-                lvl = tuple(
-                    jnp.take_along_axis(b, k_idx[:, :, None], axis=0)
-                    for b in body)                               # [d, L, N]
-            else:
-                lvl = tuple(jnp.zeros((d, L, n), jnp.uint32) for _ in range(2))
-            eye = jnp.asarray(
-                [[dig_of[i] == j for i in range(L)] for j in range(d)])
-            orig_lo = jnp.broadcast_to(target[0][None, :, :], (d, L, n))
-            orig_hi = jnp.broadcast_to(target[1][None, :, :], (d, L, n))
-            return (
-                jnp.concatenate(
-                    [jnp.where(eye[:, :, None], orig_lo, lvl[0]), ts[0]], axis=1),
-                jnp.concatenate(
-                    [jnp.where(eye[:, :, None], orig_hi, lvl[1]), ts[1]], axis=1),
-            )
+            return hyb.diag_skip_ntt(y, target, ext_tables, L, alpha, dig_of)
 
         # build t_operand[J, I, N]: target row J reduced into extended row I
         # and NTT'd in row I's domain
@@ -509,41 +475,11 @@ class Evaluator:
             # diagonal skip (r2): rows I == J already exist in NTT form in
             # the input (SEAL's eye shortcut, evaluator.cpp:2488-2496), so
             # their forward NTTs are never computed — L*(L+1) -> L*L
-            # transform rows. Body rows regroup as [J'=L-1, I=L, N] (for
-            # each level modulus I, the L-1 targets J != I) so the level
-            # tables stay dense; the special-prime row is its own [L, 1, N]
-            # call. Bit-identical to the compute-then-overwrite form.
-            ts = ntt_mod.ntt_forward(
-                (reduced[0][:, L:, :], reduced[1][:, L:, :]),
-                ntt_mod.slice_tables(ext_tables, L, L + 1))      # [L, 1, N]
-            if L > 1:
-                jidx = jnp.asarray(
-                    [[j for j in range(L) if j != i] for i in range(L)]
-                ).T                                              # [L-1, I=L]
-                body_in = tuple(
-                    jnp.take_along_axis(a[:, :L, :], jidx[:, :, None], axis=0)
-                    for a in reduced)                            # [L-1, L, N]
-                body = ntt_mod.ntt_forward(
-                    body_in, ntt_mod.slice_tables(ext_tables, 0, L))
-                # scatter back: out[j, i<L] = target[j] if i==j else body[k, i]
-                # with k = j if j < i else j-1
-                k_idx = jnp.asarray(
-                    [[j if j < i else max(j - 1, 0) for i in range(L)]
-                     for j in range(L)])                         # [J=L, I=L]
-                lvl = tuple(
-                    jnp.take_along_axis(b, k_idx[:, :, None], axis=0)
-                    for b in body)                               # [L, L, N]
-            else:
-                lvl = tuple(jnp.zeros((L, L, n), jnp.uint32) for _ in range(2))
-            eye = (jnp.arange(L)[:, None] == jnp.arange(L)[None, :])
-            orig_lo = jnp.broadcast_to(target[0][:, None, :], (L, L, n))
-            orig_hi = jnp.broadcast_to(target[1][:, None, :], (L, L, n))
-            return (
-                jnp.concatenate(
-                    [jnp.where(eye[:, :, None], orig_lo, lvl[0]), ts[0]], axis=1),
-                jnp.concatenate(
-                    [jnp.where(eye[:, :, None], orig_hi, lvl[1]), ts[1]], axis=1),
-            )
+            # transform rows. The alpha=1 special case of the digit map.
+            from seal_tpu.ops import hybrid_keyswitch as hyb
+
+            return hyb.diag_skip_ntt(
+                reduced, target, ext_tables, L, 1, list(range(L)))
         # NTT over the extended-tower axis (axis -2), batched over J
         return ntt_mod.ntt_forward(reduced, ext_tables)          # [J=L, I=L+1, N]
 

@@ -72,6 +72,17 @@ def decomp_consts(key_moduli: tuple, alpha: int, L: int):
     return digits, per_digit
 
 
+def _split_tower(key_moduli: tuple, alpha: int, L: int):
+    """(K, specials, P): the level's first L data primes, the alpha special
+    primes, and their product P — the one tower-layout convention."""
+    K = list(key_moduli[:len(key_moduli) - alpha])[:L]
+    specials = list(key_moduli[len(key_moduli) - alpha:])
+    P = 1
+    for p in specials:
+        P *= p
+    return K, specials, P
+
+
 @functools.lru_cache(maxsize=None)
 def tail_consts(key_moduli: tuple, alpha: int, L: int, t_mod: int):
     """Host constants for the one-shot ModDown-by-P tail.
@@ -79,11 +90,7 @@ def tail_consts(key_moduli: tuple, alpha: int, L: int, t_mod: int):
     t_mod = 0 for BFV/CKKS (half-P centered rounding, the reference's
     qk_half trick generalized); t_mod = plain modulus for BGV (exact
     t-multiple correction, the reference's inv_q_last_mod_t path)."""
-    K = list(key_moduli[:len(key_moduli) - alpha])[:L]
-    specials = list(key_moduli[len(key_moduli) - alpha:])
-    P = 1
-    for p in specials:
-        P *= p
+    K, specials, P = _split_tower(key_moduli, alpha, L)
     a = alpha
     hats = [P // p for p in specials]
     inv_hats = [pow(h % p, -1, p) for h, p in zip(hats, specials)]
@@ -118,11 +125,7 @@ def fused_rescale_consts(key_moduli: tuple, alpha: int, L: int):
     so ONE centered division by P·q_{L-1} replaces the sequential ÷P
     (evaluator.cpp:2616-2675) followed by ÷q_last (evaluator.cpp:1441-1479).
     """
-    K = list(key_moduli[:len(key_moduli) - alpha])[:L]
-    specials = list(key_moduli[len(key_moduli) - alpha:])
-    P = 1
-    for p in specials:
-        P *= p
+    K, _, P = _split_tower(key_moduli, alpha, L)
     return modring.shoup_pair(
         [[P % q] for q in K], [[q] for q in K], shape=(L, 1))
 
@@ -218,6 +221,55 @@ def decompose(t_target, key_moduli: tuple, alpha: int, L: int, ext_mc):
         outs_lo.append(y[0])
         outs_hi.append(y[1])
     return jnp.stack(outs_lo), jnp.stack(outs_hi)            # [d, I, N]
+
+
+def diag_skip_ntt(rows, target, ext_tables, L: int, n_special: int, dig_of):
+    """Forward-NTT decompose rows [d, L+n_special, N] with the CKKS diagonal
+    skip: at digit j = dig_of[i], row i of the decomposition equals the
+    coefficient-domain target row i EXACTLY (every other digit term vanishes
+    mod q_i), so the already-NTT-form `target` row i is substituted instead
+    of transformed — d·(L+n_special) − L forward rows instead of all of
+    them. Bit-identical to the compute-then-overwrite form
+    (tests/test_evaluator_extra.py TestDiagonalSkipDecompose). dig_of[i] = i
+    with d = L reproduces the reference's α=1 eye shortcut
+    (evaluator.cpp:2488-2496); dig_of[i] = i//α is the hybrid digit map."""
+    import jax.numpy as jnp
+
+    from seal_tpu.ops import ntt as ntt_mod
+
+    d = rows[0].shape[0]
+    n = rows[0].shape[-1]
+    ts = ntt_mod.ntt_forward(
+        (rows[0][:, L:, :], rows[1][:, L:, :]),
+        ntt_mod.slice_tables(ext_tables, L, L + n_special))  # [d, n_special, N]
+    if d > 1:
+        jidx = jnp.asarray(
+            [[j for j in range(d) if j != dig_of[i]]
+             for i in range(L)]).T                           # [d-1, L]
+        body_in = tuple(
+            jnp.take_along_axis(a[:, :L, :], jidx[:, :, None], axis=0)
+            for a in rows)                                   # [d-1, L, N]
+        body = ntt_mod.ntt_forward(
+            body_in, ntt_mod.slice_tables(ext_tables, 0, L))
+        # scatter back: out[j, i<L] = target[i] if dig_of[i]==j else
+        # body[k, i] with k = j if j < dig_of[i] else j-1
+        k_idx = jnp.asarray(
+            [[j if j < dig_of[i] else max(j - 1, 0) for i in range(L)]
+             for j in range(d)])                             # [d, L]
+        lvl = tuple(
+            jnp.take_along_axis(b, k_idx[:, :, None], axis=0)
+            for b in body)                                   # [d, L, N]
+    else:
+        lvl = tuple(jnp.zeros((d, L, n), jnp.uint32) for _ in range(2))
+    eye = jnp.asarray([[dig_of[i] == j for i in range(L)] for j in range(d)])
+    orig_lo = jnp.broadcast_to(target[0][None, :, :], (d, L, n))
+    orig_hi = jnp.broadcast_to(target[1][None, :, :], (d, L, n))
+    return (
+        jnp.concatenate(
+            [jnp.where(eye[:, :, None], orig_lo, lvl[0]), ts[0]], axis=1),
+        jnp.concatenate(
+            [jnp.where(eye[:, :, None], orig_hi, lvl[1]), ts[1]], axis=1),
+    )
 
 
 def mod_down(rows, scheme_is_bgv: bool, key_moduli: tuple, alpha: int, L: int,

@@ -116,7 +116,14 @@ class TPKeySwitch:
         """Hybrid digits sharded over 'tp': the coeff target is replicated
         (it is small), the stacked digit constants and the key tensor are
         sharded over the digit axis, and the contraction ends in the same
-        single exact psum of 21-bit limb splits."""
+        single exact psum of 21-bit limb splits.
+
+        Unlike the single-chip path, this transforms ALL of its shard's
+        decompose rows — the CKKS diagonal skip's per-digit row exclusion
+        does not fit the dense stage-sliced table layout inside shard_map.
+        Outputs are still bit-identical (the skipped transforms equal the
+        substituted rows exactly); the shard only pays up to L/tp extra
+        forward rows."""
         from seal_tpu.ops import hybrid_keyswitch as hyb
 
         d, tp, axis = self.decomp, self.tp, self.axis

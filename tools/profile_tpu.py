@@ -130,12 +130,7 @@ def main():
         measure("pipeline_fused", fused_full)
 
         if not args.attr_only:
-            def full(p):
-                cm = ev.multiply(wrap(p), wrap(p))
-                out = ev.rescale_to_next(ev.relinearize(cm, rk))
-                lo = jnp.concatenate([out.data[0], p[0][:, L - 1:]], axis=1)
-                return (lo, p[1])
-            fn = jax.jit(jax.vmap(full))
+            fn = jax.jit(jax.vmap(seq_full))
             o = fn(d1)
             _ = np.asarray(o[0][0, 0, 0, :2])
             try:
