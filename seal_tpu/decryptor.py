@@ -61,16 +61,49 @@ class Decryptor:
             acc = ntt_mod.ntt_inverse(acc, tables)
         return modring.add_poly(acc, ct.poly(0), mc)
 
+    def _smudging_rows(self, cd, bits: int):
+        """Freshly sampled uniform noise e ∈ [-2^bits, 2^bits] lifted to the
+        level's RNS rows (coefficient domain). Shared by the multiparty
+        partial decryption and CKKS noise-flooding decrypt."""
+        from seal_tpu import randomgen
+
+        rng = randomgen.UniformRandomGeneratorFactory().create()
+        moduli = cd.key_moduli()
+        n = cd.parms.poly_modulus_degree
+        nbytes = (bits + 7) // 8 + 1
+        raw = np.frombuffer(rng.generate(n * nbytes), dtype=np.uint8)
+        e = np.zeros(n, dtype=object)
+        for i in range(n):
+            chunk = int.from_bytes(
+                raw[i * nbytes:(i + 1) * nbytes].tobytes(), "little")
+            e[i] = (chunk % (1 << (bits + 1))) - (1 << bits)
+        rows = np.stack([
+            np.asarray([int(x) % q for x in e], dtype=np.uint64) for q in moduli
+        ])
+        return to_device(rows)
+
     # -- scheme decrypt -----------------------------------------------------------
 
-    def decrypt(self, ct: Ciphertext) -> Plaintext:
+    def decrypt(self, ct: Ciphertext, flood_bits: int = 0) -> Plaintext:
+        """Decrypt. `flood_bits` > 0 (CKKS only) adds fresh uniform noise of
+        that magnitude to the decryption — the Li-Micciancio noise-flooding
+        countermeasure (Eurocrypt 2021, "On the Security of Homomorphic
+        Encryption on Approximate Numbers"): a CKKS decryption shared with
+        any party who did not encrypt the inputs leaks the secret key
+        through the exact LWE noise unless it is flooded. The reference has
+        no equivalent (decryptor.cpp:265 returns the raw phase); choose
+        flood_bits ≈ statistical-security bits + log2(noise estimate)."""
         if ct.size < 2:
             raise ValueError("encrypted is empty")
         scheme = self.context.key_context_data().parms.scheme
+        if flood_bits and scheme != SchemeType.CKKS:
+            raise ValueError(
+                "flood_bits is a CKKS-only countermeasure (exact-scheme "
+                "decryptions do not expose the noise)")
         if scheme == SchemeType.BFV:
             return self._bfv_decrypt(ct)
         if scheme == SchemeType.CKKS:
-            return self._ckks_decrypt(ct)
+            return self._ckks_decrypt(ct, flood_bits)
         if scheme == SchemeType.BGV:
             return self._bgv_decrypt(ct)
         raise ValueError("unsupported scheme")
@@ -84,10 +117,15 @@ class Decryptor:
         vals = to_host(coeffs)[0]
         return _trimmed_plain(vals)
 
-    def _ckks_decrypt(self, ct: Ciphertext) -> Plaintext:
+    def _ckks_decrypt(self, ct: Ciphertext, flood_bits: int = 0) -> Plaintext:
         if not ct.is_ntt_form:
             raise ValueError("encrypted must be in NTT form")
         phase = self.dot_product_ct_sk(ct)
+        if flood_bits > 0:
+            cd = self.context.get_context_data(ct.parms_id)
+            noise = ntt_mod.ntt_forward(
+                self._smudging_rows(cd, flood_bits), cd.ntt_tables)
+            phase = modring.add_poly(phase, noise, cd.mod_consts)
         p = Plaintext()
         p.rns_data = phase
         p.parms_id = tuple(ct.parms_id)
@@ -153,23 +191,10 @@ class Decryptor:
         if not ct.is_ntt_form:
             part = ntt_mod.ntt_inverse(part, tables)
         if smudging_bits > 0:
-            from seal_tpu import rlwe, randomgen
-
-            rng = randomgen.UniformRandomGeneratorFactory().create()
-            moduli = cd.key_moduli()
-            n = cd.parms.poly_modulus_degree
-            raw = np.frombuffer(
-                rng.generate(n * ((smudging_bits + 7) // 8 + 1)), dtype=np.uint8
-            )
-            e = np.zeros(n, dtype=object)
-            nbytes = (smudging_bits + 7) // 8 + 1
-            for i in range(n):
-                chunk = int.from_bytes(raw[i * nbytes:(i + 1) * nbytes].tobytes(), "little")
-                e[i] = (chunk % (1 << (smudging_bits + 1))) - (1 << smudging_bits)
-            rows = np.stack([
-                np.asarray([int(x) % q for x in e], dtype=np.uint64) for q in moduli
-            ])
-            part = modring.add_poly(part, to_device(rows), mc)
+            noise = self._smudging_rows(cd, smudging_bits)
+            if ct.is_ntt_form:
+                noise = ntt_mod.ntt_forward(noise, tables)
+            part = modring.add_poly(part, noise, mc)
         shell = Ciphertext(
             stack_polys([part, part]), parms_id=tuple(ct.parms_id),
             is_ntt_form=ct.is_ntt_form, scale=ct.scale,

@@ -152,3 +152,48 @@ def test_encode_scalar_exact_constant_and_int(ckks):
     ct = enc.encrypt(encoder.encode(vals, 2.0 ** 30))
     out = encoder.decode(dec.decrypt(ev.multiply_plain(ct, encoder.encode_int(3))))
     assert np.max(np.abs(out - 3 * vals)) < 1e-3
+
+
+def test_noise_flooding_decrypt(ckks):
+    """decrypt(flood_bits=b) — the Li-Micciancio CKKS countermeasure (no
+    reference equivalent): adds fresh uniform noise ~2^b to the decryption.
+    Accuracy degrades only by ~n*2^b/scale; two flooded decryptions of the
+    same ciphertext differ (fresh randomness); flood_bits=0 is the exact
+    reference-parity path."""
+    enc, dec, encoder = ckks["enc"], ckks["dec"], ckks["encoder"]
+    from seal_tpu.dtypes import to_host
+
+    vals = np.linspace(-1, 1, encoder.slot_count)
+    ct = enc.encrypt(encoder.encode(vals, 2.0 ** 35))
+
+    plain = dec.decrypt(ct)
+    flooded = dec.decrypt(ct, flood_bits=15)
+    # still accurate: flooding magnitude 2^15 << scale 2^35
+    got = encoder.decode(flooded)
+    assert np.max(np.abs(got - vals)) < 1e-3
+    # noticeably noisier than the exact decryption path, and actually flooded
+    assert not np.array_equal(to_host(flooded.rns_data), to_host(plain.rns_data))
+    # randomized per call
+    flooded2 = dec.decrypt(ct, flood_bits=15)
+    assert not np.array_equal(to_host(flooded.rns_data), to_host(flooded2.rns_data))
+    # flood_bits=0 stays bit-identical to the default path
+    again = dec.decrypt(ct, flood_bits=0)
+    assert np.array_equal(to_host(again.rns_data), to_host(plain.rns_data))
+
+
+def test_noise_flooding_rejected_for_exact_schemes():
+    from seal_tpu.modulus import PlainModulus
+
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40]))
+    parms.set_plain_modulus(PlainModulus.batching(64, 20))
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, kg.create_public_key())
+    dec = Decryptor(ctx, kg.secret_key())
+    from seal_tpu.encoders import BatchEncoder
+
+    ct = enc.encrypt(BatchEncoder(ctx).encode([1, 2, 3]))
+    with pytest.raises(ValueError, match="CKKS-only"):
+        dec.decrypt(ct, flood_bits=10)
