@@ -45,24 +45,41 @@ def main():
     ap.add_argument("--dcn-gbs", type=float, default=25.0)
     ap.add_argument("--batch", type=int, default=4096,
                     help="BASELINE config #5 ciphertext batch")
+    ap.add_argument("--alpha", type=int, default=1,
+                    help="hybrid special-prime count: scales the relin "
+                         "compute by the pinned transform-row ratio and "
+                         "widens the psum to L+alpha extended rows")
     args = ap.parse_args()
 
     n = args.n
-    # TPKeySwitch psum payload: [2 components, 3 splits, L+1 extended key
+    L = args.L
+    a = args.alpha
+    relin_us = args.relin_us
+    if a > 1:
+        # scale measured alpha=1 relin compute by the executable
+        # transform-count pin (test_alpha2_halves_decompose_transform_count,
+        # diagonal skip included): rows(alpha) / rows(1)
+        rows1 = L * L + 2 * L
+        rowsa = -(-L // a) * (L + a) - L + 2 * L
+        relin_us = relin_us * rowsa / rows1
+        print(f"[hybrid alpha={a}: relin compute scaled x{rowsa}/{rows1} "
+              f"from the pinned transform counts -> {relin_us:.0f} us]")
+    # TPKeySwitch psum payload: [2 components, 3 splits, L+alpha extended key
     # rows, N] u32 (parallel/keyswitch.py reduce(): `jax.lax.psum(... )
     # # [2, 3, Lp1, n]`; 21-bit limb splits keep the psum exact).
     # dryrun_multichip's "psum 1.97 MB" is this same formula at L=4.
-    M = 2 * 3 * (args.L + 1) * n * 4
+    M = 2 * 3 * (L + a) * n * 4
     print(f"== TP keyswitch: psum payload {M/1e6:.2f} MB, "
-          f"measured single-chip relin {args.relin_us:.0f} us ==")
+          f"single-chip relin {relin_us:.0f} us ==")
     rows = []
-    for P in (2, 4, 8):
-        t_comp = args.relin_us / P
+    tp_counts = [p for p in (2, 4, 8) if (L if a == 1 else -(-L // a)) % p == 0]
+    for P in tp_counts:
+        t_comp = relin_us / P
         t_comm = 2 * M * (P - 1) / P / (args.ici_gbs * 1e9) * 1e6
-        eff = (args.relin_us / P) / (t_comp + t_comm)
+        eff = (relin_us / P) / (t_comp + t_comm)
         rows.append((P, t_comp, t_comm, eff))
         print(f"  TP={P}: compute {t_comp:7.1f} us + psum {t_comm:5.1f} us "
-              f"-> speedup {args.relin_us/(t_comp+t_comm):4.2f}x, "
+              f"-> speedup {relin_us/(t_comp+t_comm):4.2f}x, "
               f"efficiency {eff*100:5.1f}%")
 
     print(f"\n== DP over chips (no steady-state collectives) ==")
