@@ -8,8 +8,8 @@
 # The suite runs on a virtual 8-device CPU mesh (tests/conftest.py pins the
 # backend and the persistent XLA compile cache at /root/.cache/jax; a cold
 # cache roughly doubles the wall time). This sandbox exposes ONE CPU core:
-# measured r2 full-suite wall = 17m for 321 collected cases (warm cache,
-# uncontended). `quick` = 7-8 min.
+# measured r2 full-suite wall = 18m for 348 collected cases (warm cache,
+# uncontended; varies ~2x with shared-VM load). `quick` = 8-9 min.
 set -euo pipefail
 cd "$(dirname "$0")"
 
