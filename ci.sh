@@ -30,6 +30,7 @@ if [[ "${1:-full}" == "quick" ]]; then
     python -m pytest tests/ -q -x \
         --ignore=tests/test_parallel.py \
         --ignore=tests/test_tp_keyswitch.py \
+        --ignore=tests/test_multihost.py \
         --ignore=tests/test_examples.py \
         --ignore=tests/test_evaluator_reference.py
 else

@@ -45,6 +45,14 @@ from seal_tpu.evaluator import Evaluator
 from seal_tpu.ops import limb, modring, ntt as ntt_mod
 
 
+def _flat_specs(in_specs):
+    """Flatten a shard_map in_specs tree into one PartitionSpec per array
+    leaf (PartitionSpec is a tuple subclass, so plain tree flattening would
+    descend into it)."""
+    leaves, _ = jax.tree.flatten(in_specs, is_leaf=lambda x: isinstance(x, P))
+    return leaves
+
+
 def _split21(pair):
     """u64 value < 2^61 as (lo, hi) u32 → three 21/22-bit u32 limbs."""
     lo, hi = pair
@@ -109,6 +117,39 @@ class TPKeySwitch:
             self._stacked = hyb.decomp_consts_stacked(
                 tuple(key_moduli), self.alpha, self.L)
         self._reduce_fn = None
+        self._in_specs = None
+        # Multi-host mode: when the mesh spans OS processes (true multi-host
+        # TPU slices, or the gloo-transport CPU simulation in
+        # tools/multihost_runner.py), per-process local arrays cannot feed a
+        # global-mesh computation directly. All inputs here are globally
+        # consistent (deterministic integer math from a fixed seed), so each
+        # process materialises its own shards of the global arrays, and the
+        # fully-replicated output is pulled back to a process-local array
+        # for the (local) special-prime tail.
+        self._multiprocess = any(
+            d.process_index != jax.process_index()
+            for d in np.asarray(mesh.devices).flat)
+
+    def _dispatch(self, *args):
+        """Call the compiled shard_map contraction; in multi-process mode,
+        first lift the (globally consistent) inputs into global arrays laid
+        out per in_specs, and lower the replicated outputs back to local."""
+        if not self._multiprocess:
+            return self._reduce_fn(*args)
+        leaves, treedef = jax.tree.flatten(args)
+        specs = _flat_specs(self._in_specs)
+        assert len(leaves) == len(specs)
+        glob = []
+        for x, spec in zip(leaves, specs):
+            sh = jax.sharding.NamedSharding(self.mesh, spec)
+            xh = np.asarray(x)
+            glob.append(jax.make_array_from_callback(
+                xh.shape, sh, lambda idx, xh=xh: xh[idx]))
+        out = self._reduce_fn(*jax.tree.unflatten(treedef, glob))
+        # out_specs are fully replicated -> every shard holds the full value
+        return jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a.addressable_shards[0].data)),
+            out)
 
     # -- the sharded contraction ------------------------------------------------
 
@@ -167,18 +208,19 @@ class TPKeySwitch:
             d1 = P(self.axis, None)
             d2 = P(self.axis, None, None)
             spec_k = P(self.axis, None, None, None)
+            self._in_specs = (
+                (rep, rep),
+                (d1, (d2, d2), (d2, d2), (d2, d2),
+                 (P(self.axis, None, None), P(self.axis, None, None))),
+                (spec_k, spec_k),
+            )
             self._reduce_fn = jax.jit(shard_map(
                 body, mesh=self.mesh,
-                in_specs=(
-                    (rep, rep),
-                    (d1, (d2, d2), (d2, d2), (d2, d2),
-                     (P(self.axis, None, None), P(self.axis, None, None))),
-                    (spec_k, spec_k),
-                ),
+                in_specs=self._in_specs,
                 out_specs=(P(None, None, None), P(None, None, None)),
                 check_vma=False,
             ))
-        plo, phi = self._reduce_fn(t_coeff, self._stacked, keys_ext)
+        plo, phi = self._dispatch(t_coeff, self._stacked, keys_ext)
         return [((plo[0], phi[0])), ((plo[1], phi[1]))]
 
     def reduce(self, t_coeff, t_ntt, keys_ext):
@@ -243,21 +285,22 @@ class TPKeySwitch:
         if self._reduce_fn is None:
             spec_t = P(self.axis, None)
             spec_k = P(self.axis, None, None, None)
+            self._in_specs = (
+                (spec_t, spec_t),
+                (spec_t, spec_t),
+                (spec_k, spec_k),
+            )
             # shard_map MUST be jitted: eager shard_map dispatches op-by-op
             # across the mesh and is catastrophically slow
             self._reduce_fn = jax.jit(shard_map(
                 body, mesh=self.mesh,
-                in_specs=(
-                    (spec_t, spec_t),
-                    (spec_t, spec_t),
-                    (spec_k, spec_k),
-                ),
+                in_specs=self._in_specs,
                 out_specs=(P(None, None, None), P(None, None, None)),
                 check_vma=False,
             ))
         if t_ntt is None:
             t_ntt = t_coeff
-        plo, phi = self._reduce_fn(t_coeff, t_ntt, keys_ext)
+        plo, phi = self._dispatch(t_coeff, t_ntt, keys_ext)
         return [((plo[0], phi[0])), ((plo[1], phi[1]))]
 
     # -- Evaluator-compatible entry points --------------------------------------

@@ -1,0 +1,148 @@
+"""One simulated host of a multi-host seal_tpu run (SURVEY §5.8, §2.11).
+
+Each invocation is one OS process = one "host": its own XLA CPU client with
+`--xla_force_host_platform_device_count` local devices, joined into a global
+mesh via `jax.distributed.initialize`, with cross-process collectives riding
+the gloo transport — the sandbox's stand-in for DCN (on real pods the same
+program text runs unchanged; XLA lowers the psum to ICI/DCN collectives).
+
+What it validates, end to end and bit-exactly:
+  1. TP leg — the REAL `tp_relinearize` keyswitch (parallel/keyswitch.py)
+     with the decomposition axis sharded across processes, so its single
+     exact psum of 21-bit limb splits crosses the process boundary; output
+     is bit-compared against the local single-chip `Evaluator.relinearize`.
+  2. DP leg — a ciphertext batch sharded over all global devices through a
+     jitted dyadic multiply, gathered and bit-compared against the
+     unsharded op.
+
+Launch (2 hosts x 1 device):
+    JAX_PLATFORMS=cpu python tools/multihost_runner.py --pid 0 --nprocs 2 --port 9955 &
+    JAX_PLATFORMS=cpu python tools/multihost_runner.py --pid 1 --nprocs 2 --port 9955
+or run `tests/test_multihost.py`, which spawns both and checks the output.
+
+Every quantity fed to the global mesh is deterministic integer math from a
+fixed PRNG seed, so all processes hold identical host values — the documented
+requirement for `TPKeySwitch`'s multi-process input placement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--pid", type=int, required=True)
+    p.add_argument("--nprocs", type=int, required=True)
+    p.add_argument("--port", type=int, required=True)
+    args = p.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    # the sandbox sitecustomize pins jax_platforms="axon,cpu"; a multi-host
+    # CPU simulation must never touch the tunnel
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{args.port}",
+        num_processes=args.nprocs,
+        process_id=args.pid,
+    )
+
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from seal_tpu import (
+        CoeffModulus,
+        EncryptionParameters,
+        Evaluator,
+        KeyGenerator,
+        SEALContext,
+        SchemeType,
+        SecLevelType,
+    )
+    from seal_tpu.dtypes import Ciphertext, to_device
+    from seal_tpu.ops import modring
+    from seal_tpu.parallel.keyswitch import tp_relinearize
+
+    devs = jax.devices()
+    n_local = len(jax.local_devices())
+    log = lambda msg: print(f"[host {args.pid}] {msg}", flush=True)
+    log(f"up: {len(devs)} global devices, {n_local} local, "
+        f"transport=gloo (DCN stand-in)")
+
+    # deterministic context + keys: identical on every host by construction
+    SEED = (1, 2, 3, 4, 5, 6, 7, 8)
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    rk = kg.create_relin_keys()
+    ev = Evaluator(ctx)
+    cd = ctx.first_context_data()
+    moduli = cd.key_moduli()
+
+    # --- TP leg: the real keyswitch, psum across the process boundary -------
+    rng = np.random.default_rng(7)
+    rows = np.stack([
+        np.stack([rng.integers(0, q, size=64, dtype=np.uint64) for q in moduli])
+        for _ in range(3)
+    ])
+    cm = Ciphertext(to_device(rows), parms_id=tuple(ctx.first_parms_id))
+    ref = ev.relinearize(cm, rk)          # local single-chip reference
+    mesh = Mesh(np.asarray(devs).reshape(1, len(devs)), ("dp", "tp"))
+    got = tp_relinearize(ev, cm, rk, mesh)
+    if not np.array_equal(ref.to_numpy(), got.to_numpy()):
+        log("TP relinearize MISMATCH")
+        return 1
+    log(f"TP relinearize over tp={len(devs)} (psum across {args.nprocs} "
+        f"processes): BITEXACT vs single-chip")
+
+    # --- DP leg: batch axis sharded over every global device ----------------
+    B = len(devs) * 2
+    batch = np.stack([
+        np.stack([rng.integers(0, q, size=64, dtype=np.uint64) for q in moduli])
+        for _ in range(B)
+    ])
+    mc = cd.mod_consts
+
+    def dyadic_sq(pair):
+        return modring.dyadic_product(pair, pair, mc)
+
+    want_lo, want_hi = jax.vmap(dyadic_sq)(to_device(batch))
+    want = (np.asarray(want_lo), np.asarray(want_hi))
+
+    sh = NamedSharding(Mesh(np.asarray(devs), ("dp",)), P("dp"))
+    lo = (batch & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (batch >> np.uint64(32)).astype(np.uint32)
+    glo = jax.make_array_from_callback(lo.shape, sh, lambda i: lo[i])
+    ghi = jax.make_array_from_callback(hi.shape, sh, lambda i: hi[i])
+    out = jax.jit(jax.vmap(dyadic_sq), out_shardings=(sh, sh))((glo, ghi))
+    # each process holds B/nprocs of the output; compare its own slice
+    mine = sorted(
+        {s.index[0].start for s in out[0].addressable_shards})
+    lo_slice = np.concatenate([np.asarray(s.data) for s in sorted(
+        out[0].addressable_shards, key=lambda s: s.index[0].start)])
+    hi_slice = np.concatenate([np.asarray(s.data) for s in sorted(
+        out[1].addressable_shards, key=lambda s: s.index[0].start)])
+    start = min(mine)
+    stop = start + lo_slice.shape[0]
+    if not (np.array_equal(lo_slice, want[0][start:stop])
+            and np.array_equal(hi_slice, want[1][start:stop])):
+        log("DP dyadic multiply MISMATCH")
+        return 1
+    log(f"DP dyadic batch B={B} sharded over {len(devs)} global devices: "
+        f"BITEXACT (local slice rows {start}..{stop - 1})")
+
+    log("ALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
