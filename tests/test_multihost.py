@@ -6,7 +6,9 @@ joined by `jax.distributed.initialize` with gloo cross-process collectives
 
   * the REAL `tp_relinearize` keyswitch with its single exact psum crossing
     the process boundary, bit-compared against the single-chip Evaluator;
-  * a DP-sharded dyadic batch over the global mesh, bit-compared unsharded.
+  * a DP-sharded dyadic batch over the global mesh, bit-compared unsharded;
+  * the SP four-step NTT with the coefficient axis split across the two
+    processes (its transpose/all_gather also crosses the boundary).
 
 This upgrades the BASELINE multi-host claim from an analytic model
 (tools/scaling_model.py) to executed code: the same program text runs on a
@@ -57,4 +59,5 @@ def test_two_process_tp_and_dp_bitexact():
         assert p.returncode == 0, f"host {pid} failed:\n{out}"
         assert "TP relinearize over tp=2 (psum across 2 processes): BITEXACT" in out, out
         assert "DP dyadic batch" in out and "BITEXACT" in out, out
+        assert "SP four-step NTT n=256 over 2 shards across 2 processes: BITEXACT" in out, out
         assert "ALL OK" in out, out

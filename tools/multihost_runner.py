@@ -140,6 +140,52 @@ def main() -> int:
     log(f"DP dyadic batch B={B} sharded over {len(devs)} global devices: "
         f"BITEXACT (local slice rows {start}..{stop - 1})")
 
+    # --- SP leg: four-step NTT, coefficient axis split across processes -----
+    from jax.sharding import PartitionSpec
+    from seal_tpu.ops import limb as limb_mod
+    from seal_tpu.ops import ntt as ntt_mod
+    from seal_tpu.parallel import fourstep
+
+    log_n = 8
+    n4 = 1 << log_n
+    moduli4 = [m.value for m in CoeffModulus.create(n4, [40, 41])]
+    t_ref = ntt_mod.build_device_tables(log_n, moduli4)
+    t4 = fourstep.build_fourstep_tables(log_n, moduli4, num_shards=len(devs))
+    vals = rng.integers(0, np.asarray(moduli4)[:, None],
+                        size=(len(moduli4), n4)).astype(np.uint64)
+    x = limb_mod.arr_to_u64([[int(v) for v in row] for row in vals],
+                            shape=vals.shape)
+    ref4 = ntt_mod.ntt_forward(x, t_ref)
+    ref4 = (np.asarray(ref4[0]), np.asarray(ref4[1]))
+
+    mesh_sp = Mesh(np.asarray(devs), ("sp",))
+
+    def gput(a, spec):
+        sh = NamedSharding(mesh_sp, spec)
+        ah = np.asarray(a)
+        return jax.make_array_from_callback(ah.shape, sh,
+                                            lambda i, ah=ah: ah[i])
+
+    specs = fourstep._table_specs("sp", log_n, len(devs))
+    gt = t4._replace(**{
+        f: jax.tree.map(lambda a, s=getattr(specs, f): gput(a, s),
+                        getattr(t4, f))
+        for f in t4._fields if isinstance(getattr(specs, f), PartitionSpec)
+    })
+    xg = tuple(gput(np.asarray(a), P(None, "sp")) for a in x)
+    out4 = fourstep.ntt_forward_sharded(xg, gt, mesh_sp)
+    # output is coefficient-sharded: each process checks its own columns
+    for a, want in zip(out4, ref4):
+        for s in a.addressable_shards:
+            if not np.array_equal(np.asarray(s.data), want[s.index]):
+                log("SP four-step NTT MISMATCH")
+                return 1
+    cols = sorted((s.index[1] for s in out4[0].addressable_shards),
+                  key=lambda c: c.start)
+    log(f"SP four-step NTT n={n4} over {len(devs)} shards across "
+        f"{args.nprocs} processes: BITEXACT (local columns "
+        + ", ".join(f"{c.start}..{c.stop - 1}" for c in cols) + ")")
+
     log("ALL OK")
     return 0
 
