@@ -46,5 +46,6 @@ from seal_tpu.evaluator import Evaluator
 from seal_tpu.jit import JitEvaluator
 from seal_tpu.serialization import ComprMode
 from seal_tpu.valcheck import is_valid_for, is_metadata_valid_for
+from seal_tpu import config
 
 __version__ = "0.1.0"
