@@ -20,6 +20,7 @@ HEAVY = [
     "1_bfv_basics.py", "3_levels.py", "4_bgv_basics.py",
     "5_ckks_basics.py", "6_rotation.py", "8_performance.py",
     "9_encrypted_matvec.py", "10_encrypted_logreg.py",
+    "12_threshold_ckks.py",
 ]
 
 
@@ -80,6 +81,12 @@ def test_example_matvec_reduced():
 def test_example_logreg_reduced():
     """10_encrypted_logreg batched sigmoid inference at n=256."""
     _import("10_encrypted_logreg.py").main(n=256)
+
+
+def test_example_threshold_ckks_reduced():
+    """12_threshold_ckks: 4-party common keys + smudged distributed
+    decryption at n=128."""
+    _import("12_threshold_ckks.py").main(n=128)
 
 
 def test_example_hybrid_keyswitch():
