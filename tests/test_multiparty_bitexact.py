@@ -1,0 +1,110 @@
+"""Bit-exactness of the multiparty (threshold) layer against the reference
+FORK (keygenerator.cpp:95-518, decryptor.cpp:89-187).
+
+Vectors in tests/vectors/multiparty_bfv_n64.json come from tools/oracle/
+dump_multiparty_vectors.cpp: three parties with distinct fixed PRNG seeds
+(the factory lives in EncryptionParameters and parms_id does not hash it, so
+per-party contexts interoperate — exactly like N real hosts). This pins the
+shared-c1 keygen, the CPK/CSK sums, encryption under the common key, every
+party's partial decryption, and the aggregation, byte for byte.
+"""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from seal_tpu import (
+    CoeffModulus,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    KeyGenerator,
+    Plaintext,
+    SEALContext,
+    SchemeType,
+    SecLevelType,
+)
+
+V = json.loads(
+    (pathlib.Path(__file__).parent / "vectors" / "multiparty_bfv_n64.json")
+    .read_text()
+)
+PARTIES = 3
+
+
+def ref(name):
+    return np.array(V[name], dtype=np.uint64)
+
+
+@pytest.fixture(scope="module")
+def mp():
+    ctxs, kgs = [], []
+    for i in range(PARTIES):
+        parms = EncryptionParameters(SchemeType.BFV)
+        parms.set_poly_modulus_degree(64)
+        parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+        parms.set_plain_modulus(257)
+        parms.set_random_seed((10 + i, 2, 3, 4, 5, 6, 7, 8))
+        ctxs.append(SEALContext(parms, sec_level=SecLevelType.NONE))
+        kgs.append(KeyGenerator(ctxs[-1]))
+    sks = [kg.generate_secret_key() for kg in kgs]
+    pks = [kgs[0].create_public_key_with_sk(sks[0])]
+    for i in range(1, PARTIES):
+        pks.append(kgs[i].create_public_key_with_same_c1(sks[i], pks[0]))
+    cpk = kgs[0].create_common_public_key(pks)
+    csk = kgs[0].create_common_secret_key(sks)
+    enc = Encryptor(ctxs[0], cpk)
+    ct = enc.encrypt(Plaintext.from_hex_string("2Ax^5 + 6"))
+    return dict(ctxs=ctxs, sks=sks, pks=pks, cpk=cpk, csk=csk, ct=ct)
+
+
+def test_party_secret_keys(mp):
+    for i, sk in enumerate(mp["sks"]):
+        assert np.array_equal(sk.to_numpy().reshape(-1), ref(f"sk{i}")), i
+
+
+def test_shared_c1_public_keys(mp):
+    for i, pk in enumerate(mp["pks"]):
+        arr = pk.data.to_numpy()
+        assert np.array_equal(arr[0].reshape(-1), ref(f"pk{i}_c0")), i
+        assert np.array_equal(arr[1].reshape(-1), ref(f"pk{i}_c1")), i
+
+
+def test_common_public_key(mp):
+    arr = mp["cpk"].data.to_numpy()
+    assert np.array_equal(arr[0].reshape(-1), ref("cpk_c0"))
+    assert np.array_equal(arr[1].reshape(-1), ref("cpk_c1"))
+
+
+def test_common_secret_key(mp):
+    assert np.array_equal(mp["csk"].to_numpy().reshape(-1), ref("csk"))
+
+
+def test_encrypt_under_cpk(mp):
+    arr = mp["ct"].to_numpy()
+    assert np.array_equal(arr[0].reshape(-1), ref("ct_c0"))
+    assert np.array_equal(arr[1].reshape(-1), ref("ct_c1"))
+
+
+def test_partial_decryptions(mp):
+    for i in range(PARTIES):
+        part = Decryptor(mp["ctxs"][i], mp["sks"][i]).distributed_decrypt(
+            mp["ct"])
+        # the fork writes the partial into the ciphertext's second poly
+        got = part.to_numpy()[1].reshape(-1)
+        assert np.array_equal(got, ref(f"partial{i}")), i
+
+
+def test_aggregation_and_csk_decrypt(mp):
+    partials = [
+        Decryptor(mp["ctxs"][i], mp["sks"][i]).distributed_decrypt(mp["ct"])
+        for i in range(PARTIES)
+    ]
+    agg = Decryptor(mp["ctxs"][0], mp["sks"][0]).aggregate_partial_decryption(
+        mp["ct"], partials)
+    assert np.array_equal(agg.data, ref("aggregated_plain"))
+    assert agg.to_hex_string() == "2Ax^5 + 6"
+    direct = Decryptor(mp["ctxs"][0], mp["csk"]).decrypt(mp["ct"])
+    assert np.array_equal(direct.data, ref("csk_plain"))
