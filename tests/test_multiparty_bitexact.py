@@ -97,6 +97,82 @@ def test_partial_decryptions(mp):
         assert np.array_equal(got, ref(f"partial{i}")), i
 
 
+def _gk_all(mp):
+    """Per-party Galois keys over get_elts_all (the fork wrappers hard-code
+    that list), party 0's kswitch c1s as the CRS, plus the common aggregate."""
+    from seal_tpu.dtypes import GaloisKeys
+    from seal_tpu.keygenerator import KeyGenerator as KG
+
+    ctxs, sks = mp["ctxs"], mp["sks"]
+    kgs = [KG(c) for c in ctxs]
+    gt = ctxs[0].key_context_data().galois_tool
+    elts = gt.get_elts_all()
+    gk0 = kgs[0].create_galois_keys(elts, secret_key=sks[0])
+    c1_refs_per_elt = []
+    for elt in elts:
+        idx = GaloisKeys.get_index(elt)
+        k = gk0.keys[idx]
+        c1_refs_per_elt.append(
+            [(k[0][i, 1], k[1][i, 1]) for i in range(k[0].shape[0])])
+    gks = [gk0]
+    for i in range(1, PARTIES):
+        gks.append(kgs[i].create_galois_keys(
+            elts, secret_key=sks[i], c1_refs_per_elt=c1_refs_per_elt))
+    common = kgs[0].aggregate_galois_keys(elts, gks)
+    return gt, elts, gks, common
+
+
+@pytest.fixture(scope="module")
+def gk(mp):
+    return _gk_all(mp)
+
+
+def _assert_gk(prefix, galois_keys, elts_to_check):
+    from seal_tpu.dtypes import GaloisKeys
+
+    for elt in elts_to_check:
+        k = galois_keys.keys[GaloisKeys.get_index(elt)]
+        lo, hi = np.asarray(k[0], dtype=np.uint64), np.asarray(k[1], dtype=np.uint64)
+        arr = lo | (hi << np.uint64(32))          # [decomp, 2, L_key, N]
+        for j in range(arr.shape[0]):
+            for c in range(2):
+                want = ref(f"{prefix}_elt{elt}_k{j}_c{c}")
+                assert np.array_equal(arr[j, c].reshape(-1), want), \
+                    (prefix, elt, j, c)
+
+
+def test_party_galois_keys(mp, gk):
+    gt, elts, gks, common = gk
+    check = [gt.get_elt_from_step(1), 2 * 64 - 1]
+    for i in range(PARTIES):
+        _assert_gk(f"gk{i}", gks[i], check)
+
+
+def test_common_galois_keys_bitexact(mp, gk):
+    gt, elts, gks, common = gk
+    _assert_gk("common_gk", common, [gt.get_elt_from_step(1), 2 * 64 - 1])
+
+
+def test_threshold_rotation_pipeline(mp, gk):
+    """rotate_rows under the common keys, then per-party partials and
+    aggregation — the full threshold rotation, byte-compared."""
+    from seal_tpu import Evaluator
+
+    gt, elts, gks, common = gk
+    ev = Evaluator(mp["ctxs"][0])
+    ct_rot = ev.rotate_rows(mp["ct"], 1, common)
+    arr = ct_rot.to_numpy()
+    assert np.array_equal(arr[0].reshape(-1), ref("ct_rot_c0"))
+    assert np.array_equal(arr[1].reshape(-1), ref("ct_rot_c1"))
+    partials = [
+        Decryptor(mp["ctxs"][i], mp["sks"][i]).distributed_decrypt(ct_rot)
+        for i in range(PARTIES)
+    ]
+    agg = Decryptor(mp["ctxs"][0], mp["sks"][0]).aggregate_partial_decryption(
+        ct_rot, partials)
+    assert np.array_equal(agg.data, ref("rot_aggregated_plain"))
+
+
 def test_aggregation_and_csk_decrypt(mp):
     partials = [
         Decryptor(mp["ctxs"][i], mp["sks"][i]).distributed_decrypt(mp["ct"])

@@ -117,7 +117,58 @@ int main()
     Decryptor dcsk(ctxs[0], csk);
     Plaintext out2;
     dcsk.decrypt(ct, out2);
-    dump_u64s("csk_plain", out2.data(), out2.coeff_count(), true);
+    dump_u64s("csk_plain", out2.data(), out2.coeff_count());
+
+    // --- common Galois keys (fork wrappers hard-code get_elts_all) ---------
+    auto galois_tool = ctxs[0].key_context_data()->galois_tool();
+    vector<uint32_t> all_elts = galois_tool->get_elts_all();
+    uint32_t elt_step1 = galois_tool->get_elt_from_step(1);
+    uint32_t elt_conj = (uint32_t)(2 * n - 1);
+
+    vector<GaloisKeys> gks(parties);
+    kgs[0]->create_galois_keys_with_sk(gks[0], sks[0]);
+    for (int i = 1; i < parties; i++)
+        kgs[i]->create_galois_keys_with_sk_c1(gks[i], sks[i], gks[0]);
+
+    auto dump_gk = [&](const char *prefix, const GaloisKeys &gk) {
+        for (uint32_t elt : { elt_step1, elt_conj })
+        {
+            auto &ks = gk.data()[GaloisKeys::get_index(elt)];
+            for (size_t j = 0; j < ks.size(); j++)
+            {
+                char buf[96];
+                snprintf(buf, sizeof(buf), "%s_elt%u_k%zu", prefix, elt, j);
+                dump_ct(buf, ks[j].data());
+            }
+        }
+    };
+    for (int i = 0; i < parties; i++)
+    {
+        char buf[32];
+        snprintf(buf, sizeof(buf), "gk%d", i);
+        dump_gk(buf, gks[i]);
+    }
+
+    // gen_common_galois_keys aggregates INTO gks[0] and returns it (the
+    // public wrapper hard-codes get_elts_all)
+    GaloisKeys common;
+    kgs[0]->gen_common_galois_keys(gks, parties, common);
+    dump_gk("common_gk", common);
+
+    // threshold rotation: rotate under the common keys, then aggregate-decrypt
+    Evaluator evaluator(ctxs[0]);
+    Ciphertext ct_rot;
+    evaluator.rotate_rows(ct, 1, common, ct_rot);
+    dump_ct("ct_rot", ct_rot);
+    vector<Ciphertext> rot_partials(parties);
+    for (int i = 0; i < parties; i++)
+    {
+        Decryptor d(ctxs[i], sks[i]);
+        d.distributed_decrypt(ct_rot, rot_partials[i]);
+    }
+    Plaintext rot_out;
+    d0.aggregate_partial_decryption(ct_rot, rot_partials, rot_out, parties);
+    dump_u64s("rot_aggregated_plain", rot_out.data(), rot_out.coeff_count(), true);
 
     printf("}\n");
     return 0;
