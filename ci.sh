@@ -8,8 +8,8 @@
 # The suite runs on a virtual 8-device CPU mesh (tests/conftest.py pins the
 # backend and the persistent XLA compile cache at /root/.cache/jax; a cold
 # cache roughly doubles the wall time). This sandbox exposes ONE CPU core:
-# measured r2 full-suite wall = 18m for 348 collected cases (warm cache,
-# uncontended; varies ~2x with shared-VM load). `quick` = 8-9 min.
+# measured r2 full-suite wall = 18-28m for ~380 collected cases (warm cache;
+# varies ~2x with shared-VM load). `quick` = 8-20 min under the same spread.
 set -euo pipefail
 cd "$(dirname "$0")"
 

@@ -216,7 +216,15 @@ class Decryptor:
             return _trimmed_plain(to_host(coeffs)[0])
         if scheme == SchemeType.BGV:
             coeffs = rns_ops.decrypt_modt(acc, cd.rns_tool_device)
-            return _trimmed_plain(to_host(coeffs)[0])
+            vals = to_host(coeffs)[0]
+            # same correction-factor inverse as _bgv_decrypt: threshold
+            # decryption of a mod-switched/multiplied BGV ciphertext must
+            # undo the tracked multiplicative factor (evaluator.cpp:56-118)
+            if ct.correction_factor != 1:
+                t = cd.parms.plain_modulus.value
+                fix = numth.invert_uint_mod(ct.correction_factor, t)
+                vals = (vals.astype(object) * fix % t).astype(np.uint64)
+            return _trimmed_plain(vals)
         p = Plaintext()
         p.rns_data = acc
         p.parms_id = tuple(ct.parms_id)

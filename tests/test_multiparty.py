@@ -169,3 +169,34 @@ def test_five_party_flow():
     partials = [Decryptor(ctx, sk).distributed_decrypt(ct) for sk in sks]
     agg = Decryptor(ctx, sks[0]).aggregate_partial_decryption(ct, partials)
     assert agg.to_hex_string() == "3x^2 + 9"
+
+
+def test_bgv_threshold_decrypt_with_correction_factor():
+    """BGV threshold decryption must undo the tracked correction factor
+    exactly like the direct _bgv_decrypt (regression: the aggregate path
+    used to skip the inverse, so any mod-switched/multiplied BGV ciphertext
+    threshold-decrypted to a scaled plaintext)."""
+    parms = EncryptionParameters(SchemeType.BGV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed((1, 2, 3, 4, 5, 6, 7, 8))
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    parties = 3
+    sks = [kg.generate_secret_key() for _ in range(parties)]
+    pks = [kg.create_public_key_with_sk(sks[0])]
+    for i in range(1, parties):
+        pks.append(kg.create_public_key_with_same_c1(sks[i], pks[0]))
+    cpk = kg.create_common_public_key(pks)
+    enc = Encryptor(ctx, cpk)
+    ev = Evaluator(ctx)
+    ct = ev.mod_switch_to_next(enc.encrypt(Plaintext.from_hex_string("5x^2 + 3")))
+    assert ct.correction_factor != 1
+    # direct decrypt under the common secret key
+    csk = kg.create_common_secret_key(sks)
+    assert Decryptor(ctx, csk).decrypt(ct).to_hex_string() == "5x^2 + 3"
+    # threshold decrypt must agree
+    partials = [Decryptor(ctx, sk).distributed_decrypt(ct) for sk in sks]
+    agg = Decryptor(ctx, sks[0]).aggregate_partial_decryption(ct, partials)
+    assert agg.to_hex_string() == "5x^2 + 3"
