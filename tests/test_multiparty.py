@@ -200,3 +200,19 @@ def test_bgv_threshold_decrypt_with_correction_factor():
     partials = [Decryptor(ctx, sk).distributed_decrypt(ct) for sk in sks]
     agg = Decryptor(ctx, sks[0]).aggregate_partial_decryption(ct, partials)
     assert agg.to_hex_string() == "5x^2 + 3"
+
+
+def test_partial_decryptions_roundtrip_the_wire(mp):
+    """Real threshold deployments exchange partial decryptions between
+    hosts: each party's partial must survive the SEAL wire format and
+    aggregate identically after loading."""
+    from seal_tpu import serialization as ser
+
+    enc = Encryptor(mp["ctx"], mp["cpk"])
+    ct = enc.encrypt(Plaintext.from_hex_string("2Ax^5 + 6"))
+    loaded = []
+    for sk in mp["sks"]:
+        part = Decryptor(mp["ctx"], sk).distributed_decrypt(ct)
+        loaded.append(ser.load_ciphertext(mp["ctx"], ser.save_ciphertext(part)))
+    agg = Decryptor(mp["ctx"], mp["sks"][0]).aggregate_partial_decryption(ct, loaded)
+    assert agg.to_hex_string() == "2Ax^5 + 6"
