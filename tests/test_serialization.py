@@ -174,3 +174,17 @@ def test_legacy_34_header_recognized():
     import io
     with _pytest.raises(ValueError, match="3.4"):
         ser.unwrap(io.BytesIO(legacy + b"\0" * 32))
+
+
+@pytest.mark.parametrize("mode", [ser.ComprMode.NONE, ser.ComprMode.ZLIB,
+                                  ser.ComprMode.ZSTD])
+def test_all_compression_modes_roundtrip(ctx, keys, mode):
+    """Every ComprMode (incl. zstd, parity: util/ztools.cpp) roundtrips a
+    ciphertext bit-exactly."""
+    import numpy as np
+
+    kg, pk, _ = keys
+    ct = Encryptor(ctx, pk).encrypt(Plaintext.from_hex_string("7x^1 + 2"))
+    blob = ser.save_ciphertext(ct, compr_mode=mode)
+    ct2 = ser.load_ciphertext(ctx, blob)
+    assert np.array_equal(ct.to_numpy(), ct2.to_numpy())
