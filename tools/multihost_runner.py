@@ -19,6 +19,9 @@ Launch (2 hosts x 1 device):
     JAX_PLATFORMS=cpu python tools/multihost_runner.py --pid 0 --nprocs 2 --port 9955 &
     JAX_PLATFORMS=cpu python tools/multihost_runner.py --pid 1 --nprocs 2 --port 9955
 or run `tests/test_multihost.py`, which spawns both and checks the output.
+Add `XLA_FLAGS=--xla_force_host_platform_device_count=2` to each process for
+the mixed topology (tp=4 spanning intra-process AND cross-process links —
+the ICI+DCN shape of a real pod slice); validated bit-exact both ways.
 
 Every quantity fed to the global mesh is deterministic integer math from a
 fixed PRNG seed, so all processes hold identical host values — the documented
@@ -74,11 +77,13 @@ def main() -> int:
     log(f"up: {len(devs)} global devices, {n_local} local, "
         f"transport=gloo (DCN stand-in)")
 
-    # deterministic context + keys: identical on every host by construction
+    # deterministic context + keys: identical on every host by construction;
+    # data-tower count = global device count so the TP decomposition splits
+    # exactly over the whole mesh (tp=2 with 2x1, tp=4 with 2x2 local devices)
     SEED = (1, 2, 3, 4, 5, 6, 7, 8)
     parms = EncryptionParameters(SchemeType.BFV)
     parms.set_poly_modulus_degree(64)
-    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40] * (len(devs) + 1)))
     parms.set_plain_modulus(257)
     parms.set_random_seed(SEED)
     ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
