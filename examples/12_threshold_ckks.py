@@ -67,9 +67,12 @@ def main(n: int = 8192, parties: int = 4, smudging_bits: int = 20):
     agg = Decryptor(context, sks[0]).aggregate_partial_decryption(ct, partials)
     got = encoder.decode(agg)
     err = float(np.max(np.abs(got - expected)))
+    # flooding noise dominates: |err| ~ parties * 2^b * sqrt(n) / scale'
+    # where scale' is the rescaled ciphertext's scale — bound with headroom
+    bound = max(1e-4, 16 * parties * (2.0 ** smudging_bits) * np.sqrt(n) / ct.scale)
     print(f"threshold decrypt ({parties} partials, smudging 2^{smudging_bits}): "
-          f"max err {err:.3e}")
-    assert err < 1e-4, err
+          f"max err {err:.3e} (bound {bound:.1e})")
+    assert err < bound, (err, bound)
 
     # --- cross-check: the common secret key decrypts the same ciphertext ---
     csk = keygen.create_common_secret_key(sks)
