@@ -30,6 +30,29 @@ from seal_tpu.ops import limb, modring
 from seal_tpu.ops import ntt as ntt_mod
 
 
+_absorb_cache: dict = {}
+
+
+def _absorb_jit():
+    """Cached-jit kswitch-key absorb: c0 += new_key · factor per row (rows
+    outside the digit carry factor 0). One executable per backend; jit
+    re-traces per (L_key, N). Bit-identical to the former per-row loop."""
+    import jax
+
+    dd = jax.config.jax_default_device
+    plat = (dd if isinstance(dd, str) else dd.platform) if dd is not None \
+        else jax.default_backend()
+    fn = _absorb_cache.get(plat)
+    if fn is None:
+        def body(c0, new_key, f_op, f_qt, q):
+            temp = limb.mul_mod_shoup(new_key, f_op, f_qt, q)
+            return limb.add_mod(c0, temp, q)
+
+        fn = jax.jit(body)
+        _absorb_cache[plat] = fn
+    return fn
+
+
 class KeyGenerator:
     def __init__(self, context: SEALContext, secret_key: SecretKey | None = None):
         if not context.parameters_set:
@@ -148,23 +171,21 @@ class KeyGenerator:
 
         c0s, c1s = [], []
         for j in range(decomp_count):
-            rows = list(range(j * alpha, min((j + 1) * alpha, data_count)))
+            rows = set(range(j * alpha, min((j + 1) * alpha, data_count)))
             ct = rlwe.encrypt_zero_symmetric(
                 secret_key, ctx, key_cd.parms_id, is_ntt_form=True,
                 c1_override=c1_refs[j] if c1_refs is not None else None,
             )
             c0, c1 = ct.poly(0), ct.poly(1)
-            for i in rows:
-                factor = p_special % key_moduli[i]
-                f_op, f_qt = modring.shoup_pair([[factor]], [[key_moduli[i]]], shape=(1, 1))
-                row = (new_key[0][i:i + 1], new_key[1][i:i + 1])  # [1, N]
-                mc_i = mc.slice_row(i)
-                temp = limb.mul_mod_shoup(row, f_op, f_qt, mc_i.q)
-                new_row = limb.add_mod((c0[0][i:i + 1], c0[1][i:i + 1]), temp, mc_i.q)
-                c0 = (
-                    c0[0].at[i:i + 1].set(new_row[0]),
-                    c0[1].at[i:i + 1].set(new_row[1]),
-                )
+            # vectorized absorb: rows outside the digit carry factor 0, so
+            # the Shoup multiply yields exactly 0 there and the add is a
+            # no-op — one executable instead of a per-row .at loop
+            factors = [p_special % q if i in rows else 0
+                       for i, q in enumerate(key_moduli)]
+            f_op, f_qt = modring.shoup_pair(
+                [[f] for f in factors], [[q] for q in key_moduli],
+                shape=(len(key_moduli), 1))
+            c0 = _absorb_jit()(c0, new_key, f_op, f_qt, mc.q)
             c0s.append(c0)
             c1s.append(c1)
         lo = jnp.stack([jnp.stack([a[0], b[0]]) for a, b in zip(c0s, c1s)])

@@ -229,6 +229,42 @@ def encrypt_zero_asymmetric(
     )
 
 
+# -- cached-jit post-sampling math (NTT-form encrypt-zero) -------------------
+# Eager dispatch of the ~90 constituent u32 primitives dominated keygen wall
+# time (profiled: 0.75 s of pure dispatch per galois key at n=16384); one
+# executable per (scheme-flag, backend) removes it. jit re-traces per shape,
+# so a single cache entry serves every (L, N). Bit-identical by construction:
+# the same kernels run traced instead of dispatched.
+_ezs_jit_cache: dict = {}
+
+
+def _ezs_ntt_jit(bgv: bool):
+    import jax
+
+    dd = jax.config.jax_default_device
+    plat = (dd if isinstance(dd, str) else dd.platform) if dd is not None \
+        else jax.default_backend()
+    key = (bgv, plat)
+    fn = _ezs_jit_cache.get(key)
+    if fn is None:
+        if bgv:
+            def body(sk, a, noise, tables, mc, t_op, t_qt):
+                c0 = modring.dyadic_product(sk, a, mc)
+                nz = ntt_mod.ntt_forward(noise, tables)
+                nz = limb.mul_mod_shoup(nz, t_op, t_qt, mc.q)
+                c0 = modring.add_poly(nz, c0, mc)
+                return modring.negate_poly(c0, mc)
+        else:
+            def body(sk, a, noise, tables, mc):
+                c0 = modring.dyadic_product(sk, a, mc)
+                nz = ntt_mod.ntt_forward(noise, tables)
+                c0 = modring.add_poly(nz, c0, mc)
+                return modring.negate_poly(c0, mc)
+        fn = jax.jit(body)
+        _ezs_jit_cache[key] = fn
+    return fn
+
+
 def encrypt_zero_symmetric(
     secret_key: SecretKey, context: SEALContext, parms_id, is_ntt_form: bool,
     save_seed: bool = False, c1_override=None, c1_seed=None,
@@ -285,19 +321,27 @@ def encrypt_zero_symmetric(
     # the key-level NTT-form secret key restricted to this level's tower
     L = len(moduli)
     sk = (secret_key.data[0][:L], secret_key.data[1][:L])
-    c0 = modring.dyadic_product(sk, c1_ntt, mc)
     if is_ntt_form:
-        noise_dev = ntt_mod.ntt_forward_eager(noise_dev, tables)
+        # hot keygen path: one cached-jit executable for the whole math
+        if scheme == SchemeType.BGV:
+            t_op, t_qt = modring.shoup_pair(
+                [[parms.plain_modulus.value % q] for q in moduli],
+                [[q] for q in moduli], shape=(len(moduli), 1),
+            )
+            c0 = _ezs_ntt_jit(True)(sk, c1_ntt, noise_dev, tables, mc, t_op, t_qt)
+        else:
+            c0 = _ezs_ntt_jit(False)(sk, c1_ntt, noise_dev, tables, mc)
     else:
+        c0 = modring.dyadic_product(sk, c1_ntt, mc)
         c0 = ntt_mod.ntt_inverse_eager(c0, tables)
-    if scheme == SchemeType.BGV:
-        t_op, t_qt = modring.shoup_pair(
-            [[parms.plain_modulus.value % q] for q in moduli],
-            [[q] for q in moduli], shape=(len(moduli), 1),
-        )
-        noise_dev = limb.mul_mod_shoup(noise_dev, t_op, t_qt, mc.q)
-    c0 = modring.add_poly(noise_dev, c0, mc)
-    c0 = modring.negate_poly(c0, mc)
+        if scheme == SchemeType.BGV:
+            t_op, t_qt = modring.shoup_pair(
+                [[parms.plain_modulus.value % q] for q in moduli],
+                [[q] for q in moduli], shape=(len(moduli), 1),
+            )
+            noise_dev = limb.mul_mod_shoup(noise_dev, t_op, t_qt, mc.q)
+        c0 = modring.add_poly(noise_dev, c0, mc)
+        c0 = modring.negate_poly(c0, mc)
 
     ct = Ciphertext(
         stack_polys([c0, c1_out]), parms_id=tuple(parms_id),
