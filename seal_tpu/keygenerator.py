@@ -33,10 +33,13 @@ from seal_tpu.ops import ntt as ntt_mod
 _absorb_cache: dict = {}
 
 
-def _absorb_jit():
-    """Cached-jit kswitch-key absorb: c0 += new_key · factor per row (rows
-    outside the digit carry factor 0). One executable per backend; jit
-    re-traces per (L_key, N). Bit-identical to the former per-row loop."""
+def _absorb_stack_jit():
+    """Cached-jit kswitch-key finisher: per digit, c0 += new_key · factor
+    per row (rows outside the digit carry factor 0, an exact Shoup no-op),
+    then the whole [L_decomp, 2, L_key, N] key tensor is stacked — ONE
+    executable per backend instead of per-row .at loops plus eager stacks.
+    jit re-traces per (digit count, L_key, N). Bit-identical to the former
+    loop by construction."""
     import jax
 
     dd = jax.config.jax_default_device
@@ -44,9 +47,16 @@ def _absorb_jit():
         else jax.default_backend()
     fn = _absorb_cache.get(plat)
     if fn is None:
-        def body(c0, new_key, f_op, f_qt, q):
-            temp = limb.mul_mod_shoup(new_key, f_op, f_qt, q)
-            return limb.add_mod(c0, temp, q)
+        def body(c0s, c1s, new_key, f_ops, f_qts, q):
+            outs = []
+            for c0, f_op, f_qt in zip(c0s, f_ops, f_qts):
+                temp = limb.mul_mod_shoup(new_key, f_op, f_qt, q)
+                outs.append(limb.add_mod(c0, temp, q))
+            lo = jnp.stack([jnp.stack([a[0], b[0]])
+                            for a, b in zip(outs, c1s)])
+            hi = jnp.stack([jnp.stack([a[1], b[1]])
+                            for a, b in zip(outs, c1s)])
+            return lo, hi
 
         fn = jax.jit(body)
         _absorb_cache[plat] = fn
@@ -169,28 +179,27 @@ class KeyGenerator:
         decomp_count = -(-data_count // alpha)
         mc = key_cd.mod_consts
 
-        c0s, c1s = [], []
+        c0s, c1s, f_ops, f_qts = [], [], [], []
         for j in range(decomp_count):
             rows = set(range(j * alpha, min((j + 1) * alpha, data_count)))
-            ct = rlwe.encrypt_zero_symmetric(
+            c0, c1, _ = rlwe.encrypt_zero_symmetric_parts(
                 secret_key, ctx, key_cd.parms_id, is_ntt_form=True,
                 c1_override=c1_refs[j] if c1_refs is not None else None,
             )
-            c0, c1 = ct.poly(0), ct.poly(1)
             # vectorized absorb: rows outside the digit carry factor 0, so
             # the Shoup multiply yields exactly 0 there and the add is a
-            # no-op — one executable instead of a per-row .at loop
+            # no-op — no per-row .at loop
             factors = [p_special % q if i in rows else 0
                        for i, q in enumerate(key_moduli)]
             f_op, f_qt = modring.shoup_pair(
                 [[f] for f in factors], [[q] for q in key_moduli],
                 shape=(len(key_moduli), 1))
-            c0 = _absorb_jit()(c0, new_key, f_op, f_qt, mc.q)
             c0s.append(c0)
             c1s.append(c1)
-        lo = jnp.stack([jnp.stack([a[0], b[0]]) for a, b in zip(c0s, c1s)])
-        hi = jnp.stack([jnp.stack([a[1], b[1]]) for a, b in zip(c0s, c1s)])
-        return lo, hi
+            f_ops.append(f_op)
+            f_qts.append(f_qt)
+        # one executable absorbs every digit and stacks the key tensor
+        return _absorb_stack_jit()(c0s, c1s, new_key, f_ops, f_qts, mc.q)
 
     def create_relin_keys(self, count: int = 1, save_seed: bool = False) -> RelinKeys:
         """Keys for s^2, ..., s^(count+1) (keygenerator.cpp:272-310)."""

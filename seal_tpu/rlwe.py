@@ -275,6 +275,25 @@ def encrypt_zero_symmetric(
     encrypt_zero_symmetric_with_c1 (rlwe.cpp:276-413) used by the multiparty
     common-public-key flow.
     """
+    c0, c1_out, seed_info = encrypt_zero_symmetric_parts(
+        secret_key, context, parms_id, is_ntt_form, save_seed,
+        c1_override, c1_seed)
+    ct = Ciphertext(
+        stack_polys([c0, c1_out]), parms_id=tuple(parms_id),
+        is_ntt_form=is_ntt_form, scale=1.0, correction_factor=1,
+    )
+    if save_seed:
+        ct.seed_info = seed_info
+    return ct
+
+
+def encrypt_zero_symmetric_parts(
+    secret_key: SecretKey, context: SEALContext, parms_id, is_ntt_form: bool,
+    save_seed: bool = False, c1_override=None, c1_seed=None,
+):
+    """encrypt_zero_symmetric returning raw (c0, c1, seed_info) polys —
+    the kswitch keygen consumes the pair directly and stacks once per key
+    instead of once per digit."""
     cd = context.get_context_data(parms_id)
     parms = cd.parms
     moduli = cd.key_moduli()
@@ -343,10 +362,4 @@ def encrypt_zero_symmetric(
         c0 = modring.add_poly(noise_dev, c0, mc)
         c0 = modring.negate_poly(c0, mc)
 
-    ct = Ciphertext(
-        stack_polys([c0, c1_out]), parms_id=tuple(parms_id),
-        is_ntt_form=is_ntt_form, scale=1.0, correction_factor=1,
-    )
-    if save_seed:
-        ct.seed_info = seed_info
-    return ct
+    return c0, c1_out, seed_info
