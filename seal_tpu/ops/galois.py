@@ -24,6 +24,58 @@ from seal_tpu.utils import numth
 
 GENERATOR = 3
 
+# Cached-jit automorphism gathers, keyed per backend (jit re-traces per
+# shape). Eager fancy-indexing with a 16K index vector pays ~0.5 s of pure
+# Python index preprocessing per call (profiled: _index_to_gather dominates
+# multi-element galois keygen); one executable removes it. Bit-identical:
+# the same gather runs traced instead of dispatched.
+_gather_jit_cache: dict = {}
+
+
+def _platform() -> str:
+    import jax
+
+    dd = jax.config.jax_default_device
+    return (dd if isinstance(dd, str) else dd.platform) if dd is not None \
+        else jax.default_backend()
+
+
+def _reverse_bits_vec(v: np.ndarray, bit_count: int) -> np.ndarray:
+    """Vectorized numth.reverse_bits over a u64 numpy array."""
+    v = v.astype(np.uint64)
+    out = np.zeros_like(v)
+    for _ in range(bit_count):
+        out = (out << np.uint64(1)) | (v & np.uint64(1))
+        v = v >> np.uint64(1)
+    return out
+
+
+def _gather_jit():
+    import jax
+
+    key = ("ntt", _platform())
+    fn = _gather_jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda lo, hi, tab: (lo[..., tab], hi[..., tab]))
+        _gather_jit_cache[key] = fn
+    return fn
+
+
+def _coeff_apply_jit():
+    import jax
+
+    key = ("coeff", _platform())
+    fn = _gather_jit_cache.get(key)
+    if fn is None:
+        def body(lo, hi, src, neg, q):
+            g = (lo[..., src], hi[..., src])
+            negated = limb.neg_mod(g, q)
+            return limb.select64(neg, negated, g)
+
+        fn = jax.jit(body)
+        _gather_jit_cache[key] = fn
+    return fn
+
 
 class GaloisTool:
     def __init__(self, coeff_count_power: int):
@@ -74,15 +126,15 @@ class GaloisTool:
         if tab is None:
             n = self.coeff_count
             logn = self.coeff_count_power
-            idx = np.empty(n, dtype=np.int32)
-            for i in range(n, 2 * n):
-                reversed_i = numth.reverse_bits(i, logn + 1)
-                index_raw = (galois_elt * reversed_i) >> 1
-                index_raw &= n - 1
-                idx[i - n] = numth.reverse_bits(index_raw, logn)
+            # vectorized bit reversals (the scalar loop cost ~0.1 s per NEW
+            # element at n=16384 — 2n Python reverse_bits calls)
+            i = np.arange(n, 2 * n, dtype=np.uint64)
+            reversed_i = _reverse_bits_vec(i, logn + 1)
+            index_raw = ((np.uint64(galois_elt) * reversed_i) >> np.uint64(1)) \
+                & np.uint64(n - 1)
             # cache as NUMPY: a jnp array created while tracing would be a
             # tracer and leak out of the jit scope on reuse
-            tab = idx
+            tab = _reverse_bits_vec(index_raw, logn).astype(np.int32)
             self._ntt_tables[galois_elt] = tab
         return tab
 
@@ -173,16 +225,27 @@ class GaloisTool:
         if galois_matmul_enabled(self.coeff_count):
             return self.apply_galois_ntt_matmul(x, galois_elt)
         tab = self._ntt_table(galois_elt)
-        return x[0][..., tab], x[1][..., tab]
+        import jax
+
+        if isinstance(x[0], jax.core.Tracer):
+            # inside an enclosing trace the table must stay a compile-time
+            # constant: XLA's static-index gather is the fast TPU path
+            # (21 µs per [8,16384] permutation, BASELINE.md r2)
+            return x[0][..., tab], x[1][..., tab]
+        return _gather_jit()(x[0], x[1], tab)
 
     def apply_galois(self, x: limb.U64Pair, galois_elt: int, mc: ModConsts) -> limb.U64Pair:
         """Coefficient-domain automorphism with negacyclic sign fix
         (galois.cpp:148-190)."""
         self._validate(galois_elt)
         src, neg = self._coeff_table(galois_elt)
-        g = (x[0][..., src], x[1][..., src])
-        negated = limb.neg_mod(g, mc.q)
-        return limb.select64(neg, negated, g)
+        import jax
+
+        if isinstance(x[0], jax.core.Tracer):
+            g = (x[0][..., src], x[1][..., src])
+            negated = limb.neg_mod(g, mc.q)
+            return limb.select64(neg, negated, g)
+        return _coeff_apply_jit()(x[0], x[1], src, neg, mc.q)
 
     def _validate(self, galois_elt: int):
         if not (galois_elt & 1) or galois_elt >= 2 * self.coeff_count:
