@@ -52,7 +52,14 @@ _PASS_TABLE_BYTES = 7 << 20
 # integer ops, half the tensor). Tests monkeypatch these to force either
 # path; both are covered by the interpret-mode bit-exactness suite.
 _PAIR_COMPACT_SUBLANE = True
-_PAIR_COMPACT_LANE = True
+# 2026-08-18: the tunnel's Mosaic rebuild (TpuAotCompiler, libtpu py3.13)
+# rejects the lane-splitting reshape ([R, C] -> [R, A, 2, g]) with
+# "infer-vector-layout: unsupported shape cast"; sublane splits still
+# compile. Lane-gap stages therefore default to the roll+select
+# formulation (bit-identical, ~2x VPU work on the last 7 stages only).
+# Re-enable if a future toolchain accepts it (tools/repro snippet in
+# BASELINE.md "Mosaic lane-reshape regression").
+_PAIR_COMPACT_LANE = False
 
 
 def _pair_split_rows(a, gr):
