@@ -36,6 +36,11 @@ class GlobalConfig:
     # keeps the 4-limb accumulator in VMEM across the decomp contraction
     use_pallas_keyswitch: str = "auto"
     pallas_keyswitch_min_n: int = 256
+    # host-side keygen/encrypt-zero math on the native u64 path
+    # (seal_tpu/native/poly.py) instead of the XLA:CPU limb emulation —
+    # ~10x on a single host core; bit-identical (cross-checked in
+    # tests/test_native_poly.py). False forces the JAX path.
+    use_native_keygen: bool = True
 
 
 config = GlobalConfig()

@@ -21,19 +21,47 @@ from seal_tpu.encryption_params import ParmsId, PARMS_ID_ZERO
 # host numpy <-> device limb pair
 # ---------------------------------------------------------------------------
 
+def _native_lib():
+    from seal_tpu import native
+
+    lib = native.get_lib()
+    return lib if lib is not None and hasattr(lib, "sealtpu_split_u32") else None
+
+
 def to_device(arr: np.ndarray):
     """uint64 ndarray -> (lo, hi) uint32 device pair."""
+    import ctypes
+
     arr = np.ascontiguousarray(arr, dtype=np.uint64)
-    lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    hi = (arr >> np.uint64(32)).astype(np.uint32)
+    lib = _native_lib()
+    if lib is not None:
+        lo = np.empty(arr.shape, dtype=np.uint32)
+        hi = np.empty(arr.shape, dtype=np.uint32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.sealtpu_split_u32(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), arr.size,
+            lo.ctypes.data_as(u32p), hi.ctypes.data_as(u32p))
+    else:
+        lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (arr >> np.uint64(32)).astype(np.uint32)
     return jnp.asarray(lo), jnp.asarray(hi)
 
 
 def to_host(pair) -> np.ndarray:
     """(lo, hi) device pair -> uint64 ndarray."""
-    lo = np.asarray(pair[0], dtype=np.uint64)
-    hi = np.asarray(pair[1], dtype=np.uint64)
-    return lo | (hi << np.uint64(32))
+    import ctypes
+
+    lo32 = np.ascontiguousarray(np.asarray(pair[0], dtype=np.uint32))
+    hi32 = np.ascontiguousarray(np.asarray(pair[1], dtype=np.uint32))
+    lib = _native_lib()
+    if lib is not None:
+        out = np.empty(lo32.shape, dtype=np.uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.sealtpu_merge_u64(
+            lo32.ctypes.data_as(u32p), hi32.ctypes.data_as(u32p), lo32.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        return out
+    return lo32.astype(np.uint64) | (hi32.astype(np.uint64) << np.uint64(32))
 
 
 def zeros_pair(shape):

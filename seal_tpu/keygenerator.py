@@ -24,6 +24,7 @@ from seal_tpu.dtypes import (
     SecretKey,
     stack_polys,
     to_device,
+    to_host,
 )
 from seal_tpu.modulus import CIPHERTEXT_SIZE_MAX
 from seal_tpu.ops import limb, modring
@@ -78,12 +79,20 @@ class KeyGenerator:
     # -- secret / public ------------------------------------------------------
 
     def _sample_secret_key(self) -> SecretKey:
+        from seal_tpu.native import poly as native_poly
+
         cd = self.context.key_context_data()
         moduli = cd.key_moduli()
         n = cd.parms.poly_modulus_degree
         prng = rlwe._prng_for(self.context)
-        sk = to_device(rlwe.sample_poly_ternary(prng, moduli, n))
-        sk = ntt_mod.ntt_forward_eager(sk, cd.ntt_tables)
+        sk_np = rlwe.sample_poly_ternary(prng, moduli, n)
+        npoly = native_poly.for_context_data(cd)
+        if npoly is not None:
+            sk_np = npoly.ntt_forward(np.ascontiguousarray(sk_np))
+            key = SecretKey(to_device(sk_np), tuple(cd.parms_id))
+            key._host_u64 = sk_np
+            return key
+        sk = ntt_mod.ntt_forward_eager(to_device(sk_np), cd.ntt_tables)
         return SecretKey(sk, tuple(cd.parms_id))
 
     def secret_key(self) -> SecretKey:
@@ -179,6 +188,27 @@ class KeyGenerator:
         decomp_count = -(-data_count // alpha)
         mc = key_cd.mod_consts
 
+        from seal_tpu.native import poly as native_poly
+
+        npoly = native_poly.for_context_data(key_cd)
+        if npoly is not None:
+            # native u64 path: every digit's encrypt-zero + absorb runs in
+            # C (seal_tpu/native/poly.py); ONE host->device transfer per key
+            key_np = (new_key if isinstance(new_key, np.ndarray)
+                      else np.ascontiguousarray(to_host(new_key)))
+            digits = []
+            for j in range(decomp_count):
+                rows = set(range(j * alpha, min((j + 1) * alpha, data_count)))
+                c0, c1, _ = rlwe.encrypt_zero_symmetric_parts_np(
+                    secret_key, ctx, key_cd.parms_id,
+                    c1_override=c1_refs[j] if c1_refs is not None else None,
+                )
+                factors = [p_special % q if i in rows else 0
+                           for i, q in enumerate(key_moduli)]
+                npoly.absorb(c0, key_np, factors)
+                digits.append(np.stack([c0, c1]))
+            return to_device(np.stack(digits))
+
         c0s, c1s, f_ops, f_qts = [], [], [], []
         for j in range(decomp_count):
             rows = set(range(j * alpha, min((j + 1) * alpha, data_count)))
@@ -226,12 +256,18 @@ class KeyGenerator:
         if galois_elts is None:
             galois_elts = gt.get_elts_all()
         sk = secret_key if secret_key is not None else self.secret_key_
+        from seal_tpu.native import poly as native_poly
+
+        use_native = native_poly.for_context_data(key_cd) is not None
         gk = GaloisKeys()
         for idx, elt in enumerate(galois_elts):
             if elt % 2 == 0 or elt < 1:
                 raise ValueError("Galois element is not valid")
             # rotate the secret key: apply_galois in NTT domain
-            rotated = gt.apply_galois_ntt(sk.data, elt)
+            if use_native:
+                rotated = gt.apply_galois_ntt_np(rlwe.sk_host_u64(sk), elt)
+            else:
+                rotated = gt.apply_galois_ntt(sk.data, elt)
             index = GaloisKeys.get_index(elt)
             while len(gk.keys) <= index:
                 gk.keys.append(None)

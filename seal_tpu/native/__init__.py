@@ -15,7 +15,8 @@ import subprocess
 import threading
 
 _here = pathlib.Path(__file__).parent
-_srcs = [_here / "blake2_native.cpp", _here / "rns_native.cpp"]
+_srcs = [_here / "blake2_native.cpp", _here / "rns_native.cpp",
+         _here / "poly_native.cpp"]
 _so = _here / "libsealtpu_native.so"
 _lock = threading.Lock()
 _lib = None
@@ -66,6 +67,44 @@ def get_lib():
             c_u64p, c_u64p, ctypes.c_size_t, c_u64p,
         ]
         lib.sealtpu_crt_compose_words.restype = None
+        lib.sealtpu_ntt_forward.argtypes = [
+            c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p, c_u64p,
+            c_u64p, ctypes.c_int,
+        ]
+        lib.sealtpu_ntt_forward.restype = None
+        lib.sealtpu_ntt_inverse.argtypes = [
+            c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p, c_u64p,
+            c_u64p, c_u64p, c_u64p, c_u64p, c_u64p, ctypes.c_int,
+        ]
+        lib.sealtpu_ntt_inverse.restype = None
+        lib.sealtpu_keygen_c0.argtypes = [
+            c_u64p, c_u64p, c_u64p, c_u64p, ctypes.c_size_t,
+            ctypes.c_size_t, c_u64p, c_u64p, c_u64p,
+        ]
+        lib.sealtpu_keygen_c0.restype = None
+        lib.sealtpu_mul_scalar_shoup.argtypes = [
+            c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p, c_u64p, c_u64p,
+        ]
+        lib.sealtpu_mul_scalar_shoup.restype = None
+        lib.sealtpu_absorb.argtypes = [
+            c_u64p, c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p,
+            c_u64p, c_u64p,
+        ]
+        lib.sealtpu_absorb.restype = None
+        c_u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.sealtpu_split_u32.argtypes = [
+            c_u64p, ctypes.c_size_t, c_u32p, c_u32p,
+        ]
+        lib.sealtpu_split_u32.restype = None
+        lib.sealtpu_merge_u64.argtypes = [
+            c_u32p, c_u32p, ctypes.c_size_t, c_u64p,
+        ]
+        lib.sealtpu_merge_u64.restype = None
+        lib.sealtpu_build_ntt_tables.argtypes = [
+            ctypes.c_size_t, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, c_u64p, c_u64p, c_u64p, c_u64p,
+        ]
+        lib.sealtpu_build_ntt_tables.restype = None
         _lib = lib
         return _lib
 

@@ -1,0 +1,279 @@
+// Native host-side polynomial ops for the keygen/encryption hot path.
+//
+// The device compute path is jax/XLA/Pallas (u32 limb emulation); key
+// generation, however, is defined by byte-exact host PRNG streams and runs
+// on the host (SURVEY.md §2.7), where the XLA:CPU limb emulation costs
+// ~10x a direct u64 implementation. These are original u64 implementations
+// of the Harvey lazy-butterfly negacyclic NTT and the Barrett/Shoup modular
+// primitives, value-compatible with seal_tpu/ops/{ntt,limb}.py (and hence
+// with the reference's util/dwthandler.h:94-356 + uintarithsmallmod.h) —
+// the Python/JAX paths remain the cross-check.
+//
+// Built together with the other native sources into libsealtpu_native.so
+// (see seal_tpu/native/__init__.py).
+
+#include <cstdint>
+#include <cstddef>
+
+namespace {
+
+static inline uint64_t mulhi64(uint64_t a, uint64_t b)
+{
+    return (uint64_t)(((unsigned __int128)a * b) >> 64);
+}
+
+// x*w mod q in [0, 2q), w < q, wq = floor(w * 2^64 / q)
+// (parity: multiply_uint_mod_lazy, uintarithsmallmod.h:313-326)
+static inline uint64_t mul_shoup_lazy(uint64_t x, uint64_t w, uint64_t wq,
+                                      uint64_t q)
+{
+    return w * x - mulhi64(x, wq) * q;
+}
+
+static inline uint64_t mul_shoup(uint64_t x, uint64_t w, uint64_t wq,
+                                 uint64_t q)
+{
+    uint64_t r = mul_shoup_lazy(x, w, wq, q);
+    return r >= q ? r - q : r;
+}
+
+// (x_hi·2^64 + x_lo) mod q, (r0, r1) = floor(2^128 / q) words
+// (parity: barrett_reduce_128, uintarithsmallmod.h:167-209; mirrors
+// seal_tpu/ops/limb.py barrett_reduce_128 exactly)
+static inline uint64_t barrett128(uint64_t xlo, uint64_t xhi, uint64_t q,
+                                  uint64_t r0, uint64_t r1)
+{
+    uint64_t carry = mulhi64(xlo, r0);
+    unsigned __int128 t = (unsigned __int128)xlo * r1;
+    uint64_t tlo = (uint64_t)t, thi = (uint64_t)(t >> 64);
+    uint64_t tmp1 = tlo + carry;
+    uint64_t tmp3 = thi + (tmp1 < tlo);
+    unsigned __int128 u = (unsigned __int128)xhi * r0;
+    uint64_t ulo = (uint64_t)u, uhi = (uint64_t)(u >> 64);
+    uint64_t tmp1b = tmp1 + ulo;
+    uint64_t carry2 = uhi + (tmp1b < tmp1);
+    uint64_t quot = xhi * r1 + tmp3 + carry2;
+    uint64_t r = xlo - quot * q;
+    return r >= q ? r - q : r;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Forward negacyclic NTT over [L, n] u64 coefficients, in place.
+// w_op/w_qt: [L, n] root powers at bitrev index + Shoup quotients
+// (ops/ntt.py build_ntt_tables layout). Values enter < 4q (canonical < q);
+// output < q, or < 4q when lazy != 0.
+void sealtpu_ntt_forward(uint64_t *x, size_t L, size_t log_n,
+                         const uint64_t *w_op, const uint64_t *w_qt,
+                         const uint64_t *moduli, int lazy)
+{
+    const size_t n = (size_t)1 << log_n;
+    for (size_t l = 0; l < L; l++) {
+        uint64_t *xl = x + l * n;
+        const uint64_t *op = w_op + l * n;
+        const uint64_t *qt = w_qt + l * n;
+        const uint64_t q = moduli[l], two_q = 2 * q;
+        for (size_t s = 0; s < log_n; s++) {
+            const size_t m = (size_t)1 << s;
+            const size_t gap = n >> (s + 1);
+            for (size_t j = 0; j < m; j++) {
+                const uint64_t w = op[m + j], wq = qt[m + j];
+                uint64_t *p0 = xl + j * 2 * gap;
+                uint64_t *p1 = p0 + gap;
+                for (size_t i = 0; i < gap; i++) {
+                    uint64_t u = p0[i];
+                    if (u >= two_q) u -= two_q;
+                    const uint64_t v = mul_shoup_lazy(p1[i], w, wq, q);
+                    p0[i] = u + v;
+                    p1[i] = u + two_q - v;
+                }
+            }
+        }
+        if (!lazy) {
+            for (size_t i = 0; i < n; i++) {
+                uint64_t v = xl[i];
+                if (v >= two_q) v -= two_q;
+                if (v >= q) v -= q;
+                xl[i] = v;
+            }
+        }
+    }
+}
+
+// Inverse negacyclic NTT, in place; n^{-1} folded into the last stage
+// (ops/ntt.py ntt_inverse layout: inv tables consumed sequentially from
+// offset 1; inv_n/last scalars per prime). Output < q (< 2q when lazy).
+void sealtpu_ntt_inverse(uint64_t *x, size_t L, size_t log_n,
+                         const uint64_t *w_op, const uint64_t *w_qt,
+                         const uint64_t *inv_n_op, const uint64_t *inv_n_qt,
+                         const uint64_t *last_op, const uint64_t *last_qt,
+                         const uint64_t *moduli, int lazy)
+{
+    const size_t n = (size_t)1 << log_n;
+    for (size_t l = 0; l < L; l++) {
+        uint64_t *xl = x + l * n;
+        const uint64_t *op = w_op + l * n;
+        const uint64_t *qt = w_qt + l * n;
+        const uint64_t q = moduli[l], two_q = 2 * q;
+        size_t offset = 1;
+        for (size_t s = log_n - 1; s >= 1; s--) {
+            const size_t m = (size_t)1 << s;
+            const size_t gap = n >> (s + 1);
+            for (size_t j = 0; j < m; j++) {
+                const uint64_t w = op[offset + j], wq = qt[offset + j];
+                uint64_t *p0 = xl + j * 2 * gap;
+                uint64_t *p1 = p0 + gap;
+                for (size_t i = 0; i < gap; i++) {
+                    const uint64_t u = p0[i], v = p1[i];
+                    uint64_t y0 = u + v;
+                    if (y0 >= two_q) y0 -= two_q;
+                    p0[i] = y0;
+                    p1[i] = mul_shoup_lazy(u + two_q - v, w, wq, q);
+                }
+            }
+            offset += m;
+        }
+        // last stage (m = 1, gap = n/2): inv_n on x0, root*inv_n on x1
+        {
+            const size_t gap = n >> 1;
+            const uint64_t in_op = inv_n_op[l], in_qt = inv_n_qt[l];
+            const uint64_t la_op = last_op[l], la_qt = last_qt[l];
+            for (size_t i = 0; i < gap; i++) {
+                uint64_t u = xl[i];
+                if (u >= two_q) u -= two_q;
+                const uint64_t v = xl[i + gap];
+                uint64_t s0 = u + v;
+                if (s0 >= two_q) s0 -= two_q;
+                xl[i] = mul_shoup_lazy(s0, in_op, in_qt, q);
+                xl[i + gap] = mul_shoup_lazy(u + two_q - v, la_op, la_qt, q);
+            }
+        }
+        if (!lazy) {
+            for (size_t i = 0; i < n; i++) {
+                if (xl[i] >= q) xl[i] -= q;
+            }
+        }
+    }
+}
+
+// out = -(a*s + e) mod q over [L, n]; a, s, e < q; (r0, r1) = Barrett
+// ratios per prime. The encrypt-zero c0 math (rlwe.cpp:497-527 parity,
+// mirrors the _ezs_ntt_jit body in seal_tpu/rlwe.py).
+void sealtpu_keygen_c0(const uint64_t *a, const uint64_t *s,
+                       const uint64_t *e, uint64_t *out, size_t L, size_t n,
+                       const uint64_t *moduli, const uint64_t *r0s,
+                       const uint64_t *r1s)
+{
+    for (size_t l = 0; l < L; l++) {
+        const uint64_t q = moduli[l], r0 = r0s[l], r1 = r1s[l];
+        const uint64_t *al = a + l * n, *sl = s + l * n, *el = e + l * n;
+        uint64_t *ol = out + l * n;
+        for (size_t i = 0; i < n; i++) {
+            const unsigned __int128 p = (unsigned __int128)al[i] * sl[i];
+            uint64_t r = barrett128((uint64_t)p, (uint64_t)(p >> 64), q, r0, r1);
+            r += el[i];
+            if (r >= q) r -= q;
+            ol[i] = r ? q - r : 0;
+        }
+    }
+}
+
+// x[l] *= scalar[l] mod q (Shoup, full reduce), in place over [L, n]
+// (BGV noise t-scaling; multiply_poly_scalar_coeffmod parity).
+void sealtpu_mul_scalar_shoup(uint64_t *x, size_t L, size_t n,
+                              const uint64_t *s_op, const uint64_t *s_qt,
+                              const uint64_t *moduli)
+{
+    for (size_t l = 0; l < L; l++) {
+        const uint64_t w = s_op[l], wq = s_qt[l], q = moduli[l];
+        uint64_t *xl = x + l * n;
+        for (size_t i = 0; i < n; i++) xl[i] = mul_shoup(xl[i], w, wq, q);
+    }
+}
+
+// c0[l] += key[l] * f[l] mod q, in place over [L, n] — the kswitch-key
+// absorb (keygenerator.cpp:752-765 parity). Rows with f = 0 are exact
+// no-ops (0-factor Shoup multiply yields 0).
+void sealtpu_absorb(uint64_t *c0, const uint64_t *key, size_t L, size_t n,
+                    const uint64_t *f_op, const uint64_t *f_qt,
+                    const uint64_t *moduli)
+{
+    for (size_t l = 0; l < L; l++) {
+        const uint64_t w = f_op[l], wq = f_qt[l], q = moduli[l];
+        if (w == 0) continue;
+        uint64_t *cl = c0 + l * n;
+        const uint64_t *kl = key + l * n;
+        for (size_t i = 0; i < n; i++) {
+            uint64_t t = mul_shoup(kl[i], w, wq, q);
+            uint64_t r = cl[i] + t;
+            if (r >= q) r -= q;
+            cl[i] = r;
+        }
+    }
+}
+
+// Split u64 values into (lo, hi) u32 limb arrays — the host->device
+// boundary conversion (dtypes.to_device hot path; one pass instead of
+// numpy's mask/shift/astype chain).
+void sealtpu_split_u32(const uint64_t *src, size_t count, uint32_t *lo,
+                       uint32_t *hi)
+{
+    for (size_t i = 0; i < count; i++) {
+        lo[i] = (uint32_t)src[i];
+        hi[i] = (uint32_t)(src[i] >> 32);
+    }
+}
+
+// Merge (lo, hi) u32 limb arrays back into u64 (dtypes.to_host).
+void sealtpu_merge_u64(const uint32_t *lo, const uint32_t *hi, size_t count,
+                       uint64_t *dst)
+{
+    for (size_t i = 0; i < count; i++) {
+        dst[i] = (uint64_t)lo[i] | ((uint64_t)hi[i] << 32);
+    }
+}
+
+// NTT table build for one prime (ops/ntt.py build_ntt_tables parity):
+// fwd[bitrev(i)] = root^i, inv[bitrev(i-1)+1] = inv_root^i (fwd[0] =
+// inv[0] = 1), plus floor(v·2^64/q) Shoup quotients for both. `root` is
+// the minimal primitive 2n-th root (host-verified); scalars (n^{-1},
+// folded last root) stay in Python.
+void sealtpu_build_ntt_tables(size_t log_n, uint64_t q, uint64_t root,
+                              uint64_t inv_root, uint64_t *fwd_op,
+                              uint64_t *fwd_qt, uint64_t *inv_op,
+                              uint64_t *inv_qt)
+{
+    const size_t n = (size_t)1 << log_n;
+    // power = root^i via sequential 128-bit mulmod (exact)
+    uint64_t power = root;
+    fwd_op[0] = 1;
+    for (size_t i = 1; i < n; i++) {
+        // bitrev(i)
+        size_t r = 0, v = i;
+        for (size_t b = 0; b < log_n; b++) {
+            r = (r << 1) | (v & 1);
+            v >>= 1;
+        }
+        fwd_op[r] = power;
+        power = (uint64_t)(((unsigned __int128)power * root) % q);
+    }
+    power = inv_root;
+    inv_op[0] = 1;
+    for (size_t i = 1; i < n; i++) {
+        size_t r = 0, v = i - 1;
+        for (size_t b = 0; b < log_n; b++) {
+            r = (r << 1) | (v & 1);
+            v >>= 1;
+        }
+        inv_op[r + 1] = power;
+        power = (uint64_t)(((unsigned __int128)power * inv_root) % q);
+    }
+    for (size_t i = 0; i < n; i++) {
+        fwd_qt[i] = (uint64_t)(((unsigned __int128)fwd_op[i] << 64) / q);
+        inv_qt[i] = (uint64_t)(((unsigned __int128)inv_op[i] << 64) / q);
+    }
+}
+
+}  // extern "C"

@@ -234,6 +234,12 @@ class GaloisTool:
             return x[0][..., tab], x[1][..., tab]
         return _gather_jit()(x[0], x[1], tab)
 
+    def apply_galois_ntt_np(self, x: np.ndarray, galois_elt: int) -> np.ndarray:
+        """NTT-domain automorphism on a host numpy u64 array (native keygen
+        path) — same cached permutation table as the device gather."""
+        self._validate(galois_elt)
+        return np.ascontiguousarray(x[..., self._ntt_table(galois_elt)])
+
     def apply_galois(self, x: limb.U64Pair, galois_elt: int, mc: ModConsts) -> limb.U64Pair:
         """Coefficient-domain automorphism with negacyclic sign fix
         (galois.cpp:148-190)."""

@@ -79,6 +79,37 @@ def build_ntt_tables(log_n: int, modulus: int) -> NTTTablesHost:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def native_tables_np(log_n: int, modulus: int):
+    """(fwd_op, fwd_qt, inv_op, inv_qt, inv_degree, inv_last_scaled) for one
+    prime with the [n] tables as numpy u64, built by the native library
+    (poly_native.cpp sealtpu_build_ntt_tables — the Python-int build above
+    costs seconds per tower at n=16384); None if unavailable. Value-identical
+    to build_ntt_tables (pinned by tests/test_native_poly.py)."""
+    import ctypes
+
+    import numpy as np
+
+    from seal_tpu import native as native_mod
+
+    lib = native_mod.get_lib()
+    if lib is None or not hasattr(lib, "sealtpu_build_ntt_tables"):
+        return None
+    n = 1 << log_n
+    q = modulus
+    root = numth.try_minimal_primitive_root(2 * n, q)
+    if root is None:
+        raise ValueError(f"modulus {q:#x} does not support NTT of size {n}")
+    inv_root = numth.invert_uint_mod(root, q)
+    arrs = [np.empty(n, dtype=np.uint64) for _ in range(4)]
+    p = ctypes.POINTER(ctypes.c_uint64)
+    lib.sealtpu_build_ntt_tables(
+        log_n, q, root, inv_root, *(a.ctypes.data_as(p) for a in arrs))
+    inv_degree = numth.invert_uint_mod(n, q)
+    inv_last_scaled = (int(arrs[2][n - 1]) * inv_degree) % q
+    return (*arrs, inv_degree, inv_last_scaled)
+
+
 class NTTDeviceTables(NamedTuple):
     """Device tensors for a tower of L primes at one chain level.
 
@@ -109,23 +140,45 @@ jax.tree_util.register_pytree_node(
 
 
 def build_device_tables(log_n: int, moduli: list[Modulus] | list[int]) -> NTTDeviceTables:
+    import numpy as np
+
     qs = [int(m) for m in moduli]
     L = len(qs)
     n = 1 << log_n
-    hosts = [build_ntt_tables(log_n, q) for q in qs]
 
-    def table(get_vals, width):
-        ops = [list(get_vals(h)) for h in hosts]
-        qts = [[(v << 64) // h.modulus for v in row] for row, h in zip(ops, hosts)]
-        return (
-            limb.arr_to_u64(ops, shape=(L, width)),
-            limb.arr_to_u64(qts, shape=(L, width)),
-        )
+    nat = [native_tables_np(log_n, q) for q in qs]
+    if all(t is not None for t in nat):
+        from seal_tpu.dtypes import to_device
 
-    fwd_op, fwd_qt = table(lambda h: h.root_powers, n)
-    inv_op, inv_qt = table(lambda h: h.inv_root_powers, n)
-    inv_n_op, inv_n_qt = table(lambda h: [h.inv_degree], 1)
-    last_op, last_qt = table(lambda h: [h.inv_last_scaled], 1)
+        def dev(k):
+            return to_device(np.stack([t[k] for t in nat]))
+
+        fwd_op, fwd_qt, inv_op, inv_qt = dev(0), dev(1), dev(2), dev(3)
+
+        def scalar_table(vals):
+            ops = [[int(v)] for v in vals]
+            qts = [[(int(v) << 64) // q] for v, q in zip(vals, qs)]
+            return (limb.arr_to_u64(ops, shape=(L, 1)),
+                    limb.arr_to_u64(qts, shape=(L, 1)))
+
+        inv_n_op, inv_n_qt = scalar_table([t[4] for t in nat])
+        last_op, last_qt = scalar_table([t[5] for t in nat])
+    else:
+        hosts = [build_ntt_tables(log_n, q) for q in qs]
+
+        def table(get_vals, width):
+            ops = [list(get_vals(h)) for h in hosts]
+            qts = [[(v << 64) // h.modulus for v in row]
+                   for row, h in zip(ops, hosts)]
+            return (
+                limb.arr_to_u64(ops, shape=(L, width)),
+                limb.arr_to_u64(qts, shape=(L, width)),
+            )
+
+        fwd_op, fwd_qt = table(lambda h: h.root_powers, n)
+        inv_op, inv_qt = table(lambda h: h.inv_root_powers, n)
+        inv_n_op, inv_n_qt = table(lambda h: [h.inv_degree], 1)
+        last_op, last_qt = table(lambda h: [h.inv_last_scaled], 1)
 
     pallas_tables = None
     from seal_tpu.config import config as _cfg
@@ -161,6 +214,8 @@ def _take_pallas(p, idx):
         fwd=tuple(a[idx] for a in p.fwd),
         inv=tuple(a[idx] for a in p.inv),
         consts=p.consts[idx],
+        fwd_lane=tuple(a[idx] for a in p.fwd_lane),
+        inv_lane=tuple(a[idx] for a in p.inv_lane),
     )
 
 

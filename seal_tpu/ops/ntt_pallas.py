@@ -42,24 +42,31 @@ LANES = 128
 # Tests shrink it to force the multi-pass path at small n.
 _PASS_TABLE_BYTES = 7 << 20
 
-# Paired-butterfly compaction (r2): the roll+select formulation computes the
-# Shoup multiply and both butterfly outputs at BOTH positions of every
-# (i, i+gap) pair and selects — 2x redundant VPU work. When the pair
-# structure is expressible as a static reshape (sublane-axis pairs for
-# gap >= 128 lanes, lane-axis pairs below), the kernel splits x into the
-# (u, v) halves, does the multiply/adds once per pair on half-size tensors,
-# and interleaves the results back. Bit-identical by construction (same
-# integer ops, half the tensor). Tests monkeypatch these to force either
-# path; both are covered by the interpret-mode bit-exactness suite.
-_PAIR_COMPACT_SUBLANE = True
-# 2026-08-18: the tunnel's Mosaic rebuild (TpuAotCompiler, libtpu py3.13)
-# rejects the lane-splitting reshape ([R, C] -> [R, A, 2, g]) with
-# "infer-vector-layout: unsupported shape cast"; sublane splits still
-# compile. Lane-gap stages therefore default to the roll+select
-# formulation (bit-identical, ~2x VPU work on the last 7 stages only).
-# Re-enable if a future toolchain accepts it (tools/repro snippet in
-# BASELINE.md "Mosaic lane-reshape regression").
+# Paired-butterfly compaction flags. The roll+select formulation computes
+# the Shoup multiply and both butterfly outputs at BOTH positions of every
+# (i, i+gap) pair and selects — 2x redundant multiplies. Three compaction
+# variants exist that do the work once per pair on half-size tensors
+# (bit-identical by construction): the sublane split (gap >= 128), the
+# legacy in-lane split (gap < 128; the 2026-08 Mosaic toolchain rejects its
+# lane-splitting reshape), and the r3 transposed lane formulation (the
+# kernel transposes the [R, C] tile so lane-gap pairs become supported
+# sublane splits, with pre-transposed-and-halved tables in
+# PallasNTTTables.fwd_lane/inv_lane).
+#
+# ALL DEFAULT OFF: a single-process interleaved A/B on v5e (2026-08-19,
+# tools/ab_ntt_formulations.py, n=16384 B·L=32) measured roll+select at
+# 8.0-9.4 us/transform vs 10.8 us sublane-only, 10.8 us lane_T-only and
+# 11.6-12.4 us lane_T+sublane: on this toolchain the split/merge interleave
+# reshapes cost more than the multiplies they save (the VPU has the spare
+# multiply throughput; the shuffles serialize). Every path stays tested
+# (tests/test_ntt_pallas.py parametrizes all combinations) for future
+# toolchains that shift the balance back.
+_PAIR_COMPACT_SUBLANE = False
 _PAIR_COMPACT_LANE = False
+_PAIR_COMPACT_LANE_T = False
+# minimal sublane count for the transposed formulation (tiny tiles fall
+# back to roll+select; n >= 1024 in practice)
+_LANE_T_MIN_R = 8
 
 
 def _pair_split_rows(a, gr):
@@ -101,6 +108,11 @@ class PallasNTTTables(NamedTuple):
     fwd: tuple                  # 4 arrays [L, log_n, R, C]: op_lo, op_hi, qt_lo, qt_hi
     inv: tuple                  # same
     consts: jnp.ndarray         # u32 [L, 8]: q_lo, q_hi, 2q_lo, 2q_hi, 4q_lo, 4q_hi, 0, 0
+    # transposed-and-halved lane-stage tables for the _PAIR_COMPACT_LANE_T
+    # path: 4 arrays [L, S_lane, C//2, R] per direction (x0-half rows of the
+    # stage table viewed as [C, R])
+    fwd_lane: tuple = ()
+    inv_lane: tuple = ()
 
 
 jax.tree_util.register_pytree_node(
@@ -108,6 +120,19 @@ jax.tree_util.register_pytree_node(
     lambda t: (tuple(t[1:]), t.log_n),
     lambda log_n, kids: PallasNTTTables(log_n, *kids),
 )
+
+
+def _lane_stage_rows(log_n: int, inverse: bool):
+    """Indices of the contiguous lane-gap stage run (gap < C); the folded
+    final inverse stage is excluded (it is a row stage for every n > 2C)."""
+    n = 1 << log_n
+    C = min(n, LANES)
+    gaps = _stage_geometry(log_n, inverse)
+    rows = [i for i, g in enumerate(gaps)
+            if g < C and not (inverse and i == log_n - 1)]
+    if rows:
+        assert rows == list(range(rows[0], rows[0] + len(rows)))
+    return rows
 
 
 @functools.lru_cache(maxsize=None)
@@ -119,7 +144,6 @@ def _expanded_host_tables(log_n: int, q: int):
     u32 arrays (the old per-position object vectorize cost ~2 s/prime at
     n=16384 and dominated context builds)."""
     n = 1 << log_n
-    h = build_ntt_tables(log_n, q)
     idx = np.arange(n, dtype=np.int64)
 
     def pack_vals(vals):
@@ -133,10 +157,27 @@ def _expanded_host_tables(log_n: int, q: int):
             np.array([(x >> 32) & 0xFFFFFFFF for x in quots], dtype=np.uint32),
         )
 
-    fwd_packed = pack_vals(h.root_powers)
-    inv_packed = pack_vals(h.inv_root_powers)
-    # final inverse stage: inv_n on the x0 half, root*inv_n on the x1 half
-    fin_packed = pack_vals((h.inv_degree, h.inv_last_scaled))
+    from seal_tpu.ops.ntt import native_tables_np
+
+    nat = native_tables_np(log_n, q)
+    if nat is not None:
+        # native table build (numpy u64): same values, no Python-int pass
+        def split4(op, qt):
+            m = np.uint64(0xFFFFFFFF)
+            return ((op & m).astype(np.uint32),
+                    (op >> np.uint64(32)).astype(np.uint32),
+                    (qt & m).astype(np.uint32),
+                    (qt >> np.uint64(32)).astype(np.uint32))
+
+        fwd_packed = split4(nat[0], nat[1])
+        inv_packed = split4(nat[2], nat[3])
+        fin_packed = pack_vals((nat[4], nat[5]))
+    else:
+        h = build_ntt_tables(log_n, q)
+        fwd_packed = pack_vals(h.root_powers)
+        inv_packed = pack_vals(h.inv_root_powers)
+        # final inverse stage: inv_n on x0 half, root*inv_n on the x1 half
+        fin_packed = pack_vals((h.inv_degree, h.inv_last_scaled))
 
     fwd_idx = np.empty((log_n, n), dtype=np.int64)
     for s in range(log_n):
@@ -175,6 +216,23 @@ def build_pallas_tables(log_n: int, moduli) -> PallasNTTTables:
             np.stack([p[k] for p in parts]).reshape(len(qs), log_n, R, C)
         )
 
+    def lane_stack(parts, k, inverse):
+        """Pre-transposed x0-half lane-stage tables [L, S_lane, C//2, R]."""
+        rows = _lane_stage_rows(log_n, inverse)
+        gaps = _stage_geometry(log_n, inverse)
+        half = max(C // 2, 1)
+        if not rows:
+            return jnp.zeros((len(qs), 1, half, R), dtype=jnp.uint32)
+        out = np.empty((len(qs), len(rows), half, R), dtype=np.uint32)
+        cs = np.arange(C)
+        for li, p in enumerate(parts):
+            full = p[k].reshape(log_n, R, C)
+            for si, srow in enumerate(rows):
+                g = gaps[srow]
+                sel = ((cs >> (g.bit_length() - 1)) & 1) == 0
+                out[li, si] = full[srow].T[sel]
+        return jnp.asarray(out)
+
     consts = np.zeros((len(qs), 8), dtype=np.uint32)
     for j, q in enumerate(qs):
         for k, v in enumerate((q, 2 * q, 4 * q)):
@@ -185,6 +243,8 @@ def build_pallas_tables(log_n: int, moduli) -> PallasNTTTables:
         fwd=tuple(stack(fwd_all, k) for k in range(4)),
         inv=tuple(stack(inv_all, k) for k in range(4)),
         consts=jnp.asarray(consts),
+        fwd_lane=tuple(lane_stack(fwd_all, k, False) for k in range(4)),
+        inv_lane=tuple(lane_stack(inv_all, k, True) for k in range(4)),
     )
 
 
@@ -479,9 +539,11 @@ def _call_compact(x_pair, t: PallasNTTCompact, inverse: bool, lazy: bool,
     return out[0].reshape(lo.shape), out[1].reshape(hi.shape)
 
 
-def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
-                *, log_n: int, inverse: bool, lazy: bool,
-                stage_lo: int = 0, stage_hi: int | None = None):
+def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, lane_refs,
+                o_lo_ref, o_hi_ref, *, log_n: int, inverse: bool, lazy: bool,
+                stage_lo: int = 0, stage_hi: int | None = None,
+                lane_slice_lo: int = -1, lane_ok: bool = False,
+                w_slice_lo: int | None = None):
     n = 1 << log_n
     R = max(n // LANES, 1)
     C = min(n, LANES)
@@ -505,7 +567,15 @@ def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
 
     if stage_hi is None:
         stage_hi = log_n
+    if w_slice_lo is None:
+        w_slice_lo = stage_lo
     gaps = _stage_geometry(log_n, inverse)
+    # `in_t` tracks the transposed-layout region (_PAIR_COMPACT_LANE_T):
+    # lane-gap stages run on the [C, R] transpose, where pairs sit at
+    # sublane gap `gap` and split/merge are supported reshapes. The region
+    # is contiguous (end of the forward transform / start of the inverse),
+    # so at most one transpose each way per pass.
+    in_t = False
     # stage-range split (VMEM paging): the per-stage lazy-range invariant
     # ([0,4q) fwd entry / [0,2q) inv carry) holds at every stage boundary,
     # so running [stage_lo, stage_hi) as its own pallas_call with the table
@@ -514,7 +584,44 @@ def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
     for off, gap in enumerate(gaps[stage_lo:stage_hi]):
         row = stage_lo + off
         log_gap = gap.bit_length() - 1
-        w = ((w_lo_op[0, off], w_hi_op[0, off]), (w_lo_qt[0, off], w_hi_qt[0, off]))
+
+        use_t = (gap < C and _PAIR_COMPACT_LANE_T and lane_ok
+                 and R >= _LANE_T_MIN_R
+                 and not (inverse and row == log_n - 1))
+        if use_t:
+            if not in_t:
+                x = (x[0].T, x[1].T)
+                in_t = True
+            li = row - lane_slice_lo
+            wh = ((lane_refs[0][0, li], lane_refs[1][0, li]),
+                  (lane_refs[2][0, li], lane_refs[3][0, li]))
+            u0, v0 = _pair_split_rows(x[0], gap)
+            u1, v1 = _pair_split_rows(x[1], gap)
+            u, v = (u0, u1), (v0, v1)
+            qh = (jnp.full(u0.shape, q[0], jnp.uint32),
+                  jnp.full(u0.shape, q[1], jnp.uint32))
+            two_qh = (jnp.full(u0.shape, two_q[0], jnp.uint32),
+                      jnp.full(u0.shape, two_q[1], jnp.uint32))
+            if not inverse:
+                uu = limb.select64(limb.ge64(u, two_qh), limb.sub64(u, two_qh), u)
+                vv = limb.mul_mod_shoup_lazy(v, wh[0], wh[1], qh)
+                y0 = limb.add64(uu, vv)
+                y1 = limb.sub64(limb.add64(uu, two_qh), vv)
+            else:
+                y0 = limb.add64(u, v)
+                y0 = limb.select64(limb.ge64(y0, two_qh), limb.sub64(y0, two_qh), y0)
+                d = limb.sub64(limb.add64(u, two_qh), v)
+                y1 = limb.mul_mod_shoup_lazy(d, wh[0], wh[1], qh)
+            x = (_pair_merge_rows(y0[0], y1[0], gap),
+                 _pair_merge_rows(y0[1], y1[1], gap))
+            continue
+        if in_t:
+            # leaving the lane region (inverse): back to [R, C]
+            x = (x[0].T, x[1].T)
+            in_t = False
+
+        wi = row - w_slice_lo
+        w = ((w_lo_op[0, wi], w_hi_op[0, wi]), (w_lo_qt[0, wi], w_hi_qt[0, wi]))
 
         # paired-butterfly compaction: do the work once per (i, i+gap) pair
         # on half-size tensors (see _PAIR_COMPACT_* above); bit-identical
@@ -597,6 +704,8 @@ def _ntt_kernel(consts_ref, x_lo_ref, x_hi_ref, w_refs, o_lo_ref, o_hi_ref,
             y1 = limb.mul_mod_shoup_lazy(d, w[0], w[1], qb)
         x = (jnp.where(is_x0, y0[0], y1[0]), jnp.where(is_x0, y0[1], y1[1]))
 
+    if in_t:
+        x = (x[0].T, x[1].T)
     if stage_hi == log_n and not lazy:
         if not inverse:
             x = limb.select64(limb.ge64(x, two_qb), limb.sub64(x, two_qb), x)
@@ -618,15 +727,32 @@ def _call(x_pair, t: PallasNTTTables, inverse: bool, lazy: bool, interpret: bool
     hi4 = hi.reshape(B, L, R, C)
     tables = t.inv if inverse else t.fwd
 
+    lane_tables = (t.inv_lane if inverse else t.fwd_lane) or None
+    lane_rows = _lane_stage_rows(log_n, inverse)
+    lane_base = lane_rows[0] if lane_rows else 0
+    # mirror of the kernel's use_t condition: when active, lane-stage rows
+    # read the pre-halved transposed tables and the FULL table rows for them
+    # are neither read nor fetched (the pass slices below skip them)
+    lane_t_active = (_PAIR_COMPACT_LANE_T and R >= _LANE_T_MIN_R
+                     and lane_tables is not None and bool(lane_rows))
+
     # VMEM paging: a pass's table slice is double-buffered, so its working
-    # set is ~2 · stages · 16n bytes (+ the data block). Cap each pass at
-    # ~7 MB of tables (n=32768's full 15 stages measured 18.11M > the 16M
-    # scoped VMEM limit); n <= 16384 stays a single pass.
-    max_stages = max(1, _PASS_TABLE_BYTES // (16 * n))
-    n_pass = -(-log_n // max_stages)
-    bounds = [
-        (p * log_n // n_pass, (p + 1) * log_n // n_pass) for p in range(n_pass)
-    ]
+    # set is ~2 · (16n per full-table stage + 8n per transposed lane stage)
+    # + the data block. Cap each pass at ~7 MB of tables (n=32768's full
+    # 15 stages measured 18.11M > the 16M scoped VMEM limit); n <= 16384
+    # stays a single pass.
+    per_stage = ([8 * n if (i in set(lane_rows)) else 16 * n
+                  for i in range(log_n)] if lane_t_active
+                 else [16 * n] * log_n)
+    bounds = []
+    s0 = 0
+    while s0 < log_n:
+        s1, acc = s0, 0
+        while s1 < log_n and (s1 == s0 or acc + per_stage[s1] <= _PASS_TABLE_BYTES):
+            acc += per_stage[s1]
+            s1 += 1
+        bounds.append((s0, s1))
+        s0 = s1
 
     # Grid order (L, B): the batch axis iterates fastest, so consecutive
     # programs share the same prime's (multi-MB) expanded root tables and
@@ -640,22 +766,60 @@ def _call(x_pair, t: PallasNTTTables, inverse: bool, lazy: bool, interpret: bool
 
     cur = (lo4, hi4)
     for s0, s1 in bounds:
+        # lane-table slice for this pass's lane-stage rows (a 1-row dummy
+        # when the pass has none — Pallas rejects empty blocks)
+        if lane_t_active:
+            l0 = max(s0, lane_base)
+            l1 = max(min(s1, lane_base + len(lane_rows)), l0)
+            if l1 == l0:
+                lane_lo, lane_hi, lane_slice_lo = 0, 1, -(1 << 30)
+            else:
+                lane_lo, lane_hi = l0 - lane_base, l1 - lane_base
+                lane_slice_lo = l0
+        else:
+            lane_lo, lane_hi, lane_slice_lo = 0, 1, -(1 << 30)
+        lane_args = (tuple(a[:, lane_lo:lane_hi] for a in lane_tables)
+                     if lane_tables is not None else
+                     tuple(jnp.zeros((L, 1, max(C // 2, 1), R), jnp.uint32)
+                           for _ in range(4)))
+
+        # FULL-table slice: only the rows the kernel actually reads — when
+        # the transposed lane path is active, its rows come from the halved
+        # lane tensors instead (the full rows would only waste VMEM; the
+        # n=16384 single pass measured 16.07M > the 16M scoped limit with
+        # them included). Row-stage rows are contiguous in every direction.
+        full_rows = [r for r in range(s0, s1)
+                     if not (lane_t_active and r in set(lane_rows))]
+        if full_rows:
+            w0r, w1r = full_rows[0], full_rows[-1] + 1
+            assert full_rows == list(range(w0r, w1r))
+            w_slice_lo = w0r
+        else:
+            w0r, w1r, w_slice_lo = 0, 1, -(1 << 30)
+
         kernel = functools.partial(
             _ntt_kernel, log_n=log_n, inverse=inverse, lazy=lazy,
-            stage_lo=s0, stage_hi=s1)
+            stage_lo=s0, stage_hi=s1, lane_slice_lo=lane_slice_lo,
+            lane_ok=lane_slice_lo >= 0, w_slice_lo=w_slice_lo)
         table_spec = pl.BlockSpec(
-            (1, s1 - s0, R, C), lambda l, b: (l, 0, 0, 0),
+            (1, w1r - w0r, R, C), lambda l, b: (l, 0, 0, 0),
             memory_space=pltpu.VMEM)
+        lane_spec = pl.BlockSpec(
+            (1, lane_hi - lane_lo, max(C // 2, 1), R),
+            lambda l, b: (l, 0, 0, 0), memory_space=pltpu.VMEM)
 
-        # kernel signature: consts, x_lo, x_hi, 4 tables -> out lo, hi
-        def body(consts, xl, xh, w0, w1, w2, w3, ol, oh, _k=kernel):
-            _k(consts, xl, xh, (w0, w1, w2, w3), ol, oh)
+        # kernel signature: consts, x_lo, x_hi, 4 tables, 4 lane tables
+        # -> out lo, hi
+        def body(consts, xl, xh, w0, w1, w2, w3, g0, g1, g2, g3, ol, oh,
+                 _k=kernel):
+            _k(consts, xl, xh, (w0, w1, w2, w3), (g0, g1, g2, g3), ol, oh)
 
         cur = pl.pallas_call(
             body,
             grid=grid,
             in_specs=[consts_spec, data_spec, data_spec,
-                      table_spec, table_spec, table_spec, table_spec],
+                      table_spec, table_spec, table_spec, table_spec,
+                      lane_spec, lane_spec, lane_spec, lane_spec],
             out_specs=(
                 pl.BlockSpec((1, 1, R, C), lambda l, b: (b, l, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -667,7 +831,8 @@ def _call(x_pair, t: PallasNTTTables, inverse: bool, lazy: bool, interpret: bool
                 jax.ShapeDtypeStruct((B, L, R, C), jnp.uint32),
             ),
             interpret=interpret,
-        )(t.consts, cur[0], cur[1], *(a[:, s0:s1] for a in tables))
+        )(t.consts, cur[0], cur[1], *(a[:, w0r:w1r] for a in tables),
+          *lane_args)
     return cur[0].reshape(lo.shape), cur[1].reshape(hi.shape)
 
 

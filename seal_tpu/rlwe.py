@@ -287,6 +287,64 @@ def encrypt_zero_symmetric(
     return ct
 
 
+def sk_host_u64(secret_key: SecretKey) -> np.ndarray:
+    """Cached numpy u64 mirror of a secret key's device data (native path)."""
+    arr = getattr(secret_key, "_host_u64", None)
+    if arr is None:
+        arr = np.ascontiguousarray(to_host(secret_key.data))
+        secret_key._host_u64 = arr
+    return arr
+
+
+def encrypt_zero_symmetric_parts_np(
+    secret_key: SecretKey, context: SEALContext, parms_id,
+    c1_override=None, c1_seed=None,
+):
+    """Native-path encrypt_zero_symmetric for NTT-form outputs: raw
+    (c0, c1, seed_info) as numpy u64 [L, N], or None when the native
+    library is unavailable (seal_tpu/native/poly.py). Consumes the PRNG
+    streams in exactly the order of the JAX path below; value-identical
+    (validated in tests/test_native_poly.py + the golden-vector suites)."""
+    from seal_tpu.native import poly as native_poly
+
+    cd = context.get_context_data(parms_id)
+    npoly = native_poly.for_context_data(cd)
+    if npoly is None:
+        return None
+    parms = cd.parms
+    moduli = [int(m) for m in cd.key_moduli()]
+    n = parms.poly_modulus_degree
+    L = len(moduli)
+
+    bootstrap_prng = _prng_for(context)
+    public_seed = tuple(
+        np.frombuffer(bootstrap_prng.generate(randomgen.PRNG_SEED_BYTE_COUNT),
+                      dtype="<u8").tolist()
+    )
+    prng_type = context.key_context_data().parms.prng_type
+    seed_info = (int(prng_type), public_seed)
+    if c1_override is not None:
+        c1 = np.ascontiguousarray(
+            c1_override if isinstance(c1_override, np.ndarray)
+            else to_host(c1_override))
+        if c1_seed is not None:
+            seed_info = c1_seed
+    else:
+        ciphertext_prng = randomgen.UniformRandomGeneratorFactory(
+            prng_type).create(public_seed)
+        c1 = np.ascontiguousarray(
+            sample_poly_uniform(ciphertext_prng, moduli, n))
+
+    noise = np.ascontiguousarray(sample_noise(bootstrap_prng, moduli, n))
+    npoly.ntt_forward(noise)
+    if parms.scheme == SchemeType.BGV:
+        t = parms.plain_modulus.value
+        npoly.mul_scalar(noise, [t % q for q in moduli])
+    sk = np.ascontiguousarray(sk_host_u64(secret_key)[:L])
+    c0 = npoly.keygen_c0(c1, sk, noise)
+    return c0, c1, seed_info
+
+
 def encrypt_zero_symmetric_parts(
     secret_key: SecretKey, context: SEALContext, parms_id, is_ntt_form: bool,
     save_seed: bool = False, c1_override=None, c1_seed=None,
@@ -294,6 +352,15 @@ def encrypt_zero_symmetric_parts(
     """encrypt_zero_symmetric returning raw (c0, c1, seed_info) polys —
     the kswitch keygen consumes the pair directly and stacks once per key
     instead of once per digit."""
+    if is_ntt_form:
+        r = encrypt_zero_symmetric_parts_np(
+            secret_key, context, parms_id, c1_override, c1_seed)
+        if r is not None:
+            c0, c1, seed_info = r
+            c1_dev = (c1_override if c1_override is not None
+                      and not isinstance(c1_override, np.ndarray)
+                      else to_device(c1))
+            return to_device(c0), c1_dev, seed_info
     cd = context.get_context_data(parms_id)
     parms = cd.parms
     moduli = cd.key_moduli()

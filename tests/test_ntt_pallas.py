@@ -55,15 +55,26 @@ def test_pallas_batched_and_lazy():
 
 
 @pytest.mark.parametrize(
-    "sub,lane", [(False, False), (True, False), (False, True)])
-def test_pallas_pair_compaction_modes(monkeypatch, sub, lane):
-    """Paired-butterfly compaction (r2): every on/off combination of the
-    sublane/lane compaction flags is bit-identical to the XLA reference
-    (the default both-on path is covered by test_pallas_matches_reference).
-    log_n=11 exercises row gaps 8/4/2/1 (tile-aligned and sub-tile) and
-    every lane gap."""
+    "sub,lane,lane_t",
+    [
+        (False, False, False),   # pure roll+select (the measured-fastest default)
+        (True, False, False),    # sublane compaction only
+        (False, True, False),    # legacy in-lane split only
+        (True, True, False),     # both legacy compactions
+        (False, False, True),    # transposed lane compaction only
+        (True, False, True),     # sublane + transposed lane
+    ])
+def test_pallas_pair_compaction_modes(monkeypatch, sub, lane, lane_t):
+    """Paired-butterfly compaction: every flag combination is bit-identical
+    to the XLA reference — roll+select (the default; measured fastest on
+    v5e 2026-08-19, see ops/ntt_pallas.py flag notes), the sublane split,
+    the legacy in-lane split (rejected by the 2026-08 Mosaic toolchain but
+    kept for others), and the r3 transposed lane formulation. log_n=11
+    exercises row gaps 8/4/2/1 (tile-aligned and sub-tile) and every lane
+    gap."""
     monkeypatch.setattr(npk, "_PAIR_COMPACT_SUBLANE", sub)
     monkeypatch.setattr(npk, "_PAIR_COMPACT_LANE", lane)
+    monkeypatch.setattr(npk, "_PAIR_COMPACT_LANE_T", lane_t)
     log_n = 11
     n = 1 << log_n
     qs = [int(m) for m in CoeffModulus.create(n, [30, 45])]

@@ -19,6 +19,10 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--no-pair-compact", action="store_true",
                     help="A/B: force the roll+select butterfly formulation")
+    ap.add_argument("--no-lane-t", action="store_true",
+                    help="A/B: disable the transposed lane-stage compaction")
+    ap.add_argument("--skip-compact", action="store_true",
+                    help="skip the compact-table kernel rows")
     args = ap.parse_args()
 
     import jax
@@ -31,6 +35,9 @@ def main():
     if args.no_pair_compact:
         npk._PAIR_COMPACT_SUBLANE = False
         npk._PAIR_COMPACT_LANE = False
+        npk._PAIR_COMPACT_LANE_T = False
+    if args.no_lane_t:
+        npk._PAIR_COMPACT_LANE_T = False
 
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
@@ -55,12 +62,18 @@ def main():
     pt = jax.device_put(pt, tpu)
     ct = jax.device_put(ct, tpu)
 
-    # correctness of the compiled kernels on real hardware
-    for name, tables in (("expanded", pt), ("compact", ct)):
+    # correctness of the compiled kernels on real hardware (fwd and inv)
+    kinds = [("expanded", pt)] + ([] if args.skip_compact else [("compact", ct)])
+    for name, tables in kinds:
         got = jax.jit(lambda v, tb=tables: npk.ntt_forward_pallas(v, tb))(x)
         ok = np.array_equal(np.asarray(got[0]), ref_np[0]) and np.array_equal(
             np.asarray(got[1]), ref_np[1])
-        print(f"pallas fwd ({name}) matches XLA on TPU: {ok}")
+        print(f"pallas fwd ({name}) matches XLA on TPU: {ok}", flush=True)
+        rt = jax.jit(lambda v, tb=tables: npk.ntt_inverse_pallas(
+            npk.ntt_forward_pallas(v, tb), tb))(x)
+        ok = np.array_equal(np.asarray(rt[0]), np.asarray(x[0])) and             np.array_equal(np.asarray(rt[1]), np.asarray(x[1]))
+        print(f"pallas fwd+inv roundtrip ({name}) exact on TPU: {ok}",
+              flush=True)
 
     def measure(step, label):
         fn = jax.jit(lambda v, s: jax.lax.fori_loop(
@@ -86,7 +99,8 @@ def main():
 
     measure(lambda a: ntt_mod.ntt_forward(a, t), "XLA stage-by-stage")
     measure(lambda a: npk.ntt_forward_pallas(a, pt), "Pallas expanded  ")
-    measure(lambda a: npk.ntt_forward_pallas(a, ct), "Pallas compact   ")
+    if not args.skip_compact:
+        measure(lambda a: npk.ntt_forward_pallas(a, ct), "Pallas compact   ")
 
 
 if __name__ == "__main__":
