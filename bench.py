@@ -36,8 +36,8 @@ REFERENCE_OPS_PER_S = 26.599
 # fallback when the tunnel is unreachable at bench time (it has day-long
 # outages). Update when a fresh on-TPU run lands (BASELINE.md headline).
 # "mode" is the flag suffix it was measured under ("" = --parity alpha=1).
-LAST_VALIDATED = {"value": 760.0, "measured": "2026-08-17", "batch": 16,
-                  "mode": ""}
+LAST_VALIDATED = {"value": 1162.9, "measured": "2026-08-19", "batch": 16,
+                  "mode": "_hybrid2_fused"}
 
 
 def _backend_up(timeout_s: float = 300.0) -> bool:

@@ -21,6 +21,8 @@ import numpy as np
 
 # per-n coefficient bit allocations: data primes + special, at MaxBitCount
 BITS = {
+    1024: [27],
+    2048: [54],
     4096: [36, 36, 37],
     8192: [43, 43, 43, 43, 46],
     16384: [48] * 8 + [54],
@@ -233,11 +235,218 @@ def bench_one(n: int, rotations: int = 8, alpha: int = 1):
             return jax.lax.fori_loop(0, steps_, body, x)
         us["encode_device"] = _marginal(enc_chain, b4) * 1e6
 
+        # the remaining reference bench families (bench.cpp:46-152): square,
+        # multiply_plain, add/sub ct+pt, negate — all shape-preserving or
+        # shape-restorable device chains
+        def sq_chain(x, steps_):
+            def body(i, cur):
+                cm = ev.square(wrap(ct1, cur))
+                return (cm.data[0][:2], cm.data[1][:2])
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["square"] = _marginal(sq_chain, d1) * 1e6
+
+        pt1 = encoder.encode(vals, scale)
+        ptd = jax.device_put(pt1.rns_data, target)
+
+        def _pt_like(rows):
+            from seal_tpu.dtypes import Plaintext
+            p = Plaintext()
+            p.parms_id = pt1.parms_id
+            p.scale = pt1.scale
+            p.rns_data = rows
+            return p
+
+        def mulpt_chain(x, steps_, pt_rows):
+            def body(i, cur):
+                return ev.multiply_plain(wrap(ct1, cur), _pt_like(pt_rows)).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["mul_pt"] = _marginal(mulpt_chain, d1, extra=(ptd,)) * 1e6
+
+        def addct_chain(x, steps_):
+            def body(i, cur):
+                return ev.add(wrap(ct1, cur), wrap(ct2, d2)).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["add_ct"] = _marginal(addct_chain, d1) * 1e6
+
+        def addpt_chain(x, steps_, pt_rows):
+            def body(i, cur):
+                return ev.add_plain(wrap(ct1, cur), _pt_like(pt_rows)).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["add_pt"] = _marginal(addpt_chain, d1, extra=(ptd,)) * 1e6
+
+        def sub_chain(x, steps_):
+            def body(i, cur):
+                return ev.sub(wrap(ct1, cur), wrap(ct2, d2)).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["sub_ct"] = _marginal(sub_chain, d1) * 1e6
+
+        def neg_chain(x, steps_):
+            def body(i, cur):
+                return ev.negate(wrap(ct1, cur)).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["negate"] = _marginal(neg_chain, d1) * 1e6
+
+    # host-orchestrated API ops (sampling + eager device math, wall-clock —
+    # the same surface the reference bench times; runs the native host path)
+    us.update(_host_api_rows(ctx, kg, enc, encoder, ct1, scale, vals))
+
     return {"n": n, "L": L, "alpha": alpha,
             "us": {k: round(v, 1) for k, v in us.items()},
             "hoisting_speedup": round(
                 us[f"rotate_{rotations}_unhoisted"]
                 / us[f"rotate_{rotations}_hoisted"], 2)}
+
+
+def _wall_us(f, reps=10):
+    f()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        f()
+    return (time.perf_counter() - t0) / reps * 1e6
+
+
+def _host_api_rows(ctx, kg, enc, encoder, ct1, scale, vals):
+    """Host-orchestrated API ops (PRNG sampling + eager math — the exact
+    surface the reference bench times, bench.cpp:46-64): wall-clock on the
+    CPU backend, native host path carrying the hot loop."""
+    import jax
+
+    from seal_tpu import Decryptor
+
+    cpu = jax.devices("cpu")[0]
+    rows = {}
+    with jax.default_device(cpu):
+        enc.set_key(kg.secret_key())
+        dec = Decryptor(ctx, kg.secret_key())
+        if scale is not None:
+            pt = encoder.encode(vals, scale)
+            rows["encode_host"] = _wall_us(lambda: encoder.encode(vals, scale))
+            rows["decode_host"] = _wall_us(lambda: encoder.decode(pt))
+        else:
+            pt = encoder.encode(vals)
+            rows["encode_host"] = _wall_us(lambda: encoder.encode(vals))
+            rows["decode_host"] = _wall_us(lambda: encoder.decode(pt))
+        rows["encrypt_pk"] = _wall_us(lambda: enc.encrypt(pt))
+        rows["encrypt_sk"] = _wall_us(lambda: enc.encrypt_symmetric(pt))
+        rows["decrypt"] = _wall_us(lambda: dec.decrypt(ct1))
+    return rows
+
+
+def bench_keygen(n: int):
+    """KeyGen{Secret,Public,Relin,GaloisOne,GaloisAll} wall times — the
+    reference's first bench family (bench.cpp:30-45); host-side by design
+    (PRNG byte-stream exactness), carried by the native path."""
+    import jax
+
+    from seal_tpu import (
+        CoeffModulus, EncryptionParameters, KeyGenerator, SEALContext,
+    )
+    from seal_tpu.encryption_params import SchemeType
+
+    cpu = jax.devices("cpu")[0]
+    bits = BITS[n]
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_random_seed((1, 2, 3, 4, 5, 6, 7, 8))
+
+    us = {}
+    with jax.default_device(cpu):
+        ctx = SEALContext(parms)
+        kg = KeyGenerator(ctx)  # warms tables + caches
+        reps = 5 if n >= 16384 else 10
+        us["keygen_secret"] = _wall_us(lambda: KeyGenerator(ctx), reps)
+        us["keygen_public"] = _wall_us(lambda: kg.create_public_key(), reps)
+        if ctx.using_keyswitching:
+            us["keygen_relin"] = _wall_us(lambda: kg.create_relin_keys(), reps)
+            gt = ctx.key_context_data().galois_tool
+            elts = gt.get_elts_all()
+            us["keygen_galois_one"] = _wall_us(
+                lambda: kg.create_galois_keys([elts[0]]), reps)
+            us["keygen_galois_all"] = _wall_us(
+                lambda: kg.create_galois_keys(elts), 2)
+    return {"n": n, "L": len(bits) - 1, "mode": "keygen",
+            "us": {k: round(v, 1) for k, v in us.items()}}
+
+
+def bench_small(n: int):
+    """n ∈ {1024, 2048} default-parms rows (single prime — no keyswitching,
+    matching bench.cpp:160-176's grid floor): BFV ops that exist there."""
+    import jax
+    import jax.numpy as jnp
+
+    from seal_tpu import (
+        BatchEncoder, CoeffModulus, EncryptionParameters, Encryptor,
+        Evaluator, KeyGenerator, SEALContext, SecLevelType,
+    )
+    from seal_tpu.encryption_params import SchemeType
+
+    cpu = jax.devices("cpu")[0]
+    target = jax.devices()[0]
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
+    parms.set_plain_modulus(786433)
+    parms.set_random_seed((1, 2, 3, 4, 5, 6, 7, 8))
+
+    with jax.default_device(cpu):
+        ctx = SEALContext(parms)
+        kg = KeyGenerator(ctx)
+        pk = kg.create_public_key()
+        enc = Encryptor(ctx, pk)
+        ev = Evaluator(ctx)
+        encoder = BatchEncoder(ctx)
+        vals = list(range(8)) + [0] * (encoder.slot_count - 8)
+        ct1 = enc.encrypt(encoder.encode(vals))
+        ct2 = enc.encrypt(encoder.encode(vals[::-1]))
+
+    d1 = jax.device_put(ct1.data, target)
+    d2 = jax.device_put(ct2.data, target)
+    us = {}
+
+    def wrap(proto, pair):
+        c = proto.copy()
+        c.data = pair
+        return c
+
+    with jax.default_device(target):
+        def mult_chain(x, steps_):
+            def body(i, cur):
+                cm = ev.multiply(wrap(ct1, cur), wrap(ct2, d2))
+                return (cm.data[0][:2], cm.data[1][:2])
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["multiply_behz"] = _marginal(mult_chain, d1, long_=136) * 1e6
+
+        def sq_chain(x, steps_):
+            def body(i, cur):
+                cm = ev.square(wrap(ct1, cur))
+                return (cm.data[0][:2], cm.data[1][:2])
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["square"] = _marginal(sq_chain, d1, long_=136) * 1e6
+
+        def addct_chain(x, steps_):
+            def body(i, cur):
+                return ev.add(wrap(ct1, cur), wrap(ct2, d2)).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["add_ct"] = _marginal(addct_chain, d1) * 1e6
+
+        def neg_chain(x, steps_):
+            def body(i, cur):
+                return ev.negate(wrap(ct1, cur)).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["negate"] = _marginal(neg_chain, d1) * 1e6
+
+        def tontt_chain(x, steps_):
+            def body(i, cur):
+                up = ev.transform_to_ntt(wrap(ct1, cur))
+                return ev.transform_from_ntt(up).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["to_from_ntt"] = _marginal(tontt_chain, d1) * 1e6
+
+    us.update(_host_api_rows(ctx, kg, enc, encoder, ct1, None, vals))
+    L = len(ctx.first_context_data().parms.coeff_modulus)
+    return {"n": n, "L": L, "scheme": "bfv", "mode": "small",
+            "us": {k: round(v, 1) for k, v in us.items()}}
 
 
 def bench_bfv(n: int, scheme_name: str = "bfv"):
@@ -324,6 +533,42 @@ def bench_bfv(n: int, scheme_name: str = "bfv"):
             return jax.lax.fori_loop(0, steps_, body, x)
         us["mod_switch"] = _marginal(ms_chain, d1) * 1e6
 
+        def sq_chain(x, steps_):
+            def body(i, cur):
+                cm = ev.square(wrap(ct1, cur))
+                return (cm.data[0][:2], cm.data[1][:2])
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["square"] = _marginal(sq_chain, d1, long_=136) * 1e6
+
+        pt1 = encoder.encode(vals)
+
+        def mulpt_chain(x, steps_):
+            def body(i, cur):
+                return ev.multiply_plain(wrap(ct1, cur), pt1).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["mul_pt"] = _marginal(mulpt_chain, d1) * 1e6
+
+        def addct_chain(x, steps_):
+            def body(i, cur):
+                return ev.add(wrap(ct1, cur), wrap(ct2, d2)).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["add_ct"] = _marginal(addct_chain, d1) * 1e6
+
+        def neg_chain(x, steps_):
+            def body(i, cur):
+                return ev.negate(wrap(ct1, cur)).data
+            return jax.lax.fori_loop(0, steps_, body, x)
+        us["negate"] = _marginal(neg_chain, d1) * 1e6
+
+        if scheme_name == "bfv":
+            def tontt_chain(x, steps_):
+                def body(i, cur):
+                    up = ev.transform_to_ntt(wrap(ct1, cur))
+                    return ev.transform_from_ntt(up).data
+                return jax.lax.fori_loop(0, steps_, body, x)
+            us["to_from_ntt"] = _marginal(tontt_chain, d1) * 1e6
+
+    us.update(_host_api_rows(ctx, kg, enc, encoder, ct1, None, vals))
     return {"n": n, "L": L, "scheme": scheme_name,
             "us": {k: round(v, 1) for k, v in us.items()}}
 
@@ -332,7 +577,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ns", type=int, nargs="*", default=[4096, 8192, 16384, 32768])
     ap.add_argument("--rotations", type=int, default=8)
-    ap.add_argument("--scheme", choices=["ckks", "bfv", "bgv"], default="ckks")
+    ap.add_argument("--scheme",
+                    choices=["ckks", "bfv", "bgv", "keygen", "small"],
+                    default="ckks")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--keyswitch-xla", action="store_true",
                     help="A/B: force the XLA key-switch inner product "
@@ -345,10 +592,18 @@ def main():
         from seal_tpu.config import config as _cfg
         _cfg.use_pallas_keyswitch = "never"
     reports = []
+    if args.scheme == "small" and args.ns == [4096, 8192, 16384, 32768]:
+        args.ns = [1024, 2048]
     for n in args.ns:
         t0 = time.time()
-        rep = (bench_one(n, args.rotations, args.alpha) if args.scheme == "ckks"
-               else bench_bfv(n, args.scheme))
+        if args.scheme == "ckks":
+            rep = bench_one(n, args.rotations, args.alpha)
+        elif args.scheme == "keygen":
+            rep = bench_keygen(n)
+        elif args.scheme == "small":
+            rep = bench_small(n)
+        else:
+            rep = bench_bfv(n, args.scheme)
         rep["bench_wall_s"] = round(time.time() - t0, 1)
         print(json.dumps(rep), flush=True)
         reports.append(rep)

@@ -1,14 +1,16 @@
 // Per-op x86 comparator grid for BASELINE.md: times the reference library
-// over the same (n, op) grid as tools/bench_ops_tpu.py — multiply,
-// relinearize, rescale, rotate (single and a naive 8-rotation batch; the
-// reference has no hoisting), forward NTT over the L-tower, and encode.
-// Mirrors the op set of native/bench/bench.cpp:30-152 with std::chrono
-// (Google Benchmark needs a network fetch this sandbox forbids).
+// over the same (n, op) grid as tools/bench_ops_tpu.py — the FULL op set of
+// native/bench/bench.cpp:30-152 (keygen families, encrypt/decrypt,
+// encode/decode, add/sub/negate ct+pt, multiply, square, mul_pt,
+// relinearize, rescale/mod_switch, rotations, to/from NTT, raw NTT) with
+// std::chrono (Google Benchmark needs a network fetch this sandbox forbids).
 //
 // Build (after the tools/oracle/README.md reference build):
 //   g++ -O3 -march=native -std=c++17 tools/oracle/bench_reference_grid.cpp \
 //     -I/root/reference/native/src -I/tmp/seal-build/native/src \
 //     /tmp/seal-build/lib/libseal-4.0.a -o /tmp/bench_ref_grid
+//
+// Modes: ckks (default) | bfv | bgv | keygen | small
 #include <chrono>
 #include <cstdio>
 #include <map>
@@ -32,6 +34,24 @@ static double time_us(F &&f, int reps)
     return chrono::duration<double, micro>(t1 - t0).count() / reps;
 }
 
+static void emit(const char *head, size_t n, size_t L, const map<string, double> &us,
+                 const char *scheme = nullptr)
+{
+    if (scheme)
+        printf("{\"n\": %zu, \"L\": %zu, \"scheme\": \"%s\", \"us\": {", n, L, scheme);
+    else
+        printf("{\"n\": %zu, \"L\": %zu, \"us\": {", n, L);
+    (void)head;
+    bool first = true;
+    for (auto &kv : us)
+    {
+        printf("%s\"%s\": %.1f", first ? "" : ", ", kv.first.c_str(), kv.second);
+        first = false;
+    }
+    printf("}}\n");
+    fflush(stdout);
+}
+
 static void bench_one(size_t n, const vector<int> &bits)
 {
     EncryptionParameters parms(scheme_type::ckks);
@@ -51,7 +71,9 @@ static void bench_one(size_t n, const vector<int> &bits)
     keygen.create_galois_keys(steps, gk);
 
     Encryptor enc(ctx, pk);
+    enc.set_secret_key(keygen.secret_key());
     Evaluator ev(ctx);
+    Decryptor dec(ctx, keygen.secret_key());
     CKKSEncoder encoder(ctx);
 
     double scale = pow(2.0, n > 4096 ? 40 : 30);
@@ -68,7 +90,18 @@ static void bench_one(size_t n, const vector<int> &bits)
 
     int reps = n >= 16384 ? 10 : 25;
     map<string, double> us;
+    us["encrypt_pk"] = time_us([&] { Ciphertext o; enc.encrypt(p1, o); }, reps);
+    us["encrypt_sk"] = time_us([&] { Ciphertext o; enc.encrypt_symmetric(p1, o); }, reps);
+    us["decrypt"] = time_us([&] { Plaintext p; dec.decrypt(c1, p); }, reps);
+    us["encode"] = time_us([&] { Plaintext p; encoder.encode(vals, scale, p); }, reps);
+    us["decode"] = time_us([&] { vector<double> v; encoder.decode(p1, v); }, reps);
+    us["add_ct"] = time_us([&] { Ciphertext o; ev.add(c1, c2, o); }, reps);
+    us["add_pt"] = time_us([&] { Ciphertext o; ev.add_plain(c1, p1, o); }, reps);
+    us["sub_ct"] = time_us([&] { Ciphertext o; ev.sub(c1, c2, o); }, reps);
+    us["negate"] = time_us([&] { Ciphertext o; ev.negate(c1, o); }, reps);
     us["multiply"] = time_us([&] { Ciphertext o; ev.multiply(c1, c2, o); }, reps);
+    us["square"] = time_us([&] { Ciphertext o; ev.square(c1, o); }, reps);
+    us["mul_pt"] = time_us([&] { Ciphertext o; ev.multiply_plain(c1, p1, o); }, reps);
     us["relinearize"] = time_us([&] { Ciphertext o = c3; ev.relinearize_inplace(o, rk); }, reps);
     Ciphertext c3r = c3;
     ev.relinearize_inplace(c3r, rk);
@@ -92,17 +125,88 @@ static void bench_one(size_t n, const vector<int> &bits)
                 util::ntt_negacyclic_harvey(poly.data() + j * n, tables[j]);
         },
         reps);
-    us["encode"] = time_us([&] { Plaintext p; encoder.encode(vals, scale, p); }, reps);
 
-    printf("{\"n\": %zu, \"L\": %zu, \"us\": {", n, L);
-    bool first = true;
-    for (auto &kv : us)
-    {
-        printf("%s\"%s\": %.1f", first ? "" : ", ", kv.first.c_str(), kv.second);
-        first = false;
-    }
-    printf("}}\n");
-    fflush(stdout);
+    emit("ckks", n, L, us);
+}
+
+// n=1024/2048 default-parms rows (one prime: no keyswitching, no rescale —
+// exactly what the reference bench can run there, bench.cpp:160-176).
+static void bench_small(size_t n)
+{
+    EncryptionParameters parms(scheme_type::bfv);
+    parms.set_poly_modulus_degree(n);
+    parms.set_coeff_modulus(CoeffModulus::BFVDefault(n));
+    parms.set_plain_modulus(786433);  // 20-bit batching prime for n=1024/2048
+    SEALContext ctx(parms);
+
+    KeyGenerator keygen(ctx);
+    PublicKey pk;
+    keygen.create_public_key(pk);
+    Encryptor enc(ctx, pk);
+    enc.set_secret_key(keygen.secret_key());
+    Evaluator ev(ctx);
+    Decryptor dec(ctx, keygen.secret_key());
+    BatchEncoder encoder(ctx);
+
+    vector<uint64_t> vals(encoder.slot_count());
+    for (size_t i = 0; i < 8; i++)
+        vals[i] = i + 1;
+    Plaintext p1;
+    encoder.encode(vals, p1);
+    Ciphertext c1, c2;
+    enc.encrypt(p1, c1);
+    enc.encrypt(p1, c2);
+
+    int reps = 50;
+    map<string, double> us;
+    us["keygen_secret"] = time_us([&] { KeyGenerator kg(ctx); }, reps);
+    us["keygen_public"] = time_us([&] { PublicKey o; keygen.create_public_key(o); }, reps);
+    us["encrypt_pk"] = time_us([&] { Ciphertext o; enc.encrypt(p1, o); }, reps);
+    us["encrypt_sk"] = time_us([&] { Ciphertext o; enc.encrypt_symmetric(p1, o); }, reps);
+    us["decrypt"] = time_us([&] { Plaintext p; dec.decrypt(c1, p); }, reps);
+    us["encode"] = time_us([&] { Plaintext p; encoder.encode(vals, p); }, reps);
+    us["decode"] = time_us([&] { vector<uint64_t> v; encoder.decode(p1, v); }, reps);
+    us["add_ct"] = time_us([&] { Ciphertext o; ev.add(c1, c2, o); }, reps);
+    us["negate"] = time_us([&] { Ciphertext o; ev.negate(c1, o); }, reps);
+    us["multiply_behz"] = time_us([&] { Ciphertext o; ev.multiply(c1, c2, o); }, reps);
+    us["square"] = time_us([&] { Ciphertext o; ev.square(c1, o); }, reps);
+    us["mul_pt"] = time_us([&] { Ciphertext o; ev.multiply_plain(c1, p1, o); }, reps);
+    Ciphertext cn = c1;
+    us["to_ntt"] = time_us([&] { Ciphertext o; ev.transform_to_ntt(c1, o); }, reps);
+    ev.transform_to_ntt_inplace(cn);
+    us["from_ntt"] = time_us([&] { Ciphertext o; ev.transform_from_ntt(cn, o); }, reps);
+
+    size_t L = ctx.first_context_data()->parms().coeff_modulus().size();
+    emit("small", n, L, us, "bfv");
+}
+
+static void bench_keygen(size_t n, const vector<int> &bits)
+{
+    EncryptionParameters parms(scheme_type::ckks);
+    parms.set_poly_modulus_degree(n);
+    parms.set_coeff_modulus(CoeffModulus::Create(n, bits));
+    SEALContext ctx(parms);
+    KeyGenerator keygen(ctx);
+
+    int reps = n >= 16384 ? 5 : 10;
+    map<string, double> us;
+    us["keygen_secret"] = time_us([&] { KeyGenerator kg(ctx); }, reps);
+    us["keygen_public"] = time_us([&] { PublicKey o; keygen.create_public_key(o); }, reps);
+    us["keygen_relin"] = time_us([&] { RelinKeys o; keygen.create_relin_keys(o); }, reps);
+    us["keygen_galois_one"] = time_us(
+        [&] {
+            GaloisKeys o;
+            keygen.create_galois_keys(vector<int>{ 1 }, o);
+        },
+        reps);
+    us["keygen_galois_all"] = time_us(
+        [&] {
+            GaloisKeys o;
+            keygen.create_galois_keys(o);
+        },
+        n >= 16384 ? 2 : 4);
+
+    emit("keygen", n, bits.size() - 1, us);
 }
 
 static void bench_bfv(size_t n, const vector<int> &bits, bool bgv = false)
@@ -120,7 +224,9 @@ static void bench_bfv(size_t n, const vector<int> &bits, bool bgv = false)
     keygen.create_relin_keys(rk);
 
     Encryptor enc(ctx, pk);
+    enc.set_secret_key(keygen.secret_key());
     Evaluator ev(ctx);
+    Decryptor dec(ctx, keygen.secret_key());
     BatchEncoder encoder(ctx);
 
     vector<uint64_t> vals(encoder.slot_count());
@@ -135,21 +241,28 @@ static void bench_bfv(size_t n, const vector<int> &bits, bool bgv = false)
 
     int reps = n >= 16384 ? 10 : 25;
     map<string, double> us;
+    us["encrypt_pk"] = time_us([&] { Ciphertext o; enc.encrypt(p1, o); }, reps);
+    us["encrypt_sk"] = time_us([&] { Ciphertext o; enc.encrypt_symmetric(p1, o); }, reps);
+    us["decrypt"] = time_us([&] { Plaintext p; dec.decrypt(c1, p); }, reps);
+    us["encode"] = time_us([&] { Plaintext p; encoder.encode(vals, p); }, reps);
+    us["decode"] = time_us([&] { vector<uint64_t> v; encoder.decode(p1, v); }, reps);
+    us["add_ct"] = time_us([&] { Ciphertext o; ev.add(c1, c2, o); }, reps);
+    us["negate"] = time_us([&] { Ciphertext o; ev.negate(c1, o); }, reps);
     us[bgv ? "multiply" : "multiply_behz"] =
         time_us([&] { Ciphertext o; ev.multiply(c1, c2, o); }, reps);
+    us["square"] = time_us([&] { Ciphertext o; ev.square(c1, o); }, reps);
+    us["mul_pt"] = time_us([&] { Ciphertext o; ev.multiply_plain(c1, p1, o); }, reps);
     us["relinearize"] = time_us([&] { Ciphertext o = c3; ev.relinearize_inplace(o, rk); }, reps);
     us["mod_switch"] = time_us([&] { Ciphertext o; ev.mod_switch_to_next(c1, o); }, reps);
-
-    printf("{\"n\": %zu, \"L\": %zu, \"scheme\": \"%s\", \"us\": {",
-           n, bits.size() - 1, bgv ? "bgv" : "bfv");
-    bool first = true;
-    for (auto &kv : us)
+    if (!bgv)
     {
-        printf("%s\"%s\": %.1f", first ? "" : ", ", kv.first.c_str(), kv.second);
-        first = false;
+        Ciphertext cn = c1;
+        us["to_ntt"] = time_us([&] { Ciphertext o; ev.transform_to_ntt(c1, o); }, reps);
+        ev.transform_to_ntt_inplace(cn);
+        us["from_ntt"] = time_us([&] { Ciphertext o; ev.transform_from_ntt(cn, o); }, reps);
     }
-    printf("}}\n");
-    fflush(stdout);
+
+    emit("bfv", n, bits.size() - 1, us, bgv ? "bgv" : "bfv");
 }
 
 int main(int argc, char **argv)
@@ -160,6 +273,18 @@ int main(int argc, char **argv)
         bool bgv = mode == "bgv";
         bench_bfv(4096, { 36, 36, 37 }, bgv);
         bench_bfv(16384, { 48, 48, 48, 48, 48, 48, 48, 48, 54 }, bgv);
+        return 0;
+    }
+    if (mode == "keygen")
+    {
+        bench_keygen(4096, { 36, 36, 37 });
+        bench_keygen(16384, { 48, 48, 48, 48, 48, 48, 48, 48, 54 });
+        return 0;
+    }
+    if (mode == "small")
+    {
+        bench_small(1024);
+        bench_small(2048);
         return 0;
     }
     bench_one(4096, { 36, 36, 37 });
