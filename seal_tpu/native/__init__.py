@@ -26,7 +26,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", *map(str, _srcs), "-o", str(_so)],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             *map(str, _srcs), "-o", str(_so)],
             check=True, capture_output=True, timeout=120,
         )
         return True

@@ -122,8 +122,10 @@ def test_tp_evaluator_ckks_pipeline_bit_identical():
     got = tev.rescale_to_next(tev.relinearize(tev.multiply(ct1, ct2), rk))
     assert np.array_equal(ref.to_numpy(), got.to_numpy())
 
-    # L=3 after rescale: not divisible by tp=2 -> single-chip fallback level
-    assert tev._tks_for(got.parms_id) is None
+    # L=3 after rescale: not divisible by tp=2 -> the r3 zero-padding keeps
+    # the level sharded (d_pad=4) instead of the old single-chip fallback
+    tks = tev._tks_for(got.parms_id)
+    assert tks is not None and tks.L == 3 and tks.d_pad == 4
     r_ref = ev.rotate_vector(ref, 1, gk)
     r_got = tev.rotate_vector(got, 1, gk)
     assert np.array_equal(r_ref.to_numpy(), r_got.to_numpy())
@@ -219,3 +221,68 @@ def test_tp_fused_relinearize_rescale_bit_identical():
     dec = __import__("seal_tpu").Decryptor(ctx, kg.secret_key())
     vals = encd.decode(dec.decrypt(got))
     assert np.max(np.abs(vals - base ** 2)) < 1e-4
+
+
+def test_tp_every_chain_level():
+    """VERDICT r2 item 4: a depth-3 CKKS pipeline through TPEvaluator with
+    tp=4 must keep the TP contraction at EVERY level — including levels
+    whose tower count does not divide the mesh (L=5, 4, 3 here; 5 and 3
+    need the zero-padding path) — with exactly one psum per keyswitch and
+    outputs bit-identical to the stock Evaluator."""
+    mesh = _mesh(4)
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40] * 6))
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    pk = kg.create_public_key()
+    rk = kg.create_relin_keys()
+    enc = Encryptor(ctx, pk)
+    encd = CKKSEncoder(ctx)
+    scale = 2.0 ** 16
+    v = np.linspace(-1, 1, encd.slot_count)
+    ct0 = enc.encrypt(encd.encode(v, scale))
+
+    # census: count psum calls traced per TP contraction
+    import seal_tpu.parallel.keyswitch as ksmod
+
+    psum_calls = []
+    real_psum = jax.lax.psum
+
+    def counting_psum(x, axis_name, **kw):
+        psum_calls.append(axis_name)
+        return real_psum(x, axis_name, **kw)
+
+    def pipeline(evaluator):
+        ct = ct0
+        outs = []
+        for _ in range(3):
+            ct = evaluator.rescale_to_next(
+                evaluator.relinearize(evaluator.multiply(ct, ct), rk))
+            outs.append(ct)
+        return outs
+
+    ref = pipeline(Evaluator(ctx))
+
+    tpe = TPEvaluator(ctx, mesh)
+    old = jax.lax.psum
+    jax.lax.psum = counting_psum
+    ksmod.jax.lax.psum = counting_psum
+    try:
+        got = pipeline(tpe)
+    finally:
+        jax.lax.psum = old
+        ksmod.jax.lax.psum = old
+
+    # depth 3 at L=5, 4, 3: L=4 divides tp=4; L=5 and L=3 exercise padding.
+    # One psum traced per level's first compile.
+    assert len(psum_calls) == 3, psum_calls
+    # no level fell back to the single-chip path
+    assert all(t is not None and t.d_pad % 4 == 0
+               for t in tpe._tks_cache.values())
+    assert {t.L for t in tpe._tks_cache.values()} == {5, 4, 3}
+    for a, b in zip(ref, got):
+        for x, y in zip(a.data, b.data):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+        assert a.scale == b.scale
