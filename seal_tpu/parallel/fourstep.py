@@ -88,6 +88,14 @@ class FourStepTables(NamedTuple):
     icyc_qt: limb.U64Pair
     invm_op: limb.U64Pair          # [L, 1] M^{-1}
     invm_qt: limb.U64Pair
+    # all_to_all route (r3): replicated P-point DFT matrices consumed after
+    # the transpose — wp2[p', p] = w_P^{p·br(p')} (fwd, rows in destination
+    # order) and iwp2[i1, p] = w_P^{-i1·br(p)}·P^{-1} (inverse, columns in
+    # source order)
+    wp2_op: limb.U64Pair = ()      # [L, P, P]
+    wp2_qt: limb.U64Pair = ()
+    iwp2_op: limb.U64Pair = ()     # [L, P, P]
+    iwp2_qt: limb.U64Pair = ()
 
 
 jax.tree_util.register_pytree_node(
@@ -127,6 +135,12 @@ def _host_tables(log_n: int, q: int, P: int):
     # row r' = br(p')), so the weight for column p' is w_P^{-p·br(p')}/P
     iwp_rows = [[(pow(iwp, (p * br_p[pp]) % P, q) * inv_p) % q for pp in range(P)]
                 for p in range(P)]
+    # all_to_all-route matrices (replicated): rows of wp2 are ordered by the
+    # DESTINATION shard p' (value row r = br(p')), columns by source shard
+    wp2_rows = [[pow(wp, (i1 * br_p[pp]) % P, q) for i1 in range(P)]
+                for pp in range(P)]
+    iwp2_rows = [[(pow(iwp, (i1 * br_p[p]) % P, q) * inv_p) % q
+                  for p in range(P)] for i1 in range(P)]
 
     # cyclic M-point stage tables, same layout the ops/ntt.py loops consume:
     # forward cyc[m+b] = w_M^{br_m(b)·M/(2m)}; inverse consumed sequentially
@@ -148,7 +162,8 @@ def _host_tables(log_n: int, q: int, P: int):
 
     return dict(
         psi=psi_pow, ipsi=ipsi_pow, wp=wp_rows, tw=tw_rows, itw=itw_rows,
-        iwp=iwp_rows, cyc=cyc, icyc=icyc, inv_m=inv_m,
+        iwp=iwp_rows, wp2=wp2_rows, iwp2=iwp2_rows, cyc=cyc, icyc=icyc,
+        inv_m=inv_m,
     )
 
 
@@ -172,6 +187,8 @@ def build_fourstep_tables(log_n: int, moduli, num_shards: int) -> FourStepTables
     tw_op, tw_qt = tab("tw", (P_, M))
     itw_op, itw_qt = tab("itw", (P_, M))
     iwp_op, iwp_qt = tab("iwp", (P_, P_))
+    wp2_op, wp2_qt = tab("wp2", (P_, P_))
+    iwp2_op, iwp2_qt = tab("iwp2", (P_, P_))
     cyc_op, cyc_qt = tab("cyc", (M,))
     icyc_op, icyc_qt = tab("icyc", (M,))
     invm_op, invm_qt = _shoup([[h["inv_m"]] for h in hosts], qs, (1,))
@@ -183,6 +200,7 @@ def build_fourstep_tables(log_n: int, moduli, num_shards: int) -> FourStepTables
         itw_op=itw_op, itw_qt=itw_qt, iwp_op=iwp_op, iwp_qt=iwp_qt,
         cyc_op=cyc_op, cyc_qt=cyc_qt, icyc_op=icyc_op, icyc_qt=icyc_qt,
         invm_op=invm_op, invm_qt=invm_qt,
+        wp2_op=wp2_op, wp2_qt=wp2_qt, iwp2_op=iwp2_op, iwp2_qt=iwp2_qt,
     )
 
 
@@ -321,6 +339,94 @@ def _inv_local(x_lo, x_hi, t: FourStepTables, axis: str):
     return out[0], out[1]
 
 
+def _a2a_chunks(pair, P_, axis):
+    """Transpose [L, M] shard-local pairs: chunk j of shard p lands on
+    shard j as row p of a [P, L, M/P] tensor (one tiled all_to_all)."""
+    def one(a):
+        Lr, M = a.shape
+        xr = jnp.moveaxis(a.reshape(Lr, P_, M // P_), 1, 0)
+        return jax.lax.all_to_all(xr, axis, 0, 0, tiled=True)
+    return one(pair[0]), one(pair[1])
+
+
+def _a2a_unchunks(pair, axis):
+    """Inverse layout move: [P, L, K] rows (row p' destined for shard p')
+    -> shard-local [L, M] with chunk j from source shard j."""
+    def one(a):
+        y = jax.lax.all_to_all(a, axis, 0, 0, tiled=True)   # [P, L, K]
+        P_, Lr, K = y.shape
+        return jnp.moveaxis(y, 0, 1).reshape(Lr, P_ * K)
+    return one(pair[0]), one(pair[1])
+
+
+def _fwd_local_a2a(x_lo, x_hi, t: FourStepTables, axis: str):
+    """all_to_all route: same math as _fwd_local, but the P-point DFT runs
+    after a transpose so per-shard communication is O(n/P), not O(n) —
+    two tiled all_to_alls instead of one all_gather."""
+    mc = t.mc
+    P_ = t.shards
+    log_m = t.log_n - (P_.bit_length() - 1)
+    b = limb.mul_mod_shoup((x_lo, x_hi), (t.psi_op[0], t.psi_op[1]),
+                           (t.psi_qt[0], t.psi_qt[1]), mc.q)
+    # transpose #1: this shard now holds ALL i1 rows for its i2 chunk
+    recv = _a2a_chunks(b, P_, axis)                  # [P, L, K]
+    wp2_op, wp2_qt = t.wp2_op, t.wp2_qt              # [L, P, P] replicated
+    rows = []
+    for pp in range(P_):
+        c = None
+        for p in range(P_):
+            term = limb.mul_mod_shoup(
+                (recv[0][p], recv[1][p]),
+                (wp2_op[0][:, pp, p, None], wp2_op[1][:, pp, p, None]),
+                (wp2_qt[0][:, pp, p, None], wp2_qt[1][:, pp, p, None]),
+                mc.q,
+            )
+            c = term if c is None else limb.add_mod(c, term, mc.q)
+        rows.append(c)
+    c_lo = jnp.stack([r[0] for r in rows])
+    c_hi = jnp.stack([r[1] for r in rows])
+    # transpose #2: row p' goes home to shard p' (which needs r = br(p'))
+    d_in = _a2a_unchunks((c_lo, c_hi), axis)         # [L, M]
+    d = limb.mul_mod_shoup(
+        d_in, (t.tw_op[0][:, 0], t.tw_op[1][:, 0]),
+        (t.tw_qt[0][:, 0], t.tw_qt[1][:, 0]), mc.q,
+    )
+    out = _cyclic_ntt(d, log_m, t.cyc_op, t.cyc_qt, mc)
+    return out[0], out[1]
+
+
+def _inv_local_a2a(x_lo, x_hi, t: FourStepTables, axis: str):
+    mc = t.mc
+    P_ = t.shards
+    log_m = t.log_n - (P_.bit_length() - 1)
+    e = _cyclic_intt((x_lo, x_hi), log_m, t.icyc_op, t.icyc_qt,
+                     t.invm_op, t.invm_qt, mc)
+    e = limb.mul_mod_shoup(
+        e, (t.itw_op[0][:, 0], t.itw_op[1][:, 0]),
+        (t.itw_qt[0][:, 0], t.itw_qt[1][:, 0]), mc.q,
+    )
+    recv = _a2a_chunks(e, P_, axis)                  # recv[p] = e_{br(p)}[my i2]
+    iwp2_op, iwp2_qt = t.iwp2_op, t.iwp2_qt
+    rows = []
+    for i1 in range(P_):
+        acc = None
+        for p in range(P_):
+            term = limb.mul_mod_shoup(
+                (recv[0][p], recv[1][p]),
+                (iwp2_op[0][:, i1, p, None], iwp2_op[1][:, i1, p, None]),
+                (iwp2_qt[0][:, i1, p, None], iwp2_qt[1][:, i1, p, None]),
+                mc.q,
+            )
+            acc = term if acc is None else limb.add_mod(acc, term, mc.q)
+        rows.append(acc)
+    b_lo = jnp.stack([r[0] for r in rows])
+    b_hi = jnp.stack([r[1] for r in rows])
+    b = _a2a_unchunks((b_lo, b_hi), axis)            # [L, M]
+    out = limb.mul_mod_shoup(b, (t.ipsi_op[0], t.ipsi_op[1]),
+                             (t.ipsi_qt[0], t.ipsi_qt[1]), mc.q)
+    return out[0], out[1]
+
+
 def _table_specs(axis: str, log_n: int, shards: int) -> FourStepTables:
     """Partition-spec prefix pytree matching FourStepTables: ψ tables are
     sharded with the coefficient axis, per-shard row tables over their row
@@ -328,6 +434,7 @@ def _table_specs(axis: str, log_n: int, shards: int) -> FourStepTables:
     rep = P(None, None)             # [L, *] replicated
     n_spec = P(None, axis)          # [L, n] sharded like the data
     row = P(None, axis, None)       # [L, P, *]: row p -> shard p
+    rep3 = P(None, None, None)      # [L, P, P] replicated (a2a matrices)
     return FourStepTables(
         log_n=log_n, shards=shards, mc=rep,
         psi_op=n_spec, psi_qt=n_spec, ipsi_op=n_spec, ipsi_qt=n_spec,
@@ -335,14 +442,19 @@ def _table_specs(axis: str, log_n: int, shards: int) -> FourStepTables:
         itw_op=row, itw_qt=row, iwp_op=row, iwp_qt=row,
         cyc_op=rep, cyc_qt=rep, icyc_op=rep, icyc_qt=rep,
         invm_op=rep, invm_qt=rep,
+        wp2_op=rep3, wp2_qt=rep3, iwp2_op=rep3, iwp2_qt=rep3,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted(mesh: Mesh, axis: str, log_n: int, shards: int, inverse: bool):
-    """Compiled sharded transform, cached per (mesh, axis, size). Tables
-    ride as pytree arguments so one executable serves any tower."""
-    local = _inv_local if inverse else _fwd_local
+def _jitted(mesh: Mesh, axis: str, log_n: int, shards: int, inverse: bool,
+            comm: str):
+    """Compiled sharded transform, cached per (mesh, axis, size, comm).
+    Tables ride as pytree arguments so one executable serves any tower."""
+    if comm == "a2a":
+        local = _inv_local_a2a if inverse else _fwd_local_a2a
+    else:
+        local = _inv_local if inverse else _fwd_local
     x_spec = P(None, axis)
     fn = shard_map(
         functools.partial(local, axis=axis),
@@ -353,16 +465,33 @@ def _jitted(mesh: Mesh, axis: str, log_n: int, shards: int, inverse: bool):
     return jax.jit(fn)
 
 
+def _pick_comm(t: FourStepTables, comm: str) -> str:
+    """'a2a' (default: two tiled all_to_alls, O(n/P) bytes per shard)
+    unless the shard is too small to re-split (M < P) or the tables predate
+    the a2a matrices; 'gather' forces the one-all_gather O(n) route."""
+    if comm == "gather":
+        return "gather"
+    n = 1 << t.log_n
+    M = n // t.shards
+    if M % t.shards or not isinstance(t.wp2_op, tuple) or not t.wp2_op:
+        return "gather"
+    return "a2a"
+
+
 def ntt_forward_sharded(x: limb.U64Pair, t: FourStepTables, mesh: Mesh,
-                        axis: str = "sp") -> limb.U64Pair:
+                        axis: str = "sp", comm: str = "a2a") -> limb.U64Pair:
     """Forward negacyclic NTT of [L, N] u64 tensors whose coefficient axis
     is sharded P ways over `axis`. Natural order in, SEAL bit-reversed order
-    out, fully reduced — bit-identical to ops/ntt.ntt_forward."""
-    return _jitted(mesh, axis, t.log_n, t.shards, False)(x[0], x[1], t)
+    out, fully reduced — bit-identical to ops/ntt.ntt_forward. `comm`
+    selects the transpose route ('a2a', default — per-shard bytes O(n/P))
+    or the legacy one-all_gather route ('gather', O(n))."""
+    return _jitted(mesh, axis, t.log_n, t.shards, False,
+                   _pick_comm(t, comm))(x[0], x[1], t)
 
 
 def ntt_inverse_sharded(x: limb.U64Pair, t: FourStepTables, mesh: Mesh,
-                        axis: str = "sp") -> limb.U64Pair:
+                        axis: str = "sp", comm: str = "a2a") -> limb.U64Pair:
     """Inverse negacyclic NTT, bit-reversed in / natural out, fully reduced
     — bit-identical to ops/ntt.ntt_inverse."""
-    return _jitted(mesh, axis, t.log_n, t.shards, True)(x[0], x[1], t)
+    return _jitted(mesh, axis, t.log_n, t.shards, True,
+                   _pick_comm(t, comm))(x[0], x[1], t)

@@ -133,20 +133,58 @@ class TestFourStepNTT:
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
         np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
 
-    def test_forward_matches_single_chip(self, setup):
+    @pytest.mark.parametrize("comm", ["a2a", "gather"])
+    def test_forward_matches_single_chip(self, setup, comm):
         s = setup
         ref = s["ntt_mod"].ntt_forward(s["x"], s["t_ref"])
-        got = s["fourstep"].ntt_forward_sharded(s["x"], s["t4"], s["mesh"])
+        got = s["fourstep"].ntt_forward_sharded(
+            s["x"], s["t4"], s["mesh"], comm=comm)
         self._assert_eq(got, ref)
 
-    def test_inverse_matches_single_chip(self, setup):
+    @pytest.mark.parametrize("comm", ["a2a", "gather"])
+    def test_inverse_matches_single_chip(self, setup, comm):
         s = setup
         fwd = s["ntt_mod"].ntt_forward(s["x"], s["t_ref"])
         ref = s["ntt_mod"].ntt_inverse(fwd, s["t_ref"])
-        got = s["fourstep"].ntt_inverse_sharded(fwd, s["t4"], s["mesh"])
+        got = s["fourstep"].ntt_inverse_sharded(
+            fwd, s["t4"], s["mesh"], comm=comm)
         self._assert_eq(got, ref)
         # and the roundtrip returns the input exactly
         self._assert_eq(got, s["x"])
+
+    def test_a2a_route_collective_census(self, setup):
+        """The default route must communicate via two tiled all_to_alls
+        (O(n/P) bytes per shard), not the O(n) all_gather (VERDICT r2
+        item 5); the gather route stays available and all_to_all-free."""
+        s = setup
+        fourstep = s["fourstep"]
+
+        def census(comm, inverse):
+            local = {("a2a", False): fourstep._fwd_local_a2a,
+                     ("a2a", True): fourstep._inv_local_a2a,
+                     ("gather", False): fourstep._fwd_local,
+                     ("gather", True): fourstep._inv_local}[(comm, inverse)]
+            import functools
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            x_spec = P(None, "sp")
+            t4 = s["t4"]
+            fn = shard_map(
+                functools.partial(local, axis="sp"),
+                mesh=s["mesh"],
+                in_specs=(x_spec, x_spec,
+                          fourstep._table_specs("sp", t4.log_n, t4.shards)),
+                out_specs=(x_spec, x_spec))
+            jaxpr = str(jax.make_jaxpr(fn)(s["x"][0], s["x"][1], t4))
+            return jaxpr.count("all_to_all"), jaxpr.count("all_gather")
+
+        a2a_f = census("a2a", False)
+        a2a_i = census("a2a", True)
+        g_f = census("gather", False)
+        assert a2a_f[0] >= 2 and a2a_f[1] == 0, a2a_f
+        assert a2a_i[0] >= 2 and a2a_i[1] == 0, a2a_i
+        assert g_f[0] == 0 and g_f[1] >= 1, g_f
 
     def test_shard_count_4(self, setup):
         from jax.sharding import Mesh

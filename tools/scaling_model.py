@@ -5,7 +5,8 @@ chip), so the multi-host claims are DERIVED, not measured — this tool makes
 the derivation explicit and reproducible from (a) measured single-chip op
 times (BASELINE.md honest differentials) and (b) the exact collective
 payload sizes of the sharded paths (parallel/keyswitch.py TPKeySwitch: ONE
-psum of 21-bit limb splits; parallel/fourstep.py: one all_gather), against
+psum of 21-bit limb splits; parallel/fourstep.py: two tiled all_to_alls
+on the default 'a2a' route, O(n/P) bytes per shard), against
 stated link-bandwidth assumptions.
 
 Model
@@ -88,6 +89,18 @@ def main():
     print(f"  measured saturation batch {B_sat}/chip; a {args.batch}-ct "
           f"stream keeps {max_chips} chips saturated -> efficiency ~100% "
           f"to {max_chips} chips, dropping only when per-chip batch < {B_sat}")
+
+    print(f"\n== SP four-step NTT (coefficient axis over chips) ==")
+    # parallel/fourstep.py: the default 'a2a' route communicates TWO tiled
+    # all_to_alls of the shard's [L, M] block (each moves (P-1)/P of it);
+    # the legacy 'gather' route all_gathers the whole [L, n] poly per shard.
+    for P in (2, 4, 8):
+        Mloc = n // P
+        a2a_bytes = 2 * (P - 1) / P * L * Mloc * 8     # u32 (lo,hi) pairs
+        gather_bytes = (P - 1) * L * Mloc * 8
+        print(f"  SP={P}: per-shard bytes/transform a2a "
+              f"{a2a_bytes/1e3:7.1f} kB vs gather {gather_bytes/1e3:7.1f} kB "
+              f"({gather_bytes/a2a_bytes:4.1f}x less traffic; ratio -> P/2)")
 
     print(f"\n== DP across hosts over DCN (BASELINE config #5) ==")
     # one-time distribution: relin keys [d, 2, L+1, 2, N] u32 pairs + ct batch
