@@ -29,11 +29,16 @@ def time_op(label, fn, *args, reps=3):
 
 def bfv_performance(n=4096):
     print(f"BFV performance, n={n}:")
+    from seal_tpu import SecLevelType
+
     parms = EncryptionParameters(SchemeType.BFV)
     parms.set_poly_modulus_degree(n)
-    parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
+    parms.set_coeff_modulus(CoeffModulus.bfv_default(n) if n >= 1024
+                            else CoeffModulus.create(n, [30, 30, 31]))
     parms.set_plain_modulus(PlainModulus.batching(n, 20))
-    context = SEALContext(parms)
+    context = SEALContext(
+        parms, sec_level=(SecLevelType.TC128 if n >= 1024
+                          else SecLevelType.NONE))
     t0 = time.perf_counter()
     keygen = KeyGenerator(context)
     pk = keygen.create_public_key()
@@ -59,10 +64,16 @@ def bfv_performance(n=4096):
 
 def ckks_performance(n=8192):
     print(f"CKKS performance, n={n}:")
+    from seal_tpu import SecLevelType
+
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
-    parms.set_coeff_modulus(CoeffModulus.create(n, [50, 40, 40, 50]))
-    context = SEALContext(parms)
+    bits = [50, 40, 40, 50] if n >= 8192 else [30, 20, 30]
+    scale_bits = 40 if n >= 8192 else 20
+    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    context = SEALContext(
+        parms, sec_level=(SecLevelType.TC128 if n >= 8192
+                          else SecLevelType.NONE))
     keygen = KeyGenerator(context)
     pk = keygen.create_public_key()
     rk = keygen.create_relin_keys()
@@ -71,7 +82,7 @@ def ckks_performance(n=8192):
     decryptor = Decryptor(context, keygen.secret_key())
     encoder = CKKSEncoder(context)
 
-    scale = 2.0 ** 40
+    scale = 2.0 ** scale_bits
     vals = np.linspace(-1, 1, encoder.slot_count)
     plain = encoder.encode(vals, scale)
     ct1 = encryptor.encrypt(plain)
@@ -85,9 +96,9 @@ def ckks_performance(n=8192):
     time_op("multiply+relin+rescale", pipeline, ct1, ct2)
 
 
-def main():
-    bfv_performance()
-    ckks_performance()
+def main(n_bfv: int = 4096, n_ckks: int = 8192):
+    bfv_performance(n_bfv)
+    ckks_performance(n_ckks)
     print("8_performance OK")
 
 

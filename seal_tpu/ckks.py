@@ -159,7 +159,13 @@ class CKKSEncoder:
                 iv = int(v)
                 for j, q in enumerate(moduli):
                     rows[j, i] = iv % q
-        dev = ntt_mod.ntt_forward(to_device(rows), cd.ntt_tables)
+        from seal_tpu.native import poly as native_poly
+
+        npoly = native_poly.for_context_data(cd)
+        if npoly is not None:
+            dev = to_device(npoly.ntt_forward(np.ascontiguousarray(rows)))
+        else:
+            dev = ntt_mod.ntt_forward_eager(to_device(rows), cd.ntt_tables)
         p = Plaintext()
         p.rns_data = dev
         p.parms_id = tuple(parms_id)
@@ -342,7 +348,15 @@ class CKKSEncoder:
         if cd is None:
             raise ValueError("plain is not valid for encryption parameters")
         n = self.n
-        rows = to_host(ntt_mod.ntt_inverse(plain.rns_data, cd.ntt_tables))
+        from seal_tpu.native import poly as native_poly
+
+        npoly = native_poly.for_context_data(cd)
+        if npoly is not None:
+            rows = npoly.ntt_inverse(
+                np.ascontiguousarray(to_host(plain.rns_data)))
+        else:
+            rows = to_host(
+                ntt_mod.ntt_inverse_eager(plain.rns_data, cd.ntt_tables))
         Q = cd.total_coeff_modulus
         base = cd.rns_base
         half = cd.upper_half_threshold

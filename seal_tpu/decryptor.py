@@ -14,9 +14,111 @@ import numpy as np
 from seal_tpu.context import SEALContext
 from seal_tpu.dtypes import Ciphertext, Plaintext, SecretKey, stack_polys, to_host, to_device
 from seal_tpu.encryption_params import SchemeType, PARMS_ID_ZERO
-from seal_tpu.ops import modring, rns as rns_ops
+from seal_tpu.ops import limb, modring, rns as rns_ops
 from seal_tpu.ops import ntt as ntt_mod
 from seal_tpu.utils import numth
+
+
+# Cached-jit decrypt cores: the dot product + RNS tail otherwise dispatch
+# thousands of eager u32 primitives per call (measured 0.5 s per BFV
+# decrypt at n=4096, ~10 s at n=16384 — pure dispatch). One executable per
+# (backend, ntt-form, ct size, scheme tail); jit re-traces per shape.
+# Bit-identical: the same kernels run traced instead of dispatched.
+_phase_jit_cache: dict = {}
+
+
+def _phase_fn(is_ntt_form: bool, size: int, kind: str):
+    import jax
+
+    dd = jax.config.jax_default_device
+    plat = (dd if isinstance(dd, str) else dd.platform) if dd is not None \
+        else jax.default_backend()
+    key = (plat, is_ntt_form, size, kind)
+    fn = _phase_jit_cache.get(key)
+    if fn is None:
+        def body(data, powers, tables, mc, rtool):
+            acc = None
+            for j in range(1, size):
+                cj = (data[0][j], data[1][j])
+                if not is_ntt_form:
+                    cj = ntt_mod.ntt_forward(cj, tables, lazy=True)
+                term = modring.dyadic_product(cj, powers[j - 1], mc)
+                acc = term if acc is None else modring.add_poly(acc, term, mc)
+            if not is_ntt_form:
+                acc = ntt_mod.ntt_inverse(acc, tables)
+            phase = modring.add_poly(acc, (data[0][0], data[1][0]), mc)
+            # the scheme tails return their PARTS; the final [1/2, N]
+            # correction runs on host numpy — combining slices of the big
+            # conversion chain in one XLA:CPU executable triggers a fusion
+            # pathology (one u32 add measured 2-4 s at n=16384; the parts
+            # separately cost 7 ms)
+            if kind == "bfv":
+                temp = limb.mul_mod_shoup(
+                    phase, rtool.prod_t_gamma_mod_q_op,
+                    rtool.prod_t_gamma_mod_q_qt, rtool.q_mc.q)
+                tg = rns_ops.fast_convert_array(temp, rtool.conv_q_to_t_gamma)
+                tg_mc = rtool.conv_q_to_t_gamma.obase_mc
+                return limb.mul_mod_shoup(
+                    tg, rtool.neg_inv_q_mod_t_gamma_op,
+                    rtool.neg_inv_q_mod_t_gamma_qt, tg_mc.q)
+            if kind == "bgv":
+                return rns_ops.exact_convert_parts(phase, rtool.conv_q_to_t)
+            return phase
+
+        fn = jax.jit(body)
+        _phase_jit_cache[key] = fn
+    return fn
+
+
+_agg_jit_cache: dict = {}
+
+
+def _agg_tail_fn(kind: str):
+    """Cached-jit scheme tail for aggregate_partial_decryption (input is
+    the summed phase instead of a dot product; same PARTS-splitting as
+    _phase_fn to dodge the XLA:CPU slice-fusion pathology)."""
+    import jax
+
+    dd = jax.config.jax_default_device
+    plat = (dd if isinstance(dd, str) else dd.platform) if dd is not None \
+        else jax.default_backend()
+    key = (plat, kind)
+    fn = _agg_jit_cache.get(key)
+    if fn is None:
+        def body(phase, rtool):
+            if kind == "bfv":
+                temp = limb.mul_mod_shoup(
+                    phase, rtool.prod_t_gamma_mod_q_op,
+                    rtool.prod_t_gamma_mod_q_qt, rtool.q_mc.q)
+                tg = rns_ops.fast_convert_array(temp, rtool.conv_q_to_t_gamma)
+                tg_mc = rtool.conv_q_to_t_gamma.obase_mc
+                return limb.mul_mod_shoup(
+                    tg, rtool.neg_inv_q_mod_t_gamma_op,
+                    rtool.neg_inv_q_mod_t_gamma_qt, tg_mc.q)
+            return rns_ops.exact_convert_parts(phase, rtool.conv_q_to_t)
+
+        fn = jax.jit(body)
+        _agg_jit_cache[key] = fn
+    return fn
+
+
+def _bfv_round_host(tg: np.ndarray, host) -> np.ndarray:
+    """The {t, γ} correction tail of BFV decryption on host numpy u64
+    (rns.cpp:1170-1201 parity; value-identical to
+    rns_ops.decrypt_scale_and_round's tail)."""
+    t = host.t
+    gamma = host.gamma
+    t_row, g_row = tg[0], tg[1]
+    over = g_row > np.uint64(gamma >> 1)
+    corr_pos = (t_row + (np.uint64(gamma) - g_row) % np.uint64(t)) \
+        % np.uint64(t)
+    corr_neg = (t_row + np.uint64(t) - g_row % np.uint64(t)) % np.uint64(t)
+    dest = np.where(over, corr_pos, corr_neg)
+    inv = host.inv_gamma_mod_t
+    if t < (1 << 32):
+        return dest * np.uint64(inv) % np.uint64(t)
+    # large t: exact per-element Python ints (t <= 60 bits)
+    return np.asarray([(int(v) * inv) % t for v in dest], dtype=np.uint64)
 
 
 class Decryptor:
@@ -25,6 +127,53 @@ class Decryptor:
         self.secret_key = secret_key
         # powers of s over the KEY tower, NTT form
         self._sk_powers = [secret_key.data]
+
+    def _phase_core(self, ct: Ciphertext, kind: str):
+        """One-executable dot_product (+ scheme tail) for eager callers."""
+        cd = self.context.get_context_data(ct.parms_id)
+        powers = tuple(self._powers(ct.size - 1, cd))
+        return _phase_fn(ct.is_ntt_form, ct.size, kind)(
+            ct.data, powers, cd.ntt_tables, cd.mod_consts,
+            cd.rns_tool_device)
+
+    def _powers_np(self, count: int, cd):
+        """Host u64 mirrors of the secret-key powers (native decrypt)."""
+        from seal_tpu import rlwe
+        from seal_tpu.native import poly as native_poly
+
+        key_cd = self.context.key_context_data()
+        npk = native_poly.for_context_data(key_cd)
+        powers = getattr(self, "_sk_powers_np", None)
+        if powers is None:
+            powers = [rlwe.sk_host_u64(self.secret_key)]
+        while len(powers) < count:
+            powers.append(npk.dyadic_mul(
+                np.ascontiguousarray(powers[-1]),
+                np.ascontiguousarray(powers[0])))
+        self._sk_powers_np = powers
+        L = cd.coeff_modulus_size
+        return [np.ascontiguousarray(p[:L]) for p in powers[:count]]
+
+    def _phase_np(self, ct: Ciphertext, cd):
+        """Native u64 decrypt phase c0 + Σ c_j s^j, numpy [L, N]; None when
+        the native library is unavailable."""
+        from seal_tpu.native import poly as native_poly
+
+        npoly = native_poly.for_context_data(cd)
+        if npoly is None:
+            return None
+        data = to_host(ct.data)
+        powers = self._powers_np(ct.size - 1, cd)
+        acc = None
+        for j in range(1, ct.size):
+            cj = np.ascontiguousarray(data[j])
+            if not ct.is_ntt_form:
+                npoly.ntt_forward(cj, lazy=True)
+            term = npoly.dyadic_mul(cj, powers[j - 1])
+            acc = term if acc is None else npoly.add_inplace(acc, term)
+        if not ct.is_ntt_form:
+            npoly.ntt_inverse(acc)
+        return npoly.add_inplace(acc, np.ascontiguousarray(data[0]))
 
     def _powers(self, count: int, cd):
         key_cd = self.context.key_context_data()
@@ -111,16 +260,23 @@ class Decryptor:
     def _bfv_decrypt(self, ct: Ciphertext) -> Plaintext:
         if ct.is_ntt_form:
             raise ValueError("encrypted cannot be in NTT form")
+        from seal_tpu.native import poly as native_poly
+
         cd = self.context.get_context_data(ct.parms_id)
-        phase = self.dot_product_ct_sk(ct)
-        coeffs = rns_ops.decrypt_scale_and_round(phase, cd.rns_tool_device)
-        vals = to_host(coeffs)[0]
-        return _trimmed_plain(vals)
+        ndt = native_poly.decrypt_tool_for(cd)
+        if ndt is not None:
+            phase = self._phase_np(ct, cd)
+            return _trimmed_plain(ndt.bfv_scale_round(phase))
+        tg = to_host(self._phase_core(ct, "bfv"))        # [2, N]
+        return _trimmed_plain(_bfv_round_host(tg, cd.rns_tool_host))
 
     def _ckks_decrypt(self, ct: Ciphertext, flood_bits: int = 0) -> Plaintext:
         if not ct.is_ntt_form:
             raise ValueError("encrypted must be in NTT form")
-        phase = self.dot_product_ct_sk(ct)
+        cd0 = self.context.get_context_data(ct.parms_id)
+        phase_np = self._phase_np(ct, cd0)
+        phase = (to_device(phase_np) if phase_np is not None
+                 else self._phase_core(ct, "phase"))
         if flood_bits > 0:
             cd = self.context.get_context_data(ct.parms_id)
             noise = ntt_mod.ntt_forward(
@@ -135,11 +291,17 @@ class Decryptor:
     def _bgv_decrypt(self, ct: Ciphertext) -> Plaintext:
         if ct.is_ntt_form:
             raise ValueError("encrypted cannot be in NTT form")
+        from seal_tpu.native import poly as native_poly
+
         cd = self.context.get_context_data(ct.parms_id)
-        phase = self.dot_product_ct_sk(ct)
-        coeffs = rns_ops.decrypt_modt(phase, cd.rns_tool_device)
-        vals = to_host(coeffs)[0]
         t = cd.parms.plain_modulus.value
+        ndt = native_poly.decrypt_tool_for(cd)
+        if ndt is not None:
+            vals = ndt.bgv_modt(self._phase_np(ct, cd))
+        else:
+            dot, v_q = self._phase_core(ct, "bgv")
+            d, vq = to_host(dot)[0], to_host(v_q)[0]
+            vals = np.where(d >= vq, d - vq, d + np.uint64(t) - vq)
         if ct.correction_factor != 1:
             fix = numth.invert_uint_mod(ct.correction_factor, t)
             vals = (vals.astype(object) * fix % t).astype(np.uint64)
@@ -156,7 +318,7 @@ class Decryptor:
             raise ValueError("encrypted cannot be in NTT form")
         cd = self.context.get_context_data(ct.parms_id)
         t = cd.parms.plain_modulus.value
-        phase = to_host(self.dot_product_ct_sk(ct))  # [L, N]
+        phase = to_host(self._phase_core(ct, "phase"))  # [L, N]
         Q = cd.total_coeff_modulus
         base = cd.rns_base
         norm = 0
@@ -212,11 +374,13 @@ class Decryptor:
         for p in partials:
             acc = modring.add_poly(acc, p.poly(0), mc)
         if scheme == SchemeType.BFV:
-            coeffs = rns_ops.decrypt_scale_and_round(acc, cd.rns_tool_device)
-            return _trimmed_plain(to_host(coeffs)[0])
+            tg = to_host(_agg_tail_fn("bfv")(acc, cd.rns_tool_device))
+            return _trimmed_plain(_bfv_round_host(tg, cd.rns_tool_host))
         if scheme == SchemeType.BGV:
-            coeffs = rns_ops.decrypt_modt(acc, cd.rns_tool_device)
-            vals = to_host(coeffs)[0]
+            t_mod = cd.parms.plain_modulus.value
+            dot, v_q = _agg_tail_fn("bgv")(acc, cd.rns_tool_device)
+            d, vq = to_host(dot)[0], to_host(v_q)[0]
+            vals = np.where(d >= vq, d - vq, d + np.uint64(t_mod) - vq)
             # same correction-factor inverse as _bgv_decrypt: threshold
             # decryption of a mod-switched/multiplied BGV ciphertext must
             # undo the tracked multiplicative factor (evaluator.cpp:56-118)

@@ -46,6 +46,11 @@ class BatchEncoder:
             index_map[row_size | i] = numth.reverse_bits(index2, logn)
             pos = (pos * 3) & (m - 1)
         self._index_map = index_map
+        # native u64 NTT for the plain-modulus transforms (the eager JAX
+        # path costs ~100 ms/call in dispatch at n=16384; native is ~0.3 ms)
+        from seal_tpu.native.poly import NativePolyOps
+
+        self._npoly = NativePolyOps(self._tables)
 
     @property
     def slot_count(self) -> int:
@@ -67,8 +72,13 @@ class BatchEncoder:
             raise ValueError("input value is larger than plain_modulus")
         coeffs = np.zeros(self.slots, dtype=np.uint64)
         coeffs[self._index_map[: u.size]] = u
+        if self._npoly.available:
+            out_np = self._npoly.ntt_inverse(coeffs.reshape(1, self.slots))
+            p = Plaintext(self.slots)
+            p.data = out_np[0]
+            return p
         dev = to_device(coeffs.reshape(1, self.slots))
-        out = ntt_mod.ntt_inverse(dev, self._tables)
+        out = ntt_mod.ntt_inverse_eager(dev, self._tables)
         p = Plaintext(self.slots)
         p.data = to_host(out)[0]
         return p
@@ -78,8 +88,11 @@ class BatchEncoder:
             raise ValueError("plain cannot be in NTT form")
         coeffs = np.zeros(self.slots, dtype=np.uint64)
         coeffs[: len(plain.data)] = plain.data
-        dev = to_device(coeffs.reshape(1, self.slots))
-        out = to_host(ntt_mod.ntt_forward(dev, self._tables))[0]
+        if self._npoly.available:
+            out = self._npoly.ntt_forward(coeffs.reshape(1, self.slots))[0]
+        else:
+            dev = to_device(coeffs.reshape(1, self.slots))
+            out = to_host(ntt_mod.ntt_forward_eager(dev, self._tables))[0]
         values = out[self._index_map]
         if signed:
             t = self._t

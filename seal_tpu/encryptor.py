@@ -20,7 +20,12 @@ from seal_tpu.ops import ntt as ntt_mod
 
 def _scaled_plain_rows(plain: Plaintext, cd) -> np.ndarray:
     """Host: Δ·m + rounding fix per RNS row, uint64 [L, N]
-    (parity: util/scalingvariant.cpp:69-113)."""
+    (parity: util/scalingvariant.cpp:69-113). Native single pass when
+    available (the Python n·L big-int loop costs ~0.3 s at n=16384)."""
+    import ctypes
+
+    from seal_tpu import native
+
     parms = cd.parms
     t = parms.plain_modulus.value
     moduli = cd.key_moduli()
@@ -29,6 +34,18 @@ def _scaled_plain_rows(plain: Plaintext, cd) -> np.ndarray:
     half_t = cd.plain_upper_half_threshold
     delta = cd.coeff_div_plain_modulus
     out = np.zeros((len(moduli), n), dtype=np.uint64)
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "sealtpu_scaled_plain"):
+        m_arr = np.ascontiguousarray(plain.data, dtype=np.uint64)
+        q_arr = np.asarray([int(q) for q in moduli], dtype=np.uint64)
+        d_arr = np.asarray([int(d) for d in delta], dtype=np.uint64)
+        p = ctypes.POINTER(ctypes.c_uint64)
+        lib.sealtpu_scaled_plain(
+            m_arr.ctypes.data_as(p), m_arr.size, len(moduli), n,
+            q_arr.ctypes.data_as(p), d_arr.ctypes.data_as(p),
+            int(q_mod_t), int(half_t), int(t),
+            out.ctypes.data_as(p))
+        return out
     for i, m in enumerate(plain.data.tolist()):
         if i >= n:
             break
@@ -36,6 +53,70 @@ def _scaled_plain_rows(plain: Plaintext, cd) -> np.ndarray:
         for j, q in enumerate(moduli):
             out[j, i] = (delta[j] * m + fix) % q
     return out
+
+
+# Cached-jit mod-switch-down for encrypt_zero at sub-key levels: ONE
+# executable per (backend, level, ct size, form) instead of per-poly eager
+# divide/mod_down pipelines (part of the measured multi-second eager
+# encrypt at n=16384). Bit-identical: the same kernels, traced.
+_ez_msd_cache: dict = {}
+
+
+def _ez_mod_switch_fn(ctx, cd, prev_cd, scheme, is_ntt_form: bool, size: int):
+    import jax
+
+    dd = jax.config.jax_default_device
+    plat = (dd if isinstance(dd, str) else dd.platform) if dd is not None \
+        else jax.default_backend()
+    key = (plat, tuple(cd.parms_id), size, is_ntt_form)
+    fn = _ez_msd_cache.get(key)
+    if fn is None:
+        from seal_tpu.dtypes import stack_polys
+
+        alpha = ctx.key_context_data().parms.special_modulus_size
+        hybrid_step = (alpha > 1
+                       and tuple(prev_cd.parms_id) == tuple(ctx.key_parms_id))
+        if hybrid_step:
+            from seal_tpu.ops import hybrid_keyswitch as hyb
+            from seal_tpu.ops import ntt as ntt_mod2
+
+            key_moduli = tuple(prev_cd.key_moduli())
+            L = cd.coeff_modulus_size
+            L_key = len(key_moduli)
+            special_tables = ntt_mod2.slice_tables(
+                prev_cd.ntt_tables, L_key - alpha, L_key)
+            t_mod = (cd.parms.plain_modulus.value
+                     if scheme != SchemeType.CKKS else 0)
+
+            def body(data):
+                polys = []
+                for j in range(size):
+                    polys.append(hyb.mod_down(
+                        (data[0][j], data[1][j]), scheme == SchemeType.BGV,
+                        key_moduli, alpha, L, t_mod, cd.ntt_tables,
+                        special_tables, cd.mod_consts,
+                        is_ntt_out=is_ntt_form, rows_ntt=is_ntt_form))
+                return stack_polys(polys)
+        else:
+            rt = prev_cd.rns_tool_device
+            tables = prev_cd.ntt_tables
+
+            def body(data):
+                polys = []
+                for j in range(size):
+                    p = (data[0][j], data[1][j])
+                    if is_ntt_form:
+                        p = rns_ops.divide_and_round_q_last_ntt(p, rt, tables)
+                    elif scheme != SchemeType.BGV:
+                        p = rns_ops.divide_and_round_q_last(p, rt)
+                    else:
+                        p = rns_ops.mod_t_and_divide_q_last(p, rt)
+                    polys.append(p)
+                return stack_polys(polys)
+
+        fn = jax.jit(body)
+        _ez_msd_cache[key] = fn
+    return fn
 
 
 class Encryptor:
@@ -78,47 +159,39 @@ class Encryptor:
             prev_cd = cd.prev_context_data
             if prev_cd is not None:
                 # encrypt at the level above, then switch the modulus down
+                alpha = ctx.key_context_data().parms.special_modulus_size
+                hybrid_step = (
+                    alpha > 1
+                    and tuple(prev_cd.parms_id) == tuple(ctx.key_parms_id))
+                if not hybrid_step and scheme != SchemeType.BGV:
+                    # native host path: encrypt-zero + ONE-prime rescale
+                    # entirely in u64 C (the eager/jit route below costs
+                    # ~0.3 s per CKKS encrypt at n=16384)
+                    from seal_tpu.native import poly as native_poly
+
+                    np_polys = rlwe.encrypt_zero_asymmetric_np(
+                        self.public_key, ctx, prev_cd.parms_id, is_ntt_form)
+                    if np_polys is not None:
+                        npoly = native_poly.for_context_data(prev_cd)
+                        outs = [
+                            (npoly.rescale_ntt if is_ntt_form
+                             else npoly.rescale_coeff)(
+                                np.ascontiguousarray(np_polys[j]))
+                            for j in range(np_polys.shape[0])
+                        ]
+                        return Ciphertext(
+                            to_device(np.stack(outs)),
+                            parms_id=tuple(parms_id),
+                            is_ntt_form=is_ntt_form, scale=1.0,
+                            correction_factor=1,
+                        )
                 temp = rlwe.encrypt_zero_asymmetric(
                     self.public_key, ctx, prev_cd.parms_id, is_ntt_form
                 )
-                alpha = ctx.key_context_data().parms.special_modulus_size
-                hybrid_step = (alpha > 1
-                               and tuple(prev_cd.parms_id) == tuple(ctx.key_parms_id))
-                polys = []
-                if hybrid_step:
-                    # key -> first data level drops all alpha special primes
-                    # in one fast-base-conversion divide (hybrid keyswitch)
-                    from seal_tpu.ops import hybrid_keyswitch as hyb
-                    from seal_tpu.ops import ntt as ntt_mod
-
-                    key_moduli = tuple(prev_cd.key_moduli())
-                    L = cd.coeff_modulus_size
-                    L_key = len(key_moduli)
-                    special_tables = ntt_mod.slice_tables(
-                        prev_cd.ntt_tables, L_key - alpha, L_key)
-                    t_mod = (cd.parms.plain_modulus.value
-                             if scheme != SchemeType.CKKS else 0)
-                    for j in range(temp.size):
-                        polys.append(hyb.mod_down(
-                            temp.poly(j), scheme == SchemeType.BGV,
-                            key_moduli, alpha, L, t_mod, cd.ntt_tables,
-                            special_tables, cd.mod_consts,
-                            is_ntt_out=is_ntt_form, rows_ntt=is_ntt_form))
-                else:
-                    rt = prev_cd.rns_tool_device
-                    for j in range(temp.size):
-                        p = temp.poly(j)
-                        if is_ntt_form:
-                            p = rns_ops.divide_and_round_q_last_ntt(p, rt, prev_cd.ntt_tables)
-                        elif scheme != SchemeType.BGV:
-                            p = rns_ops.divide_and_round_q_last(p, rt)
-                        else:
-                            p = rns_ops.mod_t_and_divide_q_last(p, rt)
-                        polys.append(p)
-                from seal_tpu.dtypes import stack_polys
-
+                fn = _ez_mod_switch_fn(
+                    ctx, cd, prev_cd, scheme, is_ntt_form, temp.size)
                 return Ciphertext(
-                    stack_polys(polys), parms_id=tuple(parms_id),
+                    fn(temp.data), parms_id=tuple(parms_id),
                     is_ntt_form=is_ntt_form, scale=temp.scale,
                     correction_factor=temp.correction_factor,
                 )
@@ -171,11 +244,8 @@ class Encryptor:
             moduli = cd.key_moduli()
             n = cd.parms.poly_modulus_degree
             rows = np.zeros((len(moduli), n), dtype=np.uint64)
-            for j, q in enumerate(moduli):
-                vals = plain.data.astype(object)
-                rows[j, :len(vals)] = np.asarray(
-                    [int(v) % q for v in vals], dtype=np.uint64
-                )
+            # plain coefficients are < t < every q_j: the lift is a copy
+            rows[:, :len(plain.data)] = plain.data[None, :]
             c0 = modring.add_poly(ct.poly(0), to_device(rows), cd.mod_consts)
             ct.data = (
                 ct.data[0].at[0].set(c0[0]),

@@ -92,6 +92,36 @@ def get_lib():
             c_u64p, c_u64p,
         ]
         lib.sealtpu_absorb.restype = None
+        lib.sealtpu_dyadic_mul.argtypes = [
+            c_u64p, c_u64p, c_u64p, ctypes.c_size_t, ctypes.c_size_t,
+            c_u64p, c_u64p, c_u64p,
+        ]
+        lib.sealtpu_dyadic_mul.restype = None
+        lib.sealtpu_add_inplace.argtypes = [
+            c_u64p, c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p,
+        ]
+        lib.sealtpu_add_inplace.restype = None
+        lib.sealtpu_add_neg_inplace.argtypes = [
+            c_u64p, c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p,
+        ]
+        lib.sealtpu_add_neg_inplace.restype = None
+        lib.sealtpu_scaled_plain.argtypes = [
+            c_u64p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
+            c_u64p, c_u64p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, c_u64p,
+        ]
+        lib.sealtpu_scaled_plain.restype = None
+        lib.sealtpu_base_convert_dot.argtypes = [
+            c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p,
+            ctypes.c_size_t, c_u64p, c_u64p, c_u64p, c_u64p,
+        ]
+        lib.sealtpu_base_convert_dot.restype = None
+        lib.sealtpu_exact_convert_fix.argtypes = [
+            c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p, c_u64p,
+            c_u64p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64,
+        ]
+        lib.sealtpu_exact_convert_fix.restype = None
         c_u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.sealtpu_split_u32.argtypes = [
             c_u64p, ctypes.c_size_t, c_u32p, c_u32p,

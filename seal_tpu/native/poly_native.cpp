@@ -214,6 +214,136 @@ void sealtpu_absorb(uint64_t *c0, const uint64_t *key, size_t L, size_t n,
     }
 }
 
+// out = a*b mod q over [L, n] (NTT-domain dyadic product).
+void sealtpu_dyadic_mul(const uint64_t *a, const uint64_t *b, uint64_t *out,
+                        size_t L, size_t n, const uint64_t *moduli,
+                        const uint64_t *r0s, const uint64_t *r1s)
+{
+    for (size_t l = 0; l < L; l++) {
+        const uint64_t q = moduli[l], r0 = r0s[l], r1 = r1s[l];
+        const uint64_t *al = a + l * n, *bl = b + l * n;
+        uint64_t *ol = out + l * n;
+        for (size_t i = 0; i < n; i++) {
+            const unsigned __int128 p = (unsigned __int128)al[i] * bl[i];
+            ol[i] = barrett128((uint64_t)p, (uint64_t)(p >> 64), q, r0, r1);
+        }
+    }
+}
+
+// a = (a + b) mod q in place over [L, n]; both < q.
+void sealtpu_add_inplace(uint64_t *a, const uint64_t *b, size_t L, size_t n,
+                         const uint64_t *moduli)
+{
+    for (size_t l = 0; l < L; l++) {
+        const uint64_t q = moduli[l];
+        uint64_t *al = a + l * n;
+        const uint64_t *bl = b + l * n;
+        for (size_t i = 0; i < n; i++) {
+            uint64_t r = al[i] + bl[i];
+            if (r >= q) r -= q;
+            al[i] = r;
+        }
+    }
+}
+
+// a = -(a + b) mod q in place over [L, n]; both < q (0 stays 0).
+void sealtpu_add_neg_inplace(uint64_t *a, const uint64_t *b, size_t L,
+                             size_t n, const uint64_t *moduli)
+{
+    for (size_t l = 0; l < L; l++) {
+        const uint64_t q = moduli[l];
+        uint64_t *al = a + l * n;
+        const uint64_t *bl = b + l * n;
+        for (size_t i = 0; i < n; i++) {
+            uint64_t r = al[i] + bl[i];
+            if (r >= q) r -= q;
+            al[i] = r ? q - r : 0;
+        }
+    }
+}
+
+// Fast-base-conversion dot: out[o, i] = (Σ_j xhat[j, i]·M[o, j]) mod p_o,
+// 128-bit wrapping accumulation exactly like ops/rns.py _matrix_dot
+// (rns.cpp:418-463 parity). xhat are the scaled residues (< q_j).
+void sealtpu_base_convert_dot(const uint64_t *xhat, size_t Li, size_t n,
+                              const uint64_t *M, size_t Lo,
+                              const uint64_t *p, const uint64_t *pr0,
+                              const uint64_t *pr1, uint64_t *out)
+{
+    for (size_t o = 0; o < Lo; o++) {
+        const uint64_t po = p[o], r0 = pr0[o], r1 = pr1[o];
+        const uint64_t *Mo = M + o * Li;
+        uint64_t *oo = out + o * n;
+        for (size_t i = 0; i < n; i++) {
+            unsigned __int128 acc = 0;
+            for (size_t j = 0; j < Li; j++)
+                acc += (unsigned __int128)xhat[j * n + i] * Mo[j];
+            oo[i] = barrett128((uint64_t)acc, (uint64_t)(acc >> 64), po,
+                               r0, r1);
+        }
+    }
+}
+
+// The CT-RSA 2019 v-correction of the exact base conversion
+// (rns.cpp:465-539; ops/rns.py exact_convert_parts): v[i] = floor((Σ_j
+// xhat[j,i]·floor(2^128/q_j) + 2^127) / 2^128), then out = (dot - v·q_mod_p)
+// mod p for the single output prime.
+void sealtpu_exact_convert_fix(const uint64_t *xhat, size_t Li, size_t n,
+                               const uint64_t *ratio_lo,
+                               const uint64_t *ratio_hi, uint64_t *dot,
+                               uint64_t q_mod_p, uint64_t p, uint64_t pr0,
+                               uint64_t pr1)
+{
+    const unsigned __int128 HALF = (unsigned __int128)1 << 127;
+    for (size_t i = 0; i < n; i++) {
+        // 192-bit accumulator: u128 low half (bits 0..127) + u64 high
+        unsigned __int128 acc_lo = 0;
+        uint64_t acc_hi = 0;
+        for (size_t j = 0; j < Li; j++) {
+            const uint64_t x = xhat[j * n + i];
+            const unsigned __int128 lo = (unsigned __int128)x * ratio_lo[j];
+            const unsigned __int128 hi = (unsigned __int128)x * ratio_hi[j];
+            // term = lo + (hi << 64), bits 0..191
+            const unsigned __int128 t_low =
+                lo + ((unsigned __int128)(uint64_t)hi << 64);
+            const uint64_t c0 = t_low < lo;
+            acc_lo += t_low;
+            const uint64_t c1 = acc_lo < t_low;
+            acc_hi += (uint64_t)(hi >> 64) + c0 + c1;
+        }
+        acc_lo += HALF;
+        acc_hi += acc_lo < HALF;
+        const uint64_t v = acc_hi;  // bits 128..191 (v <= Li)
+        const uint64_t vq = (uint64_t)(
+            ((unsigned __int128)v * q_mod_p) % p);
+        uint64_t r = dot[i] + p - vq;
+        if (r >= p) r -= p;
+        dot[i] = r;
+        (void)pr0;
+        (void)pr1;
+    }
+}
+
+// BFV plaintext scaling: out[j, i] = (delta[j]*m_i + fix_i) mod q_j with
+// fix_i = floor((q_mod_t*m_i + half_t)/t) (util/scalingvariant.cpp:69-113
+// parity; mirrors encryptor.py _scaled_plain_rows). m beyond m_count is 0.
+void sealtpu_scaled_plain(const uint64_t *m, size_t m_count, size_t L,
+                          size_t n, const uint64_t *moduli,
+                          const uint64_t *delta, uint64_t q_mod_t,
+                          uint64_t half_t, uint64_t t, uint64_t *out)
+{
+    for (size_t i = 0; i < m_count && i < n; i++) {
+        const uint64_t mi = m[i];
+        if (!mi) continue;
+        const uint64_t fix = (uint64_t)(
+            ((unsigned __int128)q_mod_t * mi + half_t) / t);
+        for (size_t j = 0; j < L; j++) {
+            out[j * n + i] = (uint64_t)(
+                (((unsigned __int128)delta[j] * mi) + fix) % moduli[j]);
+        }
+    }
+}
+
 // Split u64 values into (lo, hi) u32 limb arrays — the host->device
 // boundary conversion (dtypes.to_device hot path; one pass instead of
 // numpy's mask/shift/astype chain).

@@ -34,13 +34,35 @@ from seal_tpu.ops import limb, modring
 from seal_tpu.ops import ntt as ntt_mod
 
 
+def _concrete_lru_cache(fn):
+    """lru_cache that refuses to memoize results containing tracers: these
+    const builders produce jnp arrays, and a first call from INSIDE a jit
+    trace would otherwise poison the cache with DynamicJaxprTracers that
+    leak into later eager calls (UnexpectedTracerError)."""
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapped(*args):
+        if args in cache:
+            return cache[args]
+        out = fn(*args)
+        import jax
+
+        if not any(isinstance(leaf, jax.core.Tracer)
+                   for leaf in jax.tree.leaves(out)):
+            cache[args] = out
+        return out
+
+    return wrapped
+
+
 def digit_ranges(L: int, alpha: int) -> list[list[int]]:
     """Key-level digit partition restricted to the level's first L primes."""
     return [list(range(j * alpha, min((j + 1) * alpha, L)))
             for j in range(-(-L // alpha))]
 
 
-@functools.lru_cache(maxsize=None)
+@_concrete_lru_cache
 def decomp_consts(key_moduli: tuple, alpha: int, L: int):
     """Host constants for the hybrid decompose at a level with L data primes.
 
@@ -83,7 +105,7 @@ def _split_tower(key_moduli: tuple, alpha: int, L: int):
     return K, specials, P
 
 
-@functools.lru_cache(maxsize=None)
+@_concrete_lru_cache
 def tail_consts(key_moduli: tuple, alpha: int, L: int, t_mod: int):
     """Host constants for the one-shot ModDown-by-P tail.
 
@@ -116,7 +138,7 @@ def tail_consts(key_moduli: tuple, alpha: int, L: int, t_mod: int):
     return out
 
 
-@functools.lru_cache(maxsize=None)
+@_concrete_lru_cache
 def fused_rescale_consts(key_moduli: tuple, alpha: int, L: int):
     """Shoup pairs of (P mod q_i) on the L live data rows.
 
@@ -130,7 +152,7 @@ def fused_rescale_consts(key_moduli: tuple, alpha: int, L: int):
         [[P % q] for q in K], [[q] for q in K], shape=(L, 1))
 
 
-@functools.lru_cache(maxsize=None)
+@_concrete_lru_cache
 def decomp_consts_stacked(key_moduli: tuple, alpha: int, L: int):
     """Digit constants stacked along a leading digit axis (uniform width α,
     zero-padded partial digit) — the layout the TP-sharded keyswitch shards

@@ -744,15 +744,19 @@ def _call(x_pair, t: PallasNTTTables, inverse: bool, lazy: bool, interpret: bool
     per_stage = ([8 * n if (i in set(lane_rows)) else 16 * n
                   for i in range(log_n)] if lane_t_active
                  else [16 * n] * log_n)
-    bounds = []
-    s0 = 0
-    while s0 < log_n:
-        s1, acc = s0, 0
-        while s1 < log_n and (s1 == s0 or acc + per_stage[s1] <= _PASS_TABLE_BYTES):
-            acc += per_stage[s1]
-            s1 += 1
-        bounds.append((s0, s1))
-        s0 = s1
+    # greedy fill decides HOW MANY passes fit the budget; stages then split
+    # EVENLY across them (a maximally-packed first pass measured 18.6M >
+    # the 16M scoped VMEM at n=32768 — balance is what keeps each pass's
+    # double-buffered tables under the limit)
+    n_pass, acc = 1, 0
+    for w in per_stage:
+        if acc and acc + w > _PASS_TABLE_BYTES:
+            n_pass += 1
+            acc = 0
+        acc += w
+    bounds = [
+        (p * log_n // n_pass, (p + 1) * log_n // n_pass) for p in range(n_pass)
+    ]
 
     # Grid order (L, B): the batch axis iterates fastest, so consecutive
     # programs share the same prime's (multi-MB) expanded root tables and

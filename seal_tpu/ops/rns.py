@@ -186,6 +186,31 @@ def fast_convert_array(x, bc: BaseConvDevice):
     return _matrix_dot(_scaled_residues(x, bc), bc)
 
 
+def exact_convert_parts(x, bc: BaseConvDevice):
+    """The two halves of exact_convert_array, returned SEPARATELY (dot and
+    the v-correction term): combining them inside one XLA:CPU executable
+    triggers a slice-fusion pathology (see decryptor.py _phase_fn); the
+    final (dot - v_q) mod p runs on host numpy."""
+    temp = _scaled_residues(x, bc)
+    Li = temp[0].shape[-2]
+    n = temp[0].shape[-1]
+    batch = temp[0].shape[:-2]
+    zeros = jnp.zeros(batch + (1, n), dtype=jnp.uint32)
+    acc = tuple(zeros for _ in range(7))
+    for j in range(Li):
+        a = (temp[0][..., j:j + 1, :], temp[1][..., j:j + 1, :])
+        r = tuple(arr[j:j + 1, :] for arr in bc.ibase_ratio_limbs)
+        prod = limb.mul_limbs(a, r)
+        acc = limb.add_limbs(acc, prod, out_len=7)
+    half = (jnp.full_like(zeros, 0),) * 3 + (jnp.full_like(zeros, 0x80000000),) + (zeros,) * 3
+    acc = limb.add_limbs(acc, half, out_len=7)
+    v = (acc[4], acc[5])
+    dot = _matrix_dot(temp, bc)
+    p = bc.obase_mc
+    v_q = limb.mul_mod(v, bc.q_mod_p, p.q, p.ratio0, p.ratio1)
+    return dot, v_q
+
+
 def exact_convert_array(x, bc: BaseConvDevice):
     """Exact conversion to a single-modulus obase with the CT-RSA 2019
     v-correction (parity: rns.cpp:465-539; integer fixed point instead of

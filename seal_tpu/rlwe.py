@@ -181,7 +181,13 @@ def _prng_for(context: SEALContext):
 def encrypt_zero_asymmetric(
     public_key: PublicKey, context: SEALContext, parms_id, is_ntt_form: bool
 ) -> Ciphertext:
-    """c_j = u·pk_j + e_j (+t·e_j for BGV) (parity: rlwe.cpp:189-274)."""
+    """c_j = u·pk_j + e_j (+t·e_j for BGV) (parity: rlwe.cpp:189-274).
+
+    Runs on the native u64 host path when available (the eager JAX route,
+    kept below as fallback/cross-check, costs ~0.5-2.5 s per call in pure
+    dispatch at n=16384); PRNG draw order is identical."""
+    from seal_tpu.native import poly as native_poly
+
     cd = context.get_context_data(parms_id)
     parms = cd.parms
     moduli = cd.key_moduli()
@@ -190,6 +196,14 @@ def encrypt_zero_asymmetric(
     tables = cd.ntt_tables
     mc = cd.mod_consts
     size = public_key.data.size
+
+    np_polys = encrypt_zero_asymmetric_np(
+        public_key, context, parms_id, is_ntt_form)
+    if np_polys is not None:
+        return Ciphertext(
+            to_device(np_polys), parms_id=tuple(parms_id),
+            is_ntt_form=is_ntt_form, scale=1.0, correction_factor=1,
+        )
 
     prng = _prng_for(context)
     u = to_device(sample_poly_ternary(prng, moduli, n))
@@ -298,13 +312,14 @@ def sk_host_u64(secret_key: SecretKey) -> np.ndarray:
 
 def encrypt_zero_symmetric_parts_np(
     secret_key: SecretKey, context: SEALContext, parms_id,
-    c1_override=None, c1_seed=None,
+    c1_override=None, c1_seed=None, is_ntt_form: bool = True,
+    save_seed: bool = False,
 ):
-    """Native-path encrypt_zero_symmetric for NTT-form outputs: raw
-    (c0, c1, seed_info) as numpy u64 [L, N], or None when the native
-    library is unavailable (seal_tpu/native/poly.py). Consumes the PRNG
-    streams in exactly the order of the JAX path below; value-identical
-    (validated in tests/test_native_poly.py + the golden-vector suites)."""
+    """Native-path encrypt_zero_symmetric: raw (c0, c1, seed_info) as numpy
+    u64 [L, N], or None when the native library is unavailable
+    (seal_tpu/native/poly.py). Consumes the PRNG streams in exactly the
+    order of the JAX path below; value-identical (validated in
+    tests/test_native_poly.py + the golden-vector suites)."""
     from seal_tpu.native import poly as native_poly
 
     cd = context.get_context_data(parms_id)
@@ -315,6 +330,7 @@ def encrypt_zero_symmetric_parts_np(
     moduli = [int(m) for m in cd.key_moduli()]
     n = parms.poly_modulus_degree
     L = len(moduli)
+    bgv = parms.scheme == SchemeType.BGV
 
     bootstrap_prng = _prng_for(context)
     public_seed = tuple(
@@ -324,25 +340,96 @@ def encrypt_zero_symmetric_parts_np(
     prng_type = context.key_context_data().parms.prng_type
     seed_info = (int(prng_type), public_seed)
     if c1_override is not None:
-        c1 = np.ascontiguousarray(
+        c1_ntt = np.ascontiguousarray(
             c1_override if isinstance(c1_override, np.ndarray)
             else to_host(c1_override))
+        c1_out = (c1_ntt if is_ntt_form
+                  else npoly.ntt_inverse(c1_ntt.copy()))
         if c1_seed is not None:
             seed_info = c1_seed
     else:
         ciphertext_prng = randomgen.UniformRandomGeneratorFactory(
             prng_type).create(public_seed)
-        c1 = np.ascontiguousarray(
+        a_raw = np.ascontiguousarray(
             sample_poly_uniform(ciphertext_prng, moduli, n))
+        if is_ntt_form:
+            c1_ntt = a_raw
+            c1_out = a_raw
+        elif save_seed:
+            # sample is the coefficient form; NTT only for computing c0
+            # (rlwe.cpp:482-491); serialized c1 is just the seed
+            c1_ntt = npoly.ntt_forward(a_raw.copy())
+            c1_out = a_raw
+        else:
+            # sample interpreted as NTT form, output in coefficient form
+            c1_ntt = a_raw
+            c1_out = npoly.ntt_inverse(a_raw.copy())
 
     noise = np.ascontiguousarray(sample_noise(bootstrap_prng, moduli, n))
-    npoly.ntt_forward(noise)
-    if parms.scheme == SchemeType.BGV:
-        t = parms.plain_modulus.value
-        npoly.mul_scalar(noise, [t % q for q in moduli])
     sk = np.ascontiguousarray(sk_host_u64(secret_key)[:L])
-    c0 = npoly.keygen_c0(c1, sk, noise)
-    return c0, c1, seed_info
+    if is_ntt_form:
+        npoly.ntt_forward(noise)
+        if bgv:
+            t = parms.plain_modulus.value
+            npoly.mul_scalar(noise, [t % q for q in moduli])
+        c0 = npoly.keygen_c0(c1_ntt, sk, noise)
+    else:
+        c0 = npoly.dyadic_mul(sk, c1_ntt)
+        npoly.ntt_inverse(c0)
+        if bgv:
+            t = parms.plain_modulus.value
+            npoly.mul_scalar(noise, [t % q for q in moduli])
+        npoly.add_neg_inplace(c0, noise)
+    return c0, c1_out, seed_info
+
+
+def encrypt_zero_asymmetric_np(
+    public_key: PublicKey, context: SEALContext, parms_id, is_ntt_form: bool
+) -> np.ndarray | None:
+    """Native-path encrypt_zero_asymmetric returning numpy u64
+    [size, L, N], or None when the native library is unavailable."""
+    from seal_tpu.native import poly as native_poly
+
+    cd = context.get_context_data(parms_id)
+    npoly = native_poly.for_context_data(cd)
+    if npoly is None:
+        return None
+    parms = cd.parms
+    moduli = cd.key_moduli()
+    n = parms.poly_modulus_degree
+    scheme = parms.scheme
+    size = public_key.data.size
+    L = len(moduli)
+    prng = _prng_for(context)
+    u = np.ascontiguousarray(sample_poly_ternary(prng, moduli, n))
+    npoly.ntt_forward(u)
+    pk = pk_host_u64(public_key)
+    polys = []
+    for j in range(size):
+        cj = npoly.dyadic_mul(u, np.ascontiguousarray(pk[j, :L]))
+        if not is_ntt_form:
+            npoly.ntt_inverse(cj)
+        polys.append(cj)
+    for j in range(size):
+        e = np.ascontiguousarray(sample_noise(prng, moduli, n))
+        if scheme == SchemeType.BGV:
+            if is_ntt_form:
+                npoly.ntt_forward(e, lazy=True)
+            t = parms.plain_modulus.value
+            npoly.mul_scalar(e, [t % int(q) for q in moduli])
+        elif is_ntt_form:
+            npoly.ntt_forward(e)
+        npoly.add_inplace(polys[j], e)
+    return np.stack(polys)
+
+
+def pk_host_u64(public_key: PublicKey) -> np.ndarray:
+    """Cached numpy u64 mirror of a public key's device data [size, L, N]."""
+    arr = getattr(public_key, "_host_u64", None)
+    if arr is None:
+        arr = np.ascontiguousarray(to_host(public_key.data.data))
+        public_key._host_u64 = arr
+    return arr
 
 
 def encrypt_zero_symmetric_parts(
@@ -352,15 +439,15 @@ def encrypt_zero_symmetric_parts(
     """encrypt_zero_symmetric returning raw (c0, c1, seed_info) polys —
     the kswitch keygen consumes the pair directly and stacks once per key
     instead of once per digit."""
-    if is_ntt_form:
-        r = encrypt_zero_symmetric_parts_np(
-            secret_key, context, parms_id, c1_override, c1_seed)
-        if r is not None:
-            c0, c1, seed_info = r
-            c1_dev = (c1_override if c1_override is not None
-                      and not isinstance(c1_override, np.ndarray)
-                      else to_device(c1))
-            return to_device(c0), c1_dev, seed_info
+    r = encrypt_zero_symmetric_parts_np(
+        secret_key, context, parms_id, c1_override, c1_seed,
+        is_ntt_form=is_ntt_form, save_seed=save_seed)
+    if r is not None:
+        c0, c1, seed_info = r
+        c1_dev = (c1_override if c1_override is not None
+                  and not isinstance(c1_override, np.ndarray) and is_ntt_form
+                  else to_device(c1))
+        return to_device(c0), c1_dev, seed_info
     cd = context.get_context_data(parms_id)
     parms = cd.parms
     moduli = cd.key_moduli()

@@ -101,3 +101,10 @@ def test_example_hybrid_keyswitch():
 @pytest.mark.parametrize("name", HEAVY)
 def test_example_heavy(name):
     _run(name)
+
+
+def test_example_performance_reduced():
+    """8_performance per-op timing walk at n=512/512 (VERDICT r2 item 9 —
+    every example executes in the green CI path; the full-size run stays
+    under SEAL_TPU_RUN_ALL_EXAMPLES)."""
+    _import("8_performance.py").main(n_bfv=512, n_ckks=512)
