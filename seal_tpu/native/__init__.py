@@ -24,15 +24,20 @@ _tried = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             *map(str, _srcs), "-o", str(_so)],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError):
-        return False
+    # full 512-bit vectors first (gcc's -march=native tuning otherwise
+    # splits the 8-lane u64 blake2 compression into 2x ymm — measured 3x
+    # slower); the flag is x86-only, so fall back without it
+    for extra in (["-mprefer-vector-width=512"], []):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", *extra, "-shared", "-fPIC",
+                 *map(str, _srcs), "-o", str(_so)],
+                check=True, capture_output=True, timeout=120,
+            )
+            return True
+        except (subprocess.SubprocessError, FileNotFoundError):
+            continue
+    return False
 
 
 def get_lib():
@@ -122,6 +127,11 @@ def get_lib():
             ctypes.c_uint64,
         ]
         lib.sealtpu_exact_convert_fix.restype = None
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.sealtpu_cbd.argtypes = [
+            c_u8p, ctypes.c_size_t, c_u64p, ctypes.c_size_t, c_u64p,
+        ]
+        lib.sealtpu_cbd.restype = None
         c_u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.sealtpu_split_u32.argtypes = [
             c_u64p, ctypes.c_size_t, c_u32p, c_u32p,
@@ -151,6 +161,25 @@ def blake2xb_stream(seed, counter: int, n_bytes: int) -> bytes | None:
     out = (ctypes.c_uint8 * n_bytes)()
     lib.sealtpu_blake2xb_stream(seed_arr, counter, out, n_bytes)
     return bytes(out)
+
+
+def cbd_from_bytes(raw: bytes, n: int, moduli):
+    """Centered-binomial noise rows [L, n] u64 from 6n stream bytes, or
+    None if the native library is unavailable (rlwe.sample_poly_cbd tail)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    L = len(moduli)
+    q = np.asarray([int(m) for m in moduli], dtype=np.uint64)
+    buf = np.frombuffer(raw, dtype=np.uint8, count=6 * n)
+    out = np.empty((L, n), dtype=np.uint64)
+    lib.sealtpu_cbd(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), L,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out
 
 
 def _int_to_words(v: int, width: int):

@@ -136,6 +136,61 @@ emit:
     std::memcpy(out, full, p.digest_length);
 }
 
+// ---- 8-way vectorized XOF expansion -------------------------------------
+//
+// Every BLAKE2X output block of one refill hashes the SAME 64-byte root
+// with a parameter block differing only in node_offset's low word — i.e.
+// the 64 per-refill blake2b calls share their message schedule and all of
+// their initial state except h[1]. One 8-lane u64 vector compression
+// therefore produces 8 output blocks for the cost of ~1 scalar one. GCC
+// vector extensions lower these to AVX-512 (or 2x AVX2) on this host.
+
+typedef uint64_t u64x8 __attribute__((vector_size(64)));
+
+inline u64x8 bcast8(uint64_t x)
+{
+    return u64x8{ x, x, x, x, x, x, x, x };
+}
+
+inline u64x8 rotr8(u64x8 x, int n)
+{
+    return (x >> n) | (x << (64 - n));
+}
+
+// 8 independent single-block blake2b finals: shared message m[16] and
+// shared init words except h[1] (vector). Writes h[0..7] back as vectors.
+void compress8_xof(u64x8 h[8], const uint64_t m[16], uint64_t t)
+{
+    u64x8 v[16];
+    for (int i = 0; i < 8; i++) v[i] = h[i];
+    for (int i = 0; i < 8; i++) v[8 + i] = bcast8(IV[i]);
+    v[12] ^= bcast8(t);
+    v[14] = ~v[14];  // single-block: always the last compression
+
+#define G8(r, i, a, b, c, d)                    \
+    a = a + b + bcast8(m[SIGMA[r][2 * i]]);     \
+    d = rotr8(d ^ a, 32);                       \
+    c = c + d;                                  \
+    b = rotr8(b ^ c, 24);                       \
+    a = a + b + bcast8(m[SIGMA[r][2 * i + 1]]); \
+    d = rotr8(d ^ a, 16);                       \
+    c = c + d;                                  \
+    b = rotr8(b ^ c, 63);
+
+    for (int r = 0; r < 12; r++) {
+        G8(r, 0, v[0], v[4], v[8], v[12]);
+        G8(r, 1, v[1], v[5], v[9], v[13]);
+        G8(r, 2, v[2], v[6], v[10], v[14]);
+        G8(r, 3, v[3], v[7], v[11], v[15]);
+        G8(r, 4, v[0], v[5], v[10], v[15]);
+        G8(r, 5, v[1], v[6], v[11], v[12]);
+        G8(r, 6, v[2], v[7], v[8], v[13]);
+        G8(r, 7, v[3], v[4], v[9], v[14]);
+    }
+#undef G8
+    for (int i = 0; i < 8; i++) h[i] ^= v[i] ^ v[8 + i];
+}
+
 }  // namespace
 
 extern "C" {
@@ -143,6 +198,9 @@ extern "C" {
 // Fill `out` with `n_bytes` of the SEAL blake2xb PRNG stream for `seed`
 // (8 x u64), starting at refill counter `counter`. n_bytes must be a
 // multiple of 4096 (the reference PRNG buffer size, randomgen.h:391).
+// Bit-identical to the pure-Python RFC implementation
+// (tests/test_randomgen.py); the XOF expansion runs 8 blocks per vector
+// compression.
 void sealtpu_blake2xb_stream(const uint64_t seed[8], uint64_t counter,
                              uint8_t *out, size_t n_bytes)
 {
@@ -155,11 +213,45 @@ void sealtpu_blake2xb_stream(const uint64_t seed[8], uint64_t counter,
         store64(ctr, counter);
         blake2b(rp, key, 64, ctr, 8, root);
 
+        // shared message block: root padded to 128 bytes, t = inlen = 64
+        uint64_t m[16];
+        for (int i = 0; i < 8; i++) m[i] = load64(root + 8 * i);
+        for (int i = 8; i < 16; i++) m[i] = 0;
+
         uint8_t *dst = out + off;
-        for (uint32_t i = 0; i * 64 < OUTLEN; i++) {
-            Param bp{ 64, 0, 0, 0, 64, (uint64_t)OUTLEN << 32 | i, 0, 64 };
-            blake2b(bp, nullptr, 0, root, 64, dst + (size_t)i * 64);
+        for (uint32_t g = 0; g * 64 * 8 < OUTLEN; g++) {
+            // pb word 0: digest_length | leaf_length << 32; word 1:
+            // node_offset = OUTLEN << 32 | i; word 2: inner_length << 8
+            u64x8 h[8];
+            h[0] = bcast8(IV[0] ^ (64ULL | (64ULL << 32)));
+            u64x8 idx = { 0, 1, 2, 3, 4, 5, 6, 7 };
+            h[1] = bcast8(IV[1] ^ ((uint64_t)OUTLEN << 32 | g * 8)) ^ idx;
+            h[2] = bcast8(IV[2] ^ (64ULL << 8));
+            for (int i = 3; i < 8; i++) h[i] = bcast8(IV[i]);
+            compress8_xof(h, m, 64);
+            for (int j = 0; j < 8; j++)
+                for (int k = 0; k < 8; k++)
+                    store64(dst + ((size_t)g * 8 + j) * 64 + 8 * k, h[k][j]);
         }
+    }
+}
+
+// Centered-binomial noise sampler tail (rlwe.cpp sample_poly_cbd parity;
+// mirrors seal_tpu/rlwe.py sample_poly_cbd exactly): 6 stream bytes per
+// coefficient, bytes 2 and 5 masked to 5 bits, noise = popcount of the
+// first three minus popcount of the last three, lifted per prime.
+void sealtpu_cbd(const uint8_t *raw, size_t n, const uint64_t *moduli,
+                 size_t L, uint64_t *out)
+{
+    for (size_t i = 0; i < n; i++) {
+        const uint8_t *b = raw + 6 * i;
+        const int w = __builtin_popcount(b[0]) + __builtin_popcount(b[1]) +
+                      __builtin_popcount(b[2] & 0x1F) -
+                      __builtin_popcount(b[3]) - __builtin_popcount(b[4]) -
+                      __builtin_popcount(b[5] & 0x1F);
+        for (size_t j = 0; j < L; j++)
+            out[j * n + i] = w < 0 ? (uint64_t)(w + (int64_t)moduli[j])
+                                   : (uint64_t)w;
     }
 }
 

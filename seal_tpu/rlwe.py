@@ -70,7 +70,13 @@ _POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
 def sample_poly_cbd(prng, moduli: list[int], n: int) -> np.ndarray:
     """Centered binomial (σ=3.2) noise poly -> uint64 [L, N]."""
     L = len(moduli)
-    raw = np.frombuffer(prng.generate(6 * n), dtype=np.uint8).reshape(n, 6).copy()
+    stream = prng.generate(6 * n)
+    from seal_tpu import native as _native
+
+    rows = _native.cbd_from_bytes(stream, n, moduli)
+    if rows is not None:
+        return rows
+    raw = np.frombuffer(stream, dtype=np.uint8).reshape(n, 6).copy()
     raw[:, 2] &= 0x1F
     raw[:, 5] &= 0x1F
     w = _POPCNT[raw]

@@ -28,6 +28,22 @@ def test_blake2xb_stream_matches_reference():
     assert buf[4090:4106].hex() == VECTORS["blake2xb_12345678_at4090"]
 
 
+def test_blake2xb_native_matches_python():
+    """The 8-way vectorized native XOF expansion vs the pure-Python RFC
+    implementation, across refill-counter boundaries."""
+    import struct
+
+    from seal_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    got = native.blake2xb_stream(SEED, 0, 3 * 4096)
+    key = b"".join(struct.pack("<Q", s) for s in SEED)
+    want = b"".join(
+        blake2xb(4096, struct.pack("<Q", c), key) for c in range(3))
+    assert got == want
+
+
 def test_blake2xb_zero_seed():
     prng = Blake2xbPRNG((0,) * 8)
     assert prng.generate(64).hex() == VECTORS["blake2xb_zero_first64"]
