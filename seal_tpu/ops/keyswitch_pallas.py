@@ -32,6 +32,10 @@ from seal_tpu.ops import limb
 
 LANES = 128
 
+# double-buffered t+k block budget per program; the remaining scoped VMEM
+# holds the 4-limb accumulator stack and the output block
+_KS_VMEM_BUDGET = 9 * 1024 * 1024
+
 
 def pack_mod_consts(moduli) -> np.ndarray:
     """u32 [I, 6] rows: q_lo, q_hi, ratio0_lo, ratio0_hi, ratio1_lo,
@@ -89,14 +93,22 @@ def keyswitch_inner_pallas(t_op, keys_ext, consts: np.ndarray,
     k_lo5 = k_lo.reshape(J, 2, I, R, C)
     k_hi5 = k_hi.reshape(J, 2, I, R, C)
 
-    # grid (I, 2) with c fastest: consecutive programs share the same t_op
-    # block (index map ignores c), so Pallas elides its re-fetch.
-    grid = (I, 2)
-    t_spec = pl.BlockSpec((J, 1, R, C), lambda i, c: (0, i, 0, 0),
+    # Tile the coefficient-row axis so the double-buffered t+k blocks stay
+    # under scoped VMEM (J=15, R=256 at n=32768 measured 17.54M > the 16M
+    # limit). The contraction is elementwise in N — row tiling is exact.
+    rb = R
+    while J * 4 * rb * C * 4 * 2 > _KS_VMEM_BUDGET and rb > 8:
+        rb //= 2
+    n_rb = R // rb
+
+    # grid (I, rblocks, 2) with c fastest: consecutive programs share the
+    # same t_op block (index map ignores c), so Pallas elides its re-fetch.
+    grid = (I, n_rb, 2)
+    t_spec = pl.BlockSpec((J, 1, rb, C), lambda i, r, c: (0, i, r, 0),
                           memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((J, 1, 1, R, C), lambda i, c: (0, c, i, 0, 0),
+    k_spec = pl.BlockSpec((J, 1, 1, rb, C), lambda i, r, c: (0, c, i, r, 0),
                           memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, 1, R, C), lambda i, c: (c, i, 0, 0),
+    o_spec = pl.BlockSpec((1, 1, rb, C), lambda i, r, c: (c, i, r, 0),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_ks_kernel, J=J),

@@ -53,6 +53,20 @@ def test_kernel_matches_exact_ints(J, I, n):
     np.testing.assert_array_equal(got, _expected(moduli, t, k))
 
 
+def test_row_tiled_blocks_bit_identical(monkeypatch):
+    """The VMEM row tiling (rb < R, used at n=32768 where the full-R blocks
+    exceed scoped VMEM) is exact: force tiny blocks and compare."""
+    moduli, t, k = _random_case(15, 16, 1024)
+    consts = ksp.pack_mod_consts(moduli)
+    want = ksp.keyswitch_inner_pallas(_pairs(t), _pairs(k), consts,
+                                      interpret=True)
+    monkeypatch.setattr(ksp, "_KS_VMEM_BUDGET", 4096)  # rb = 8
+    got = ksp.keyswitch_inner_pallas(_pairs(t), _pairs(k), consts,
+                                     interpret=True)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
 def test_full_pipeline_pallas_equals_xla():
     """relinearize + rotate through the Pallas inner product must be
     bit-identical to the XLA loop at every chain level."""

@@ -116,8 +116,32 @@ def main():
               f"pipeline work -> steady-state efficiency "
               f"{amort*100:.1f}% (communication-free thereafter)")
 
-    print("\nAssumptions are explicit inputs (--ici-gbs/--dcn-gbs); at ICI "
-          "90 GB/s the TP=4 row still clears 80%. The ≥80%-at-2-hosts "
+    print(f"\n== TP sensitivity (bandwidth x compute/comm overlap) ==")
+    # The headline table above assumes --ici-gbs with ZERO overlap (every
+    # psum byte is exposed). Real XLA schedules overlap the all-reduce with
+    # the independent per-digit compute to some fraction f; the grid below
+    # brackets the claim instead of betting on one point. Break-even: the
+    # bandwidth at which efficiency = 80% under f=0.
+    print("  eff% rows: P=2 / P=4 / P=8; columns: overlap fraction f")
+    for bw in (45.0, 90.0, 180.0, 360.0):
+        cells = []
+        for f in (0.0, 0.5, 1.0):
+            effs = []
+            for P in (2, 4, 8):
+                t_comp = relin_us / P
+                t_comm = 2 * M * (P - 1) / P / (bw * 1e9) * 1e6
+                t_total = t_comp + max(t_comm - f * t_comp, 0.0)
+                effs.append(t_comp / t_total)
+            cells.append("/".join(f"{e*100:.0f}" for e in effs))
+        print(f"  ICI {bw:5.0f} GB/s:  f=0 {cells[0]:>9}   "
+              f"f=.5 {cells[1]:>9}   f=1 {cells[2]:>9}")
+    for P in (2, 4, 8):
+        t_comp = relin_us / P
+        bw_be = (2 * M * (P - 1) / P) / (0.25 * t_comp / 1e6) / 1e9
+        print(f"  break-even for 80% at TP={P} (f=0): {bw_be:.0f} GB/s")
+
+    print("\nAssumptions are explicit inputs (--ici-gbs/--dcn-gbs); the "
+          "sensitivity grid above brackets them. The ≥80%-at-2-hosts "
           "BASELINE target is met by construction under DP (no steady-state "
           "traffic) and by the table above under TP.")
     print(json.dumps({
