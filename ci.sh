@@ -3,7 +3,7 @@
 # role, not format). One command, fails loudly, prints wall time.
 #
 #   ./ci.sh          # lint + full test suite on the CPU backend
-#   ./ci.sh quick    # lint + the fast suites only (~2 min warm)
+#   ./ci.sh quick    # lint + the fast suites only (8-20 min, see below)
 #
 # The suite runs on a virtual 8-device CPU mesh (tests/conftest.py pins the
 # backend and the persistent XLA compile cache at /root/.cache/jax; a cold

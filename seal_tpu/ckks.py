@@ -162,12 +162,18 @@ class CKKSEncoder:
         from seal_tpu.native import poly as native_poly
 
         npoly = native_poly.for_context_data(cd)
+        host_rows = None
         if npoly is not None:
-            dev = to_device(npoly.ntt_forward(np.ascontiguousarray(rows)))
+            host_rows = npoly.ntt_forward(np.ascontiguousarray(rows))
+            dev = to_device(host_rows)
         else:
             dev = ntt_mod.ntt_forward_eager(to_device(rows), cd.ntt_tables)
         p = Plaintext()
         p.rns_data = dev
+        if host_rows is not None:
+            # numpy mirror for the native encrypt path, keyed to this
+            # device pair so later rns_data mutation invalidates it
+            p.host_mirror = (host_rows, dev)
         p.parms_id = tuple(parms_id)
         p.scale = float(scale)
         return p

@@ -205,6 +205,75 @@ class Encryptor:
 
     # -- plaintext encryption ------------------------------------------------------
 
+    def _encrypt_zero_np(self, cd, asymmetric: bool, save_seed: bool):
+        """Fully-native encrypt-zero: (numpy [size, L, N], seed_info) or
+        None when any leg of the path would need the JAX route."""
+        from seal_tpu.native import poly as native_poly
+
+        ctx = self.context
+        scheme = cd.parms.scheme
+        is_ntt_form = scheme == SchemeType.CKKS
+        if asymmetric:
+            if self.public_key is None:
+                raise RuntimeError("public key is not set")
+            prev_cd = cd.prev_context_data
+            if prev_cd is None:
+                polys = rlwe.encrypt_zero_asymmetric_np(
+                    self.public_key, ctx, cd.parms_id, is_ntt_form)
+                return None if polys is None else (polys, None)
+            alpha = ctx.key_context_data().parms.special_modulus_size
+            hybrid_step = (alpha > 1 and tuple(prev_cd.parms_id)
+                           == tuple(ctx.key_parms_id))
+            if hybrid_step or scheme == SchemeType.BGV:
+                return None  # hybrid mod-down / BGV q-last stay on JAX
+            np_polys = rlwe.encrypt_zero_asymmetric_np(
+                self.public_key, ctx, prev_cd.parms_id, is_ntt_form)
+            if np_polys is None:
+                return None
+            npoly = native_poly.for_context_data(prev_cd)
+            outs = [(npoly.rescale_ntt if is_ntt_form
+                     else npoly.rescale_coeff)(
+                        np.ascontiguousarray(np_polys[j]))
+                    for j in range(np_polys.shape[0])]
+            return np.stack(outs), None
+        if self.secret_key is None:
+            raise RuntimeError("secret key is not set")
+        r = rlwe.encrypt_zero_symmetric_parts_np(
+            self.secret_key, ctx, cd.parms_id, is_ntt_form=is_ntt_form,
+            save_seed=save_seed)
+        if r is None:
+            return None
+        c0, c1, seed_info = r
+        return np.stack([c0, c1]), (seed_info if save_seed else None)
+
+    def _encrypt_np(self, plain: Plaintext, rows: np.ndarray, cd,
+                    asymmetric: bool, save_seed: bool,
+                    scale: float) -> Ciphertext | None:
+        """One-executable native encrypt: encrypt-zero + the plaintext add
+        on host u64 C, then a single to_device. rows: [L', N] u64 < q
+        (L' <= L; shorter rows are added to the leading moduli only, the
+        BFV/BGV full-width callers pass L' = L)."""
+        from seal_tpu.native import poly as native_poly
+
+        fast = self._encrypt_zero_np(cd, asymmetric, save_seed)
+        if fast is None:
+            return None
+        polys, seed_info = fast
+        npoly = native_poly.for_context_data(cd)
+        if npoly is None:
+            return None
+        c0 = polys[0, :rows.shape[0]]
+        npoly.add_inplace(np.ascontiguousarray(c0), rows)
+        polys[0, :rows.shape[0]] = c0
+        ct = Ciphertext(
+            to_device(polys), parms_id=tuple(cd.parms_id),
+            is_ntt_form=cd.parms.scheme == SchemeType.CKKS, scale=scale,
+            correction_factor=1,
+        )
+        if seed_info is not None:
+            ct.seed_info = seed_info
+        return ct
+
     def _encrypt_internal(self, plain: Plaintext, asymmetric: bool,
                           save_seed: bool = False) -> Ciphertext:
         ctx = self.context
@@ -213,9 +282,14 @@ class Encryptor:
         if scheme == SchemeType.BFV:
             if plain.is_ntt_form:
                 raise ValueError("plain cannot be in NTT form")
-            ct = self.encrypt_zero(ctx.first_parms_id, asymmetric, save_seed)
             cd = ctx.first_context_data()
-            scaled = to_device(_scaled_plain_rows(plain, cd))
+            scaled_np = _scaled_plain_rows(plain, cd)
+            ct = self._encrypt_np(
+                plain, scaled_np, cd, asymmetric, save_seed, 1.0)
+            if ct is not None:
+                return ct
+            ct = self.encrypt_zero(ctx.first_parms_id, asymmetric, save_seed)
+            scaled = to_device(scaled_np)
             c0 = modring.add_poly(ct.poly(0), scaled, cd.mod_consts)
             ct.data = (
                 ct.data[0].at[0].set(c0[0]),
@@ -228,6 +302,12 @@ class Encryptor:
             cd = ctx.get_context_data(plain.parms_id)
             if cd is None:
                 raise ValueError("plain is not valid for encryption parameters")
+            mirror = getattr(plain, "host_mirror", None)
+            if mirror is not None and plain.rns_data is mirror[1]:
+                ct = self._encrypt_np(
+                    plain, mirror[0], cd, asymmetric, save_seed, plain.scale)
+                if ct is not None:
+                    return ct
             ct = self.encrypt_zero(plain.parms_id, asymmetric, save_seed)
             c0 = modring.add_poly(ct.poly(0), plain.rns_data, cd.mod_consts)
             ct.data = (
@@ -239,13 +319,17 @@ class Encryptor:
         elif scheme == SchemeType.BGV:
             if plain.is_ntt_form:
                 raise ValueError("plain cannot be in NTT form")
-            ct = self.encrypt_zero(ctx.first_parms_id, asymmetric, save_seed)
             cd = ctx.first_context_data()
             moduli = cd.key_moduli()
             n = cd.parms.poly_modulus_degree
             rows = np.zeros((len(moduli), n), dtype=np.uint64)
             # plain coefficients are < t < every q_j: the lift is a copy
             rows[:, :len(plain.data)] = plain.data[None, :]
+            ct = self._encrypt_np(
+                plain, rows, cd, asymmetric, save_seed, 1.0)
+            if ct is not None:
+                return ct
+            ct = self.encrypt_zero(ctx.first_parms_id, asymmetric, save_seed)
             c0 = modring.add_poly(ct.poly(0), to_device(rows), cd.mod_consts)
             ct.data = (
                 ct.data[0].at[0].set(c0[0]),
