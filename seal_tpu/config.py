@@ -25,7 +25,7 @@ class GlobalConfig:
     # (measured: 18.11M > 16M at n=32768 on v5e), so the kernel pages
     # itself into stage-range passes (ops/ntt_pallas.py _PASS_TABLE_BYTES)
     # — bit-transparent, one extra HBM roundtrip per extra pass
-    pallas_ntt_max_n: int = 131072
+    pallas_ntt_max_n: int = 65536
     # NTT-domain Galois permutation: "gather" (default — measured at
     # parity with the MXU route on v5e, BASELINE.md r2) or "matmul"
     # (Clos-routed one-hot matmuls; same speed, kept as an option)

@@ -748,9 +748,20 @@ def _call(x_pair, t: PallasNTTTables, inverse: bool, lazy: bool, interpret: bool
     # EVENLY across them (a maximally-packed first pass measured 18.6M >
     # the 16M scoped VMEM at n=32768 — balance is what keeps each pass's
     # double-buffered tables under the limit)
+    # the data blocks (in/out/lane-table, double-buffered) and the kernel's
+    # live [R, C] temporaries also scale with n and share scoped VMEM with
+    # the double-buffered stage tables — measured fixed footprint ~128n
+    # bytes (n=65536: 16.71M total with an 8.4M double-buffered 4-stage
+    # table slice => 8.3M fixed). Give the tables half of what remains;
+    # the n <= 32768 pass structure is unchanged by this formula. Above
+    # n=65536 the fixed footprint alone exceeds scoped VMEM — the
+    # dispatcher routes those sizes to the XLA kernel (config
+    # pallas_ntt_max_n; the n=131072 Pallas paging logic stays validated
+    # in interpret mode, tests/test_evaluator_reference.py TestHugeN).
+    budget = min(_PASS_TABLE_BYTES, max(((31 << 19) - 128 * n) // 2, 16 * n))
     n_pass, acc = 1, 0
     for w in per_stage:
-        if acc and acc + w > _PASS_TABLE_BYTES:
+        if acc and acc + w > budget:
             n_pass += 1
             acc = 0
         acc += w

@@ -62,22 +62,41 @@ def main():
     pt = jax.device_put(pt, tpu)
     ct = jax.device_put(ct, tpu)
 
+    from jax import tree_util
+
+    def hoisted(f, *ex):
+        """jit(f) with every closed-over array (the multi-MB expanded root
+        tables) hoisted to device-resident jaxpr consts — the remote
+        compile endpoint rejects payloads above ~100 MB, which the tables
+        pass at n=65536 (same trick as bench_ops_tpu._marginal)."""
+        jpr, out_shape = jax.make_jaxpr(f, return_shape=True)(*ex)
+        out_tree = tree_util.tree_structure(out_shape)
+        consts = [jax.device_put(c) for c in jpr.consts]
+
+        @jax.jit
+        def conv(consts_, *ex_):
+            out = jax.core.eval_jaxpr(
+                jpr.jaxpr, consts_, *tree_util.tree_leaves(ex_))
+            return tree_util.tree_unflatten(out_tree, out)
+
+        return lambda *ex_: conv(consts, *ex_)
+
     # correctness of the compiled kernels on real hardware (fwd and inv)
     kinds = [("expanded", pt)] + ([] if args.skip_compact else [("compact", ct)])
     for name, tables in kinds:
-        got = jax.jit(lambda v, tb=tables: npk.ntt_forward_pallas(v, tb))(x)
+        got = hoisted(lambda v, tb=tables: npk.ntt_forward_pallas(v, tb), x)(x)
         ok = np.array_equal(np.asarray(got[0]), ref_np[0]) and np.array_equal(
             np.asarray(got[1]), ref_np[1])
         print(f"pallas fwd ({name}) matches XLA on TPU: {ok}", flush=True)
-        rt = jax.jit(lambda v, tb=tables: npk.ntt_inverse_pallas(
-            npk.ntt_forward_pallas(v, tb), tb))(x)
+        rt = hoisted(lambda v, tb=tables: npk.ntt_inverse_pallas(
+            npk.ntt_forward_pallas(v, tb), tb), x)(x)
         ok = np.array_equal(np.asarray(rt[0]), np.asarray(x[0])) and             np.array_equal(np.asarray(rt[1]), np.asarray(x[1]))
         print(f"pallas fwd+inv roundtrip ({name}) exact on TPU: {ok}",
               flush=True)
 
     def measure(step, label):
-        fn = jax.jit(lambda v, s: jax.lax.fori_loop(
-            0, s, lambda i, a: step(a), v))
+        fn = hoisted(lambda v, s: jax.lax.fori_loop(
+            0, s, lambda i, a: step(a), v), x, 1)
         o = fn(x, 1)
         _ = np.asarray(o[0][0, 0, :2])  # forced transfer: the only real sync
 
