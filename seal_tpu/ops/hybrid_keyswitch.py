@@ -67,11 +67,12 @@ def decomp_consts(key_moduli: tuple, alpha: int, L: int):
     """Host constants for the hybrid decompose at a level with L data primes.
 
     Returns (digits, per_digit) where per_digit[j] =
-      (inv_hat_op, inv_hat_qt, q_dig, hat_ext_pair):
+      (inv_hat_op, inv_hat_qt, q_dig, hat_ext_pair, hat_ext_qt):
       * inv_hat: Shoup pairs of [\\hat{Q}'_{j,t}^{-1}]_{q_t}, shape [a_j, 1]
       * q_dig: u64 pair [a_j, 1] of the digit's own moduli
-      * hat_ext_pair: u64 pair [a_j, I] of \\hat{Q}'_{j,t} mod ext_modulus_i
-        (I = L data + alpha special rows)
+      * hat_ext_pair/_qt: Shoup pair [a_j, I] of \\hat{Q}'_{j,t} mod
+        ext_modulus_i (I = L data + alpha special rows) — the quotient
+        feeds the per-term Shoup dot (_shoup_dot)
     """
     K = list(key_moduli[:len(key_moduli) - alpha])
     specials = list(key_moduli[len(key_moduli) - alpha:])
@@ -88,10 +89,52 @@ def decomp_consts(key_moduli: tuple, alpha: int, L: int):
         inv_op, inv_qt = modring.shoup_pair(
             [[v] for v in inv_hats], [[q] for q in qd], shape=(len(qd), 1))
         q_dig = limb.arr_to_u64([[q] for q in qd], shape=(len(qd), 1))
-        hat_ext = limb.arr_to_u64(
-            [[h % m for m in ext] for h in hats], shape=(len(qd), len(ext)))
-        per_digit.append((inv_op, inv_qt, q_dig, hat_ext))
+        hat_ext, hat_qt = modring.shoup_pair(
+            [[h % m for m in ext] for h in hats],
+            [list(ext) for _ in hats], shape=(len(qd), len(ext)))
+        per_digit.append((inv_op, inv_qt, q_dig, hat_ext, hat_qt))
     return digits, per_digit
+
+
+def _shoup_dot(w, hat_op, hat_qt, mc):
+    """Σ_t w_t·hat_t mod q, fully reduced — per-term Shoup-lazy products
+    + one conditional-subtraction chain instead of 128-bit accumulation +
+    Barrett-128 (~1.9x fewer u32 ops at a=2, ~3x at a=1). Bit-identical:
+    both routes emit the unique representative of the same integer in
+    [0, q). w: pair [a, N] (each row < its q_t); hat: Shoup pair [a, I]
+    per OUTPUT modulus; mc: ModConsts of the I output moduli.
+
+    The lazy sum needs 2a·q < 2^64 (q < 2^61): contractions wider than 4
+    fall back to the 128-bit accumulation route."""
+    import jax.numpy as jnp
+
+    a = w[0].shape[0]
+    if a > 4:
+        I = mc.q[0].shape[0]
+        n = w[0].shape[-1]
+        z = jnp.zeros((I, n), jnp.uint32)
+        acc = (z, z, z, z)
+        for t in range(a):
+            wt = (w[0][t][None, :], w[1][t][None, :])
+            ht = (hat_op[0][t][:, None], hat_op[1][t][:, None])
+            acc = limb.mul_add_128(acc, wt, ht)
+        return limb.barrett_reduce_128(
+            (acc[0], acc[1]), (acc[2], acc[3]),
+            mc.q, mc.ratio0, mc.ratio1)
+    acc = None
+    for t in range(a):
+        wt = (w[0][t][None, :], w[1][t][None, :])
+        term = limb.mul_mod_shoup_lazy(
+            wt, (hat_op[0][t][:, None], hat_op[1][t][:, None]),
+            (hat_qt[0][t][:, None], hat_qt[1][t][:, None]), mc.q)
+        acc = term if acc is None else limb.add64(acc, term)
+    # acc < 2a·q -> [0, q): subtract 2^k·q top-down
+    k = (2 * a - 1).bit_length() - 1
+    while k >= 0:
+        bound = limb.shl64(mc.q, k) if k else mc.q
+        acc = limb.cond_sub(acc, bound)
+        k -= 1
+    return acc
 
 
 def _split_tower(key_moduli: tuple, alpha: int, L: int):
@@ -120,13 +163,16 @@ def tail_consts(key_moduli: tuple, alpha: int, L: int, t_mod: int):
         "p_mc": modring.make_mod_consts(specials),
         "inv_hatP_shoup": modring.shoup_pair(
             [[v] for v in inv_hats], [[p] for p in specials], shape=(a, 1)),
-        "hatP_q": limb.arr_to_u64(
-            [[h % q for q in K] for h in hats], shape=(a, L)),
+        "hatP_q": modring.shoup_pair(
+            [[h % q for q in K] for h in hats],
+            [list(K) for _ in hats], shape=(a, L)),
         "pinv_q_shoup": modring.shoup_pair(
             [[pow(P % q, -1, q)] for q in K], [[q] for q in K], shape=(L, 1)),
     }
     if t_mod:
-        out["hatP_t"] = limb.arr_to_u64([[h % t_mod] for h in hats], shape=(a, 1))
+        out["hatP_t"] = modring.shoup_pair(
+            [[h % t_mod] for h in hats], [[t_mod] for _ in hats],
+            shape=(a, 1))
         out["pinv_t_shoup"] = modring.shoup_pair(
             [[pow(P % t_mod, -1, t_mod)]], [[t_mod]], shape=(1, 1))
         out["p_mod_q"] = limb.arr_to_u64([[P % q] for q in K], shape=(L, 1))
@@ -168,7 +214,9 @@ def decomp_consts_stacked(key_moduli: tuple, alpha: int, L: int):
     inv_qt = [np.zeros((d, alpha, 1), dtype=np.uint32) for _ in range(2)]
     q_dig = [np.zeros((d, alpha, 1), dtype=np.uint32) for _ in range(2)]
     hat_ext = [np.zeros((d, alpha, I), dtype=np.uint32) for _ in range(2)]
-    for j, (rows, (iop, iqt, qd, he)) in enumerate(zip(digits, per_digit)):
+    hat_qt = [np.zeros((d, alpha, I), dtype=np.uint32) for _ in range(2)]
+    for j, (rows, (iop, iqt, qd, he, hqt)) in enumerate(
+            zip(digits, per_digit)):
         a = len(rows)
         rows_idx[j, :a] = rows
         for h in range(2):
@@ -176,23 +224,23 @@ def decomp_consts_stacked(key_moduli: tuple, alpha: int, L: int):
             inv_qt[h][j, :a] = np.asarray(iqt[h])
             q_dig[h][j, :a] = np.asarray(qd[h])
             hat_ext[h][j, :a] = np.asarray(he[h])
+            hat_qt[h][j, :a] = np.asarray(hqt[h])
     return (jnp.asarray(rows_idx),
             tuple(jnp.asarray(a) for a in inv_op),
             tuple(jnp.asarray(a) for a in inv_qt),
             tuple(jnp.asarray(a) for a in q_dig),
-            tuple(jnp.asarray(a) for a in hat_ext))
+            tuple(jnp.asarray(a) for a in hat_ext),
+            tuple(jnp.asarray(a) for a in hat_qt))
 
 
 def decompose_digits(t_target, rows_idx, inv_op, inv_qt, q_dig, hat_ext,
-                     ext_mc):
+                     hat_qt, ext_mc):
     """decompose() over an explicit stacked-constants digit block
     [d_loc, α, ...] (possibly a mesh shard of decomp_consts_stacked).
     t_target is the full coeff-domain [L, N] pair (replicated)."""
     import jax.numpy as jnp
 
     d_loc, a = rows_idx.shape
-    I = ext_mc.q[0].shape[0]
-    n = t_target[0].shape[-1]
     outs_lo, outs_hi = [], []
     for jl in range(d_loc):
         idx = rows_idx[jl]
@@ -201,15 +249,9 @@ def decompose_digits(t_target, rows_idx, inv_op, inv_qt, q_dig, hat_ext,
             tr, (inv_op[0][jl], inv_op[1][jl]),
             (inv_qt[0][jl], inv_qt[1][jl]),
             (q_dig[0][jl], q_dig[1][jl]))                    # [α, N]
-        z = jnp.zeros((I, n), jnp.uint32)
-        acc = (z, z, z, z)
-        for t in range(a):
-            wt = (w[0][t][None, :], w[1][t][None, :])
-            ht = (hat_ext[0][jl, t][:, None], hat_ext[1][jl, t][:, None])
-            acc = limb.mul_add_128(acc, wt, ht)
-        y = limb.barrett_reduce_128(
-            (acc[0], acc[1]), (acc[2], acc[3]),
-            ext_mc.q, ext_mc.ratio0, ext_mc.ratio1)
+        y = _shoup_dot(
+            w, (hat_ext[0][jl], hat_ext[1][jl]),
+            (hat_qt[0][jl], hat_qt[1][jl]), ext_mc)
         outs_lo.append(y[0])
         outs_hi.append(y[1])
     return jnp.stack(outs_lo), jnp.stack(outs_hi)            # [d_loc, I, N]
@@ -224,22 +266,13 @@ def decompose(t_target, key_moduli: tuple, alpha: int, L: int, ext_mc):
     import jax.numpy as jnp
 
     digits, per_digit = decomp_consts(key_moduli, alpha, L)
-    I = ext_mc.q[0].shape[0]
-    n = t_target[0].shape[-1]
     outs_lo, outs_hi = [], []
-    for rows, (inv_op, inv_qt, q_dig, hat_ext) in zip(digits, per_digit):
+    for rows, (inv_op, inv_qt, q_dig, hat_ext, hat_qt) in zip(
+            digits, per_digit):
         idx = jnp.asarray(rows)
         tr = (t_target[0][idx], t_target[1][idx])            # [a, N]
         w = limb.mul_mod_shoup(tr, inv_op, inv_qt, q_dig)    # [a, N], < q_t
-        z = jnp.zeros((I, n), jnp.uint32)
-        acc = (z, z, z, z)
-        for t in range(len(rows)):
-            wt = (w[0][t][None, :], w[1][t][None, :])        # [1, N]
-            ht = (hat_ext[0][t][:, None], hat_ext[1][t][:, None])  # [I, 1]
-            acc = limb.mul_add_128(acc, wt, ht)
-        y = limb.barrett_reduce_128(
-            (acc[0], acc[1]), (acc[2], acc[3]),
-            ext_mc.q, ext_mc.ratio0, ext_mc.ratio1)          # [I, N]
+        y = _shoup_dot(w, hat_ext, hat_qt, ext_mc)           # [I, N]
         outs_lo.append(y[0])
         outs_hi.append(y[1])
     return jnp.stack(outs_lo), jnp.stack(outs_hi)            # [d, I, N]
@@ -320,30 +353,16 @@ def mod_down(rows, scheme_is_bgv: bool, key_moduli: tuple, alpha: int, L: int,
         y = limb.add_mod(spec, c["phalf_p"], p_mc.q)
         w = limb.mul_mod_shoup(y, inv_op, inv_qt, p_mc.q)    # [α, N]
 
-    n = rows[0].shape[-1]
-    z = jnp.zeros((L, n), jnp.uint32)
-    acc = (z, z, z, z)
-    for k in range(alpha):
-        wk = (w[0][k][None, :], w[1][k][None, :])
-        hk = (c["hatP_q"][0][k][:, None], c["hatP_q"][1][k][:, None])
-        acc = limb.mul_add_128(acc, wk, hk)
-    r = limb.barrett_reduce_128(
-        (acc[0], acc[1]), (acc[2], acc[3]), mc.q, mc.ratio0, mc.ratio1)
+    hq_op, hq_qt = c["hatP_q"]
+    r = _shoup_dot(w, hq_op, hq_qt, mc)                      # [L, N]
 
     pinv_op, pinv_qt = c["pinv_q_shoup"]
     if scheme_is_bgv:
         # y_t = Σ w_k·(hatP_k mod t): the SAME integer the q-rows carry,
         # reduced mod t — makes the numerator ≡ x (mod t) exactly
         t_mc = modring.make_mod_consts([t_mod])
-        zt = jnp.zeros((1, n), jnp.uint32)
-        acct = (zt, zt, zt, zt)
-        for k in range(alpha):
-            wk = (w[0][k][None, :], w[1][k][None, :])
-            hk = (c["hatP_t"][0][k][:, None], c["hatP_t"][1][k][:, None])
-            acct = limb.mul_add_128(acct, wk, hk)
-        y_t = limb.barrett_reduce_128(
-            (acct[0], acct[1]), (acct[2], acct[3]),
-            t_mc.q, t_mc.ratio0, t_mc.ratio1)
+        ht_op, ht_qt = c["hatP_t"]
+        y_t = _shoup_dot(w, ht_op, ht_qt, t_mc)              # [1, N]
         k_t = limb.neg_mod(y_t, t_mc.q)
         pt_op, pt_qt = c["pinv_t_shoup"]
         k_t = limb.mul_mod_shoup(k_t, pt_op, pt_qt, t_mc.q)

@@ -183,8 +183,9 @@ class TPKeySwitch:
         d_loc = self.d_pad // tp
 
         def body(tc, stacked, k):
-            rows_idx, iop, iqt, qd, he = stacked
-            y = hyb.decompose_digits(tc, rows_idx, iop, iqt, qd, he, ext_mc)
+            rows_idx, iop, iqt, qd, he, hqt = stacked
+            y = hyb.decompose_digits(
+                tc, rows_idx, iop, iqt, qd, he, hqt, ext_mc)
             t_op = ntt_mod.ntt_forward(y, ext_tables)        # [d_loc, I, n]
             n = tc[0].shape[-1]
             acc = [
@@ -218,10 +219,11 @@ class TPKeySwitch:
             d1 = P(self.axis, None)
             d2 = P(self.axis, None, None)
             spec_k = P(self.axis, None, None, None)
+            d2w = P(self.axis, None, None)
             self._in_specs = (
                 (rep, rep),
                 (d1, (d2, d2), (d2, d2), (d2, d2),
-                 (P(self.axis, None, None), P(self.axis, None, None))),
+                 (d2w, d2w), (d2w, d2w)),
                 (spec_k, spec_k),
             )
             self._reduce_fn = jax.jit(shard_map(

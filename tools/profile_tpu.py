@@ -84,6 +84,13 @@ def main():
         delta = ev._switch_key(wrap(p), (p[0][1], p[1][1]), rk.key(2))
         return (p[0].at[:2].set(delta.data[0] ^ p[0][:2]), p[1])
 
+    def red_stage(p):
+        # decompose + inner product only (no mod-down tail): full - this
+        # = the P (or P·q_last) mod_down cost
+        t_op = ev._switch_key_decompose(wrap(p), (p[0][1], p[1][1]))
+        prod = ev._switch_key_reduce(wrap(p), t_op, rk.key(2))
+        return (p[0].at[0].set(p[0][0] ^ prod[0][0][:L]), p[1])
+
     def rs_stage(p):
         out = ev.rescale_to_next(wrap(p))
         return (p[0].at[:, :L - 1].set(p[0][:, :L - 1] ^ out.data[0]), p[1])
@@ -124,6 +131,7 @@ def main():
     with jax.default_device(target):
         measure("multiply", mult_stage)
         measure("switch_key_decompose", dec_stage)
+        measure("switch_key_decompose_inner", red_stage)
         measure("switch_key_full", sk_stage)
         measure("rescale", rs_stage)
         measure("pipeline_sequential", seq_full)
