@@ -36,6 +36,17 @@ class GlobalConfig:
     # keeps the 4-limb accumulator in VMEM across the decomp contraction
     use_pallas_keyswitch: str = "auto"
     pallas_keyswitch_min_n: int = 256
+    # Shoup-quotient key-switch inner product: precompute floor(k·2^64/q)
+    # for every key element ONCE per loaded key (cached on the key object),
+    # then contract with per-term Shoup-lazy products + a conditional-
+    # subtraction chain instead of 128-bit accumulation + Barrett-128.
+    # Bit-identical (same integer mod q, same representative); used only
+    # when the lazy sum provably fits u64 (2·d·max_q < 2^64). Measured
+    # NEUTRAL on the v5e headline (1163.7 vs 1162.9 ops/s, BASELINE.md
+    # "Shoup inner-product A/B") — the contraction is not multiply-bound
+    # there — while doubling the key HBM footprint, so default OFF; kept
+    # selectable for toolchains/shapes where the VPU saving materializes
+    keyswitch_shoup: bool = False
     # host-side keygen/encrypt-zero math on the native u64 path
     # (seal_tpu/native/poly.py) instead of the XLA:CPU limb emulation —
     # ~10x on a single host core; bit-identical (cross-checked in

@@ -15,6 +15,8 @@ NTT.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -406,22 +408,59 @@ class Evaluator:
 
     # -- key switching ----------------------------------------------------------------
 
-    def _switch_key(self, ct: Ciphertext, target, keys_tensor) -> Ciphertext:
+    def _switch_key(self, ct: Ciphertext, target, keys_tensor,
+                    keys_quot=None) -> Ciphertext:
         """Key switch `target` (a [L, N] poly at ct's level, same domain as
         ct) under one kswitch key tensor [L_decomp, 2, L_key, N]; returns a
         size-2 ciphertext to ADD into ct's (c0, c1)
         (parity: evaluator.cpp:2382-2677)."""
         return self._switch_key_tail(
-            ct, self._switch_key_prod(ct, target, keys_tensor))
+            ct, self._switch_key_prod(ct, target, keys_tensor,
+                                      keys_quot=keys_quot))
 
-    def _switch_key_prod(self, ct: Ciphertext, target, keys_tensor):
+    def _switch_key_prod(self, ct: Ciphertext, target, keys_tensor,
+                         keys_quot=None):
         """Decompose + inner product, reduced to [0, q): the
         collective-bearing half of key switching. TPEvaluator overrides
         this (parallel/keyswitch.py) to shard the decomposition axis over
         'tp' with one exact psum — both the standard and the fused
         (relinearize_rescale) tails consume its output."""
         return self._switch_key_reduce(
-            ct, self._switch_key_decompose(ct, target), keys_tensor)
+            ct, self._switch_key_decompose(ct, target), keys_tensor,
+            keys_quot=keys_quot)
+
+    def _key_quot(self, keys_obj, index: int):
+        """Shoup quotients floor(k·2^64/q) for one loaded kswitch key tensor
+        (config.keyswitch_shoup), computed as ONE jitted call the first time
+        a key is used and cached on the key object — the runtime analogue of
+        the reference precomputing MultiplyUIntModOperand quotients at key
+        load. Returns None for tracer keys (a cache would leak tracers) or
+        when the feature is off; callers then use the 128-bit route."""
+        from seal_tpu.config import config as cfg, pallas_keyswitch_enabled
+
+        if not cfg.keyswitch_shoup:
+            return None
+        pair = keys_obj.keys[index]
+        if pair is None:
+            return None
+        if not pallas_keyswitch_enabled(int(pair[0].shape[-1])):
+            return None  # only the Pallas contraction has a Shoup route
+        if any(isinstance(a, jax.core.Tracer) for a in pair):
+            return None
+        cache = keys_obj.__dict__.setdefault("_shoup_quot", {})
+        hit = cache.get(index)
+        if hit is None or hit[0] is not pair[0]:
+            # keyed on the tensor object itself: replacing keys_obj.keys[i]
+            # (e.g. a device_put to another chip) invalidates the entry.
+            # ensure_compile_time_eval: the first use may be inside a user
+            # jit trace — compute the quotients eagerly THERE so a concrete
+            # array (not a tracer) lands in this cross-trace cache
+            key_moduli = tuple(
+                int(m) for m in self.context.key_context_data().key_moduli())
+            with jax.ensure_compile_time_eval():
+                hit = (pair[0], _key_quot_fn(key_moduli)(pair[0], pair[1]))
+            cache[index] = hit
+        return hit[1]
 
     def _switch_key_decompose(self, ct: Ciphertext, target) -> limb.U64Pair:
         """RNS-decompose `target` and lift each row into the special-prime-
@@ -483,15 +522,45 @@ class Evaluator:
         # NTT over the extended-tower axis (axis -2), batched over J
         return ntt_mod.ntt_forward(reduced, ext_tables)          # [J=L, I=L+1, N]
 
-    def _switch_key_inner(self, ct: Ciphertext, t_op, keys_tensor) -> Ciphertext:
+    def _switch_key_inner(self, ct: Ciphertext, t_op, keys_tensor,
+                          keys_quot=None) -> Ciphertext:
         """Inner product of a decomposed target with one kswitch key, then
         division by the special prime (evaluator.cpp:2517-2676)."""
-        return self._switch_key_tail(ct, self._switch_key_reduce(ct, t_op, keys_tensor))
+        return self._switch_key_tail(ct, self._switch_key_reduce(
+            ct, t_op, keys_tensor, keys_quot=keys_quot))
 
-    def _switch_key_reduce(self, ct: Ciphertext, t_op, keys_tensor):
+    def _permuted_key_quot(self, galois_keys, elt, gt):
+        """Shoup quotients of one PERMUTED galois key (_permuted_keys),
+        cached per elt on the key object — quot(perm(k)) for the hoisted
+        rotation contraction (the permutation is a coefficient gather, so
+        permuted keys need their own quotients of the same shape)."""
+        from seal_tpu.config import config as cfg, pallas_keyswitch_enabled
+
+        if not cfg.keyswitch_shoup:
+            return None
+        pk = self._permuted_keys(galois_keys, elt, gt)
+        if not pallas_keyswitch_enabled(int(pk[0].shape[-1])):
+            return None
+        if any(isinstance(a, jax.core.Tracer) for a in pk):
+            return None
+        cache = galois_keys.__dict__.setdefault("_perm_quot", {})
+        hit = cache.get(elt)
+        if hit is None or hit[0] is not pk[0]:
+            key_moduli = tuple(
+                int(m) for m in self.context.key_context_data().key_moduli())
+            with jax.ensure_compile_time_eval():
+                hit = (pk[0], _key_quot_fn(key_moduli)(pk[0], pk[1]))
+            cache[elt] = hit
+        return hit[1]
+
+    def _switch_key_reduce(self, ct: Ciphertext, t_op, keys_tensor,
+                           keys_quot=None):
         """⟨decomposed target, key⟩ with 128-bit lazy accumulation, reduced
         to [0, q): prod[c] = U64Pair [L+1, N] (evaluator.cpp:2517-2547).
-        The TP-sharded variant lives in parallel/keyswitch.py (psum over
+        With keys_quot (the _key_quot cache) and a contraction whose lazy
+        sum provably fits u64, the Shoup-quotient route replaces the 128-bit
+        accumulation — bit-identical, ~half the VPU multiplies. The
+        TP-sharded variant lives in parallel/keyswitch.py (psum over
         decomp shards) and feeds the same _switch_key_tail."""
         ctx = self.context
         cd = self._cd(ct)
@@ -515,6 +584,16 @@ class Evaluator:
 
         if pallas_keyswitch_enabled(n):
             from seal_tpu.ops import keyswitch_pallas as ksp
+
+            if (keys_quot is not None
+                    and 2 * d * max(int(m) for m in ext_moduli) < (1 << 64)):
+                qlo = keys_quot[0][:d, :, jnp.asarray(key_indices), :]
+                qhi = keys_quot[1][:d, :, jnp.asarray(key_indices), :]
+                lo, hi = ksp.keyswitch_inner_shoup_pallas(
+                    t_op, (klo, khi), (qlo, qhi),
+                    ksp.pack_mod_consts(ext_moduli),
+                    interpret=not _on_tpu_backend())
+                return [(lo[0], hi[0]), (lo[1], hi[1])]
 
             lo, hi = ksp.keyswitch_inner_pallas(
                 t_op, (klo, khi), ksp.pack_mod_consts(ext_moduli),
@@ -651,7 +730,10 @@ class Evaluator:
         cd = self._cd(cur)
         size = cur.size
         target = cur.poly(size - 1)
-        delta = self._switch_key(cur, target, relin_keys.key(size - 1))
+        delta = self._switch_key(
+            cur, target, relin_keys.key(size - 1),
+            keys_quot=self._key_quot(
+                relin_keys, relin_keys.get_index(size - 1)))
         lo = cur.data[0][:size - 1]
         hi = cur.data[1][:size - 1]
         base = Ciphertext((lo, hi), cur.parms_id, cur.is_ntt_form,
@@ -703,7 +785,9 @@ class Evaluator:
         next_cd = cd.next_context_data
 
         target = cur.poly(2)
-        prod = self._switch_key_prod(cur, target, relin_keys.key(2))
+        prod = self._switch_key_prod(
+            cur, target, relin_keys.key(2),
+            keys_quot=self._key_quot(relin_keys, relin_keys.get_index(2)))
 
         # the combined divisor tower: q_last then the alpha special primes
         km2 = tuple(cd.key_moduli()) + tuple(key_moduli[L_key - alpha:])
@@ -1000,7 +1084,10 @@ class Evaluator:
         base = ct.copy()
         zero = zeros_pair(c1[0].shape)
         base.data = stack_polys([c0, zero])
-        delta = self._switch_key(base, c1, galois_keys.key(galois_elt))
+        delta = self._switch_key(
+            base, c1, galois_keys.key(galois_elt),
+            keys_quot=self._key_quot(
+                galois_keys, galois_keys.get_index(galois_elt)))
         out = base
         out.data = stack_polys([
             modring.add_poly(c0, delta.poly(0), mc),
@@ -1144,7 +1231,8 @@ class Evaluator:
         rounding tie-break, i.e. noise-level only — decryption agrees with
         apply_galois (which stays bit-exact to the reference)."""
         delta = self._switch_key_inner(
-            ct, t_op, self._permuted_keys(galois_keys, elt, gt))
+            ct, t_op, self._permuted_keys(galois_keys, elt, gt),
+            keys_quot=self._permuted_key_quot(galois_keys, elt, gt))
         out = ct.copy()
         if ct.is_ntt_form:
             out0 = gt.apply_galois_ntt(
@@ -1198,6 +1286,34 @@ class Evaluator:
         if power == 1:
             return ct.copy()
         return self.multiply_many([ct] * power, relin_keys)
+
+
+@functools.lru_cache(maxsize=None)
+def _key_quot_fn(key_moduli: tuple):
+    """Jitted Shoup-quotient builder over a whole kswitch key tensor
+    [L_decomp, 2, L_key, N] (one executable per key-moduli tuple; ONE
+    device dispatch per key — matters on the tunneled backend). Constants
+    are built with PURE numpy: the first call may come from inside a jit
+    trace (keys closed over by a user pipeline), where jnp.asarray would
+    bind tracers into this cached closure."""
+    qs = [int(m) for m in key_moduli]
+    ratios = [(1 << 128) // q for q in qs]
+
+    def np_u64(vals):
+        lo = np.asarray([[v & 0xFFFFFFFF] for v in vals],
+                        dtype=np.uint32)[None, None]
+        hi = np.asarray([[(v >> 32) & 0xFFFFFFFF] for v in vals],
+                        dtype=np.uint32)[None, None]
+        return lo, hi
+
+    q = np_u64(qs)
+    r0 = np_u64([r & ((1 << 64) - 1) for r in ratios])
+    r1 = np_u64([r >> 64 for r in ratios])
+
+    def f(klo, khi):
+        return limb.shoup_quotient((klo, khi), q, r0, r1)
+
+    return jax.jit(f)
 
 
 def _scales_close(a: float, b: float) -> bool:

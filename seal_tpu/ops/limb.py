@@ -279,6 +279,27 @@ def modulo_count_u64(x: U64Pair, q: U64Pair, ratio1: U64Pair) -> U64Pair:
     return barrett_reduce_64(x, q, ratio1)
 
 
+def shoup_quotient(y: U64Pair, q: U64Pair, ratio0: U64Pair,
+                   ratio1: U64Pair) -> U64Pair:
+    """floor(y·2^64 / q) for y < q — the Shoup quotient of a RUNTIME operand
+    (keys), computed exactly on device from the Barrett constants.
+
+    est = floor(y·ratio/2^64) with ratio = r1·2^64 + r0 = floor(2^128/q)
+    satisfies true-1 <= est <= true (y < q < 2^62 makes the fractional loss
+    < 1 on each side), so one conditional correction step is exact; a second
+    is kept as margin. rem = y·2^64 - est·q < 2q < 2^63 survives mod-2^64
+    arithmetic intact (the reference precomputes the same quotient on the
+    host at key load, uintarithsmallmod.h:52-61 MultiplyUIntModOperand)."""
+    est = add64(mul64_lo(y, ratio1), mul64_hi(y, ratio0))
+    rem = neg64(mul64_lo(est, q))
+    one = (jnp.ones_like(est[0]), jnp.zeros_like(est[1]))
+    for _ in range(2):
+        ge = ge64(rem, q)
+        rem = select64(ge, sub64(rem, q), rem)
+        est = select64(ge, add64(est, one), est)
+    return est
+
+
 # ---------------------------------------------------------------------------
 # 128-bit accumulation (for base-conversion / keyswitch inner products)
 # ---------------------------------------------------------------------------

@@ -400,13 +400,17 @@ class TPEvaluator(Evaluator):
                 self.context, parms_id, self.mesh, self.tp_axis)
         return self._tks_cache[key]
 
-    def _switch_key_prod(self, ct: Ciphertext, target, keys_tensor):
+    def _switch_key_prod(self, ct: Ciphertext, target, keys_tensor,
+                         keys_quot=None):
         # overriding the prod half (rather than _switch_key) lets BOTH the
         # standard tail and the fused relinearize_rescale tail ride the
-        # TP-sharded contraction
+        # TP-sharded contraction (keys_quot — the single-chip Shoup-route
+        # cache — is unused here: the sharded contraction splits each
+        # product into 21-bit limb partials for its exact psum)
         tks = self._tks_for(ct.parms_id)
         if tks is None:
-            return super()._switch_key_prod(ct, target, keys_tensor)
+            return super()._switch_key_prod(ct, target, keys_tensor,
+                                            keys_quot=keys_quot)
         return tks.prod_rows(target, keys_tensor)
 
 
