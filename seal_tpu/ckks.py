@@ -6,16 +6,18 @@ scale/n folded in + round + RNS decompose (magnitude-classed fast paths,
 ckks.h:448-630) + NTT; decode = INTT + CRT compose + centered float
 reconstruction + forward FFT (ckks.h:635-737).
 
-Design note: the reference runs a hand-rolled complex-double DWT butterfly
-(util/dwthandler.h specialized over complex doubles). Mathematically the
-encode/decode maps are evaluations of the polynomial at the odd powers
-ψ^{3^i} of the primitive 2n-th complex root; here they are computed with a
-twist + numpy FFT — same map, different floating-point rounding order.
-CKKS is approximate by construction and the reference's own tests bound the
-error (tests/seal/ckks.cpp), which these match.
+The host encode/decode replays the reference's complex-double DWT butterfly
+engine operation-for-operation (utils/dwt.py; util/dwthandler.h specialized
+over complex doubles, root tables from util/croots.cpp), so vector encodes
+and decodes are bit-identical to the reference — including the float64
+rounding.  The df64 *device* paths remain an independent implementation of
+the same map (valid CKKS encodings, different rounding order, like any
+other CKKS library).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -23,7 +25,37 @@ from seal_tpu.context import SEALContext
 from seal_tpu.dtypes import Plaintext, to_device, to_host
 from seal_tpu.encryption_params import SchemeType
 from seal_tpu.ops import ntt as ntt_mod
-from seal_tpu.utils import numth
+from seal_tpu.utils import dwt, numth
+
+
+def _center_accumulate_ref(v: int, Q: int, half: int, inv_scale: float) -> float:
+    """Python fallback mirroring ckks.h:698-731 word-for-word: signed
+    per-64-bit-word double accumulation of the centered composed value."""
+    res = 0.0
+    s = inv_scale
+    mask = (1 << 64) - 1
+    two_pow_64 = 18446744073709551616.0
+    if v >= half:
+        w, qw = v, Q
+        while w or qw:
+            a, b = w & mask, qw & mask
+            if a > b:
+                d = a - b
+                res += float(d) * s if d else 0.0
+            else:
+                d = b - a
+                res -= float(d) * s if d else 0.0
+            s *= two_pow_64
+            w >>= 64
+            qw >>= 64
+    else:
+        w = v
+        while w:
+            d = w & mask
+            res += float(d) * s if d else 0.0
+            s *= two_pow_64
+            w >>= 64
+    return res
 
 
 class CKKSEncoder:
@@ -45,14 +77,22 @@ class CKKSEncoder:
             exps[i] = (pos - 1) >> 1   # ev bin k: root ψ^{2k+1} = ψ^{pos}
             pos = (pos * 3) & (m - 1)
         self._slot_bins = exps
-        j = np.arange(n)
-        self._twist = np.exp(1j * np.pi * j / n)        # ψ^j
-        self._itwist = np.exp(-1j * np.pi * j / n)      # ψ^{-j}
         log_n = n.bit_length() - 1
         self._log_n = log_n
         self._bitrev = np.array([numth.reverse_bits(i, log_n) for i in range(n)])
+        # matrix_reps_index_map_ (ckks.cpp:31-50): bit-reversed slot -> bin
+        # placement for the reference-exact DWT paths.  First half carries the
+        # values, second half the conjugates.
+        self._index_map = np.concatenate(
+            [self._bitrev[exps], self._bitrev[n - 1 - exps]])
+        self._roots = None        # lazily built (root_powers, inv_root_powers)
         self._dev = None          # lazily built device-FFT bundle
         self._dev_fns = {}        # jitted (parms_id -> encode/decode) cache
+
+    def _root_tables(self):
+        if self._roots is None:
+            self._roots = dwt.encoder_root_tables(self.n)
+        return self._roots
 
     @property
     def slot_count(self) -> int:
@@ -118,11 +158,12 @@ class CKKSEncoder:
         if cd is None:
             raise ValueError("parms_id is not valid for encryption parameters")
         if np.isscalar(values) and not isinstance(values, complex):
-            # real scalar: exact constant fill (ckks.cpp:75-214), not FFT
+            # real scalar: exact constant fill (ckks.cpp:75-214), not FFT;
+            # C++ std::round = half away from zero (ckks.cpp:124)
             if scale <= 0 or (int(np.log2(scale)) + 1) >= cd.total_coeff_modulus_bit_count:
                 raise ValueError("scale out of bounds")
             return self._encode_constant(
-                int(round(float(values) * scale)), parms_id, scale)
+                dwt.round_half_away_scalar(float(values) * scale), parms_id, scale)
         if np.isscalar(values):
             values = [values] * self.slots
         values = np.asarray(values, dtype=np.complex128)
@@ -131,26 +172,33 @@ class CKKSEncoder:
         if scale <= 0 or (int(np.log2(scale)) + 1) >= cd.total_coeff_modulus_bit_count:
             raise ValueError("scale out of bounds")
 
+        # reference-exact inverse DWT (ckks.h:493-502): values into the
+        # bit-reversed index map, conjugates in the upper half, scale/n
+        # merged into the last butterfly stage
         n = self.n
-        ev = np.zeros(self.slots, dtype=np.complex128)
-        ev_bins = np.zeros(n, dtype=np.complex128)
-        ev[: values.size] = values
-        ev_bins[self._slot_bins] = ev
-        # conjugate bins: ψ^{m-pos} = conj(ψ^{pos}): bin (m-pos-1)/2 = n-1-k
-        ev_bins[n - 1 - self._slot_bins] = np.conj(ev)
-        # c_j = (scale/n) ψ^{-j} FFT(ev)_j
-        coeffs = (scale / n) * self._itwist * np.fft.fft(ev_bins)
-        coeffd = np.round(coeffs.real)
+        re = np.zeros(n, dtype=np.float64)
+        im = np.zeros(n, dtype=np.float64)
+        k = values.size
+        re[self._index_map[:k]] = values.real
+        im[self._index_map[:k]] = values.imag
+        re[self._index_map[self.slots: self.slots + k]] = values.real
+        im[self._index_map[self.slots: self.slots + k]] = -values.imag
+        fix = scale / float(n)
+        _, inv_roots = self._root_tables()
+        dwt.transform_from_rev(re, im, inv_roots, scalar=fix)
 
-        max_coeff = float(np.max(np.abs(coeffd))) if coeffd.size else 0.0
-        max_bits = int(np.ceil(np.log2(max(max_coeff, 1.0)))) + 1
+        # max bit count from the UNROUNDED magnitudes (ckks.h:504-515)
+        max_coeff = float(np.max(np.fabs(re))) if n else 0.0
+        max_bits = int(math.ceil(math.log2(max(max_coeff, 1.0)))) + 1
         if max_bits >= cd.total_coeff_modulus_bit_count:
             raise ValueError("encoded values are too large")
 
+        coeffd = dwt.round_half_away(re)   # std::round semantics
         moduli = cd.key_moduli()
         rows = np.zeros((len(moduli), n), dtype=np.uint64)
-        if max_bits <= 52:
-            # every |coeff| fits a double's integer range exactly
+        if max_bits <= 63:
+            # integral float64 -> int64 is exact below 2^63; iv % q equals
+            # the reference's negate_uint_mod(barrett_reduce_64(|v|))
             iv = coeffd.astype(np.int64)
             for j, q in enumerate(moduli):
                 rows[j] = np.mod(iv, q).astype(np.uint64)
@@ -367,27 +415,29 @@ class CKKSEncoder:
         base = cd.rns_base
         half = cd.upper_half_threshold
         inv_scale = 1.0 / plain.scale
-        # native C++ CRT composition when available (seal_tpu.native);
-        # exact-big-int Python fallback otherwise
+        # reference-exact float reconstruction (ckks.h:694-731): CRT-compose
+        # to words, then per-word signed double accumulation with
+        # scaled_two_pow_64 = inv_scale * 2^64j.  Native C++ when available,
+        # exact-big-int Python fallback otherwise.
         composer = getattr(cd, "_crt_composer", None)
         if composer is None:
             from seal_tpu.native import CRTComposer
 
             composer = CRTComposer(base)
             cd._crt_composer = composer
-        vals = composer.compose_center_f64(rows, inv_scale)
+        vals = composer.decode_center_ref(rows, inv_scale)
         if vals is None:
             vals = np.empty(n, dtype=np.float64)
             for i in range(n):
                 v = base.compose([int(x) for x in rows[:, i]])
-                if v >= half:
-                    v -= Q
-                vals[i] = float(v) * inv_scale
-        # ev_k = m(ψ^{2k+1}) = n · IFFT(c_j ψ^j)_k
-        ev = n * np.fft.ifft(vals * self._twist)
-        out = ev[self._slot_bins]
+                vals[i] = _center_accumulate_ref(v, Q, half, inv_scale)
+        # forward DWT over the centered doubles (ckks.h:733), then read the
+        # slots back through the index map
+        im = np.zeros(n, dtype=np.float64)
+        roots, _ = self._root_tables()
+        dwt.transform_to_rev(vals, im, roots)
+        sel = self._index_map[: self.slots]
         if complex_out:
-            return out
-        # real decode drops the ~1e-9 imaginary dust (parity: ckks.h decode
-        # for vector<double> keeps only the real part)
-        return out.real
+            return vals[sel] + 1j * im[sel]
+        # real decode keeps only the real part (ckks.h from_complex<double>)
+        return vals[sel]

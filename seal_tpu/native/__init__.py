@@ -68,6 +68,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double),
         ]
         lib.sealtpu_crt_compose_center_f64.restype = None
+        lib.sealtpu_crt_decode_center_ref.argtypes = [
+            c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p, c_u64p,
+            c_u64p, c_u64p, c_u64p, ctypes.c_size_t, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.sealtpu_crt_decode_center_ref.restype = None
         lib.sealtpu_crt_compose_words.argtypes = [
             c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p, c_u64p,
             c_u64p, c_u64p, ctypes.c_size_t, c_u64p,
@@ -227,6 +233,25 @@ class CRTComposer:
         n = rows.shape[1]
         out = np.empty(n, dtype=np.float64)
         get_lib().sealtpu_crt_compose_center_f64(
+            self._ptr(rows), self.L, n, self._ptr(self.y_mul),
+            self._ptr(self.moduli), self._ptr(self.qhat), self._ptr(self.Q),
+            self._ptr(self.half), self.W, ctypes.c_double(inv_scale),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out
+
+    def decode_center_ref(self, rows, inv_scale: float):
+        """rows: np.uint64 [L, n] residues -> reference-exact CKKS decode
+        doubles (ckks.h:694-731 word-wise accumulation), or None if the
+        native library is unavailable."""
+        import numpy as np
+
+        if not self.available:
+            return None
+        rows = np.ascontiguousarray(rows, dtype=np.uint64)
+        n = rows.shape[1]
+        out = np.empty(n, dtype=np.float64)
+        get_lib().sealtpu_crt_decode_center_ref(
             self._ptr(rows), self.L, n, self._ptr(self.y_mul),
             self._ptr(self.moduli), self._ptr(self.qhat), self._ptr(self.Q),
             self._ptr(self.half), self.W, ctypes.c_double(inv_scale),

@@ -117,6 +117,68 @@ void sealtpu_crt_compose_center_f64(
     }
 }
 
+// Reference-exact CKKS decode reconstruction (ckks.h:694-731): compose,
+// then per-64-bit-word signed double accumulation in the reference's exact
+// operation order — res +/-= (double)diff * (inv_scale * 2^64j), word by
+// word — so the resulting doubles are bit-identical to the reference.
+void sealtpu_crt_decode_center_ref(
+    const u64 *rows, size_t L, size_t n,
+    const u64 *y_mul, const u64 *moduli,
+    const u64 *qhat, const u64 *Q, const u64 *half, size_t W,
+    double inv_scale, double *out)
+{
+    constexpr size_t WMAX = 66;
+    constexpr double two_pow_64 = 18446744073709551616.0;
+    u64 acc[WMAX + 1];
+    u64 Qext[WMAX + 1];
+    u64 halfext[WMAX + 1];
+    if (W > WMAX)
+        return;
+    std::memset(Qext, 0, sizeof(Qext));
+    std::memcpy(Qext, Q, W * sizeof(u64));
+    std::memset(halfext, 0, sizeof(halfext));
+    std::memcpy(halfext, half, W * sizeof(u64));
+
+    for (size_t j = 0; j < n; j++)
+    {
+        std::memset(acc, 0, (W + 1) * sizeof(u64));
+        for (size_t i = 0; i < L; i++)
+        {
+            u64 y = mulmod(rows[i * n + j], y_mul[i], moduli[i]);
+            mul_add_scalar(acc, qhat + i * W, y, W);
+        }
+        while (cmp_words(acc, Qext, W + 1) >= 0)
+            sub_words(acc, Qext, W + 1);
+        double res = 0.0;
+        double s = inv_scale;
+        if (cmp_words(acc, halfext, W + 1) >= 0)
+        {
+            for (size_t w = 0; w < W; w++, s *= two_pow_64)
+            {
+                if (acc[w] > Qext[w])
+                {
+                    u64 d = acc[w] - Qext[w];
+                    res += d ? (double)d * s : 0.0;
+                }
+                else
+                {
+                    u64 d = Qext[w] - acc[w];
+                    res -= d ? (double)d * s : 0.0;
+                }
+            }
+        }
+        else
+        {
+            for (size_t w = 0; w < W; w++, s *= two_pow_64)
+            {
+                u64 d = acc[w];
+                res += d ? (double)d * s : 0.0;
+            }
+        }
+        out[j] = res;
+    }
+}
+
 // Full compose: out[j*W .. j*W+W) = CRT(rows[:, j]) as W little-endian words
 // (RNSBase::compose_array parity, rns.cpp:359-399).
 void sealtpu_crt_compose_words(

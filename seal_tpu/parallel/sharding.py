@@ -11,8 +11,9 @@ map for the TPU rebuild:
          conversion / key-switch inner products contract over L and XLA
          inserts the psum/all-gather collectives over ICI.
 * SP   — the coefficient axis, via the four-step NTT (parallel/fourstep.py):
-         one all_gather per transform, local cyclic sub-NTTs, bit-identical
-         to the single-chip kernel.
+         two tiled all_to_all transposes per transform (O(n/P) bytes per
+         shard; an all_gather route stays selectable), local cyclic
+         sub-NTTs, bit-identical to the single-chip kernel.
 
 Everything rides jax.sharding + jit: pick the mesh, annotate shardings, let
 XLA place collectives (no custom transport). Multi-host: the same code under

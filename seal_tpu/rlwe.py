@@ -31,7 +31,8 @@ from seal_tpu.ops import modring
 from seal_tpu.ops import ntt as ntt_mod
 
 NOISE_STANDARD_DEVIATION = 3.2
-NOISE_MAX_DEVIATION = 6 * 3.2  # globals.cpp noise_max_deviation = 128·σ/20? see util/globals.h
+# util/globals.h:36-40: noise_max_deviation = σ · noise_distribution_width_multiplier (= 6)
+NOISE_MAX_DEVIATION = 6 * 3.2
 
 
 class _Stream:

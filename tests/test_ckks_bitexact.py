@@ -4,11 +4,11 @@ Vectors in tests/vectors/ckks_n64.json come from tools/oracle/
 dump_ckks_vectors.cpp run against a reference SEAL 4.0 build with a fixed
 Blake2xbPRNG seed (SURVEY.md §4 oracle workflow).
 
-CKKS *encoding* is a double-precision FFT whose rounding order legitimately
-differs between implementations, so the dumped plaintext coefficients are the
-test INPUT (loaded directly into Plaintext.rns_data); everything downstream —
-encrypt, multiply, relinearize, rescale, rotate, conjugate, mod-switch,
-decrypt — is exact integer arithmetic and is compared bit-for-bit
+Every stage including CKKS *encoding and decoding* is bit-exact: the host
+encoder replays the reference's complex-double DWT (utils/dwt.py) with
+identical root tables and operation order, so encode output and decode
+doubles are compared bit-for-bit, as is everything downstream — encrypt,
+multiply, relinearize, rescale, rotate, conjugate, mod-switch, decrypt
 (parity: native/tests/seal/ckks.cpp, evaluator.cpp CKKS cases).
 """
 
@@ -105,23 +105,13 @@ def test_relin_keys(ck):
             ), f"relin_key_{i}_c{c}"
 
 
-def test_encode_close_to_reference(ck):
-    """Encoding may differ only by FFT rounding: same parms, coefficients
-    must agree within ±1 (centered mod q) on a small fraction of positions."""
+def test_encode_bit_exact(ck):
+    """Vector encode replays the reference's double FFT exactly — the RNS
+    NTT rows must be bit-identical (VERDICT r3 item 1)."""
     encoder = CKKSEncoder(ck["ctx"])
-    got = to_host(encoder.encode(np.array(V["values1"]), SCALE).rns_data)
-    want = ref("plain1").reshape(3, N)
-    moduli = ck["ctx"].first_context_data().key_moduli()
-    # compare in coefficient domain: INTT both, centered difference
-    from seal_tpu.ops import ntt as ntt_mod
-
-    cd = ck["ctx"].first_context_data()
-    g = to_host(ntt_mod.ntt_inverse(to_device(got), cd.ntt_tables))
-    w = to_host(ntt_mod.ntt_inverse(to_device(want), cd.ntt_tables))
-    for j, q in enumerate(moduli):
-        d = (g[j].astype(np.int64) - w[j].astype(np.int64)) % q
-        d = np.minimum(d, q - d)
-        assert np.max(d) <= 1, f"prime {j}: max centered diff {np.max(d)}"
+    for name, vals in (("plain1", "values1"), ("plain2", "values2")):
+        got = to_host(encoder.encode(np.array(V[vals]), SCALE).rns_data)
+        assert np.array_equal(got, ref(name).reshape(3, N)), name
 
 
 def test_encrypt_asymmetric(ck):
@@ -190,8 +180,9 @@ def test_decrypt_decode(ck):
     assert np.array_equal(to_host(pd.rns_data).reshape(-1), ref("rescale_decrypted"))
     encoder = CKKSEncoder(ck["ctx"])
     out = encoder.decode(pd)
+    # decode doubles are bit-identical to the reference (%.17g round-trips)
     want = np.array(V["rescale_decoded"])
-    assert np.max(np.abs(out - want)) < 1e-7
+    assert np.array_equal(out, want)
     # end-to-end semantics: product of the input vectors
     v1, v2 = np.array(V["values1"]), np.array(V["values2"])
     assert np.max(np.abs(out - v1 * v2)) < 1e-4

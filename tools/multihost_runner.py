@@ -34,6 +34,13 @@ import argparse
 import os
 import sys
 
+# hermetic import: running `python tools/multihost_runner.py` puts tools/ on
+# sys.path, not the repo root, so a fresh clone without `pip install -e .`
+# would fail to import seal_tpu — fall back to the repo root explicitly
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 
 def main() -> int:
     p = argparse.ArgumentParser()
