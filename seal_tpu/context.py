@@ -127,23 +127,32 @@ class ContextData:
                 self._device_cache[key] = builder()
         return self._device_cache[key]
 
+    def _ntt_cached(self, key, moduli):
+        """Base tables cached on first touch (no Pallas on CPU backends —
+        keeps fresh-process host keygen off the pallas import); the fused
+        tables attach on first access under a TPU backend."""
+        import jax
+
+        from seal_tpu.ops import ntt as ntt_mod
+
+        t = self._cached(
+            key, lambda: ntt_mod.build_device_tables(self.log_n, moduli))
+        if t.pallas is None:
+            with jax.ensure_compile_time_eval():
+                t2 = ntt_mod.attach_pallas_tables(t, moduli)
+            if t2 is not t:
+                self._device_cache[key] = t2
+                t = t2
+        return t
+
     @property
     def ntt_tables(self):
         """Device NTT tables over this level's coeff tower [L, n]."""
-        from seal_tpu.ops import ntt as ntt_mod
-
-        return self._cached(
-            "ntt", lambda: ntt_mod.build_device_tables(self.log_n, self.key_moduli())
-        )
+        return self._ntt_cached("ntt", self.key_moduli())
 
     @property
     def plain_ntt_tables(self):
-        from seal_tpu.ops import ntt as ntt_mod
-
-        return self._cached(
-            "plain_ntt",
-            lambda: ntt_mod.build_device_tables(self.log_n, [self.parms.plain_modulus.value]),
-        )
+        return self._ntt_cached("plain_ntt", [self.parms.plain_modulus.value])
 
     @property
     def mod_consts(self):

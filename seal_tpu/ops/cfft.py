@@ -212,7 +212,13 @@ def df_round_to_u64_pair(hi, lo):
     d_lo = alo * jnp.float32(2.0 ** -24)
     k = jnp.floor(d_hi + d_lo)
     rem_hi, rem_lo = df_sub((ahi, alo), (k * p24, jnp.zeros_like(k)))
-    low = jnp.round(rem_hi + rem_lo)
+    # separated integer+fraction rounding: rem_hi's ulp can be 0.25-0.5 for
+    # low chunks < 2^23, where adding rem_lo first collapses the fraction
+    # onto a representable .5 and round-half-even misrounds by 1 (r4 fix,
+    # same as cfft_tf.tf_round_to_u64_pair)
+    fint = jnp.floor(rem_hi)
+    fr = (rem_hi - fint) + rem_lo
+    low = fint + jnp.floor(fr + jnp.float32(0.5))
     # normalize: low may fall outside [0, 2^24)
     kk = k + jnp.floor(low * jnp.float32(2.0 ** -24))
     low = low - jnp.floor(low * jnp.float32(2.0 ** -24)) * p24

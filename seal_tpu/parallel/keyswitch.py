@@ -128,6 +128,7 @@ class TPKeySwitch:
                     self._stacked)
         self._reduce_fn = None
         self._in_specs = None
+        self._hoisted_fns = {}    # k -> (jitted shard_map, in_specs)
         # Multi-host mode: when the mesh spans OS processes (true multi-host
         # TPU slices, or the gloo-transport CPU simulation in
         # tools/multihost_runner.py), per-process local arrays cannot feed a
@@ -140,14 +141,16 @@ class TPKeySwitch:
             d.process_index != jax.process_index()
             for d in np.asarray(mesh.devices).flat)
 
-    def _dispatch(self, *args):
+    def _dispatch(self, *args, fn=None, in_specs=None):
         """Call the compiled shard_map contraction; in multi-process mode,
         first lift the (globally consistent) inputs into global arrays laid
         out per in_specs, and lower the replicated outputs back to local."""
+        if fn is None:
+            fn, in_specs = self._reduce_fn, self._in_specs
         if not self._multiprocess:
-            return self._reduce_fn(*args)
+            return fn(*args)
         leaves, treedef = jax.tree.flatten(args)
-        specs = _flat_specs(self._in_specs)
+        specs = _flat_specs(in_specs)
         assert len(leaves) == len(specs)
         glob = []
         for x, spec in zip(leaves, specs):
@@ -155,7 +158,7 @@ class TPKeySwitch:
             xh = np.asarray(x)
             glob.append(jax.make_array_from_callback(
                 xh.shape, sh, lambda idx, xh=xh: xh[idx]))
-        out = self._reduce_fn(*jax.tree.unflatten(treedef, glob))
+        out = fn(*jax.tree.unflatten(treedef, glob))
         # out_specs are fully replicated -> every shard holds the full value
         return jax.tree.map(
             lambda a: jnp.asarray(np.asarray(a.addressable_shards[0].data)),
@@ -326,6 +329,156 @@ class TPKeySwitch:
         plo, phi = self._dispatch(t_coeff, t_ntt, keys_ext)
         return [((plo[0], phi[0])), ((plo[1], phi[1]))]
 
+    def _hoisted_fn(self, k: int):
+        """Compiled shard_map for a k-rotation hoisted batch (VERDICT r3
+        item 2 / BASELINE config #4): the shared decompose runs ONCE per
+        shard on its local digit rows, each rotation contracts those rows
+        against its own (pre-permuted, digit-sharded) key tensor, and the
+        whole batch ends in ONE exact psum of stacked 21-bit limb splits —
+        [k, 2, 3, I, n] in a single collective. The per-rotation coefficient
+        permutation rides on the keys (evaluator._permuted_keys) and on the
+        output polys, both along the unsharded N axis, so the digit sharding
+        is untouched. Bit-identical to the single-chip rotate_batch_hoisted."""
+        hit = self._hoisted_fns.get(k)
+        if hit is not None:
+            return hit
+        tp, axis = self.tp, self.axis
+        I = self.L + self.alpha
+        ext_tables, ext_mc = self.ext_tables, self.ext_mc
+        d_loc = self.d_pad // tp
+        hybrid = self.alpha > 1
+        L, Lp1 = self.L, self.L + 1
+        ckks = self.scheme == SchemeType.CKKS
+
+        def contract_all(t_op, kall, n):
+            parts = []
+            for r in range(k):
+                acc = [
+                    tuple(jnp.zeros((I, n), dtype=jnp.uint32)
+                          for _ in range(4))
+                    for _ in range(2)
+                ]
+                for Jl in range(d_loc):
+                    tj = (t_op[0][Jl], t_op[1][Jl])
+                    for c in range(2):
+                        kc = (kall[0][r, Jl, c], kall[1][r, Jl, c])
+                        acc[c] = limb.mul_add_128(acc[c], tj, kc)
+                for c in range(2):
+                    part = limb.barrett_reduce_128(
+                        (acc[c][0], acc[c][1]), (acc[c][2], acc[c][3]),
+                        ext_mc.q, ext_mc.ratio0, ext_mc.ratio1,
+                    )
+                    parts.append(_split21(part))
+            # ONE collective for the whole rotation batch
+            s = jax.lax.psum(jnp.stack(parts), axis)   # [2k, 3, I, n]
+            lo = []
+            hi = []
+            for r in range(k):
+                for c in range(2):
+                    o = _recombine21_mod(
+                        s[2 * r + c], ext_mc.q, ext_mc.ratio0, ext_mc.ratio1)
+                    lo.append(o[0])
+                    hi.append(o[1])
+            return (jnp.stack(lo).reshape(k, 2, I, -1),
+                    jnp.stack(hi).reshape(k, 2, I, -1))
+
+        if hybrid:
+            from seal_tpu.ops import hybrid_keyswitch as hyb
+
+            def body(tc, stacked, kall):
+                rows_idx, iop, iqt, qd, he, hqt = stacked
+                y = hyb.decompose_digits(
+                    tc, rows_idx, iop, iqt, qd, he, hqt, ext_mc)
+                t_op = ntt_mod.ntt_forward(y, ext_tables)
+                return contract_all(t_op, kall, tc[0].shape[-1])
+
+            rep = P(None, None)
+            d1 = P(axis, None)
+            d2 = P(axis, None, None)
+            d2w = P(axis, None, None)
+            spec_kall = P(None, axis, None, None, None)
+            in_specs = (
+                (rep, rep),
+                (d1, (d2, d2), (d2, d2), (d2, d2), (d2w, d2w), (d2w, d2w)),
+                (spec_kall, spec_kall),
+            )
+        else:
+
+            def body(tc, tn, kall):
+                n = tc[0].shape[-1]
+                tt_lo = jnp.broadcast_to(tc[0][:, None, :], (d_loc, Lp1, n))
+                tt_hi = jnp.broadcast_to(tc[1][:, None, :], (d_loc, Lp1, n))
+                ext_q = tuple(a[None, :, :] for a in ext_mc.q)
+                ext_r1 = tuple(a[None, :, :] for a in ext_mc.ratio1)
+                reduced = limb.barrett_reduce_64((tt_lo, tt_hi), ext_q, ext_r1)
+                t_op = ntt_mod.ntt_forward(reduced, ext_tables)
+                if ckks:
+                    gJ = jax.lax.axis_index(axis) * d_loc + jnp.arange(d_loc)
+                    eye = gJ[:, None] == jnp.arange(Lp1)[None, :]
+                    o_lo = jnp.broadcast_to(tn[0][:, None, :], (d_loc, Lp1, n))
+                    o_hi = jnp.broadcast_to(tn[1][:, None, :], (d_loc, Lp1, n))
+                    t_op = (
+                        jnp.where(eye[:, :, None], o_lo, t_op[0]),
+                        jnp.where(eye[:, :, None], o_hi, t_op[1]),
+                    )
+                return contract_all(t_op, kall, n)
+
+            spec_t = P(axis, None)
+            spec_kall = P(None, axis, None, None, None)
+            in_specs = (
+                (spec_t, spec_t),
+                (spec_t, spec_t),
+                (spec_kall, spec_kall),
+            )
+
+        fn = jax.jit(shard_map(
+            body, mesh=self.mesh, in_specs=in_specs,
+            out_specs=(P(None, None, None, None), P(None, None, None, None)),
+            check_vma=False,
+        ))
+        self._hoisted_fns[k] = (fn, in_specs)
+        return self._hoisted_fns[k]
+
+    def hoisted_prod_rows(self, target, keys_list):
+        """k per-rotation prod rows from ONE shared sharded decompose:
+        the TP replacement for rotate_batch_hoisted's per-rotation
+        _switch_key_reduce calls. keys_list holds the PRE-PERMUTED key
+        tensors [decomp, 2, L_key, N]; returns one [2][(I, n) pair] per key
+        (feeds Evaluator._switch_key_tail)."""
+        k = len(keys_list)
+        if self.scheme == SchemeType.CKKS:
+            t_ntt = target
+            t_coeff = ntt_mod.ntt_inverse(target, self.cd.ntt_tables)
+        else:
+            t_ntt = None
+            t_coeff = target
+        gathered = [self.gather_keys(kt) for kt in keys_list]
+        kall = (jnp.stack([g[0] for g in gathered]),
+                jnp.stack([g[1] for g in gathered]))   # [k, d_pad, 2, I, n]
+        fn, in_specs = self._hoisted_fn(k)
+        if self.alpha > 1:
+            plo, phi = self._dispatch(t_coeff, self._stacked, kall,
+                                      fn=fn, in_specs=in_specs)
+        else:
+            if self.d_pad != self.L:
+                pad = self.d_pad - self.L
+
+                def _pad_rows(pair):
+                    return tuple(jnp.concatenate(
+                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                        for a in pair)
+
+                t_coeff = _pad_rows(t_coeff)
+                t_ntt = _pad_rows(t_ntt) if t_ntt is not None else None
+            if t_ntt is None:
+                t_ntt = t_coeff
+            plo, phi = self._dispatch(t_coeff, t_ntt, kall,
+                                      fn=fn, in_specs=in_specs)
+        return [
+            [(plo[r, 0], phi[r, 0]), (plo[r, 1], phi[r, 1])]
+            for r in range(k)
+        ]
+
     # -- Evaluator-compatible entry points --------------------------------------
 
     def gather_keys(self, keys_tensor):
@@ -380,9 +533,11 @@ class TPEvaluator(Evaluator):
     to exact zeros), so every chain level runs sharded with the same one
     psum — a depth-k pipeline keeps the TP contraction at L, L-1, ..., 1
     (tests/test_tp_keyswitch.py::test_tp_every_chain_level). Hoisted
-    rotation batches (`rotate_batch_hoisted`) use the single-chip path —
-    their permuted-decompose structure shares one decomposition across
-    keys, which the per-J sharding cannot split.
+    rotation batches (`rotate_batch_hoisted`, BASELINE config #4) also run
+    sharded (r4): the shared decompose happens per shard on its local digit
+    rows inside one shard_map, each rotation contracts against its own
+    pre-permuted digit-sharded key, and the whole batch pays ONE psum —
+    the per-rotation coefficient permutations ride the unsharded N axis.
     """
 
     def __init__(self, context, mesh: Mesh, tp_axis: str = "tp"):
@@ -412,6 +567,45 @@ class TPEvaluator(Evaluator):
             return super()._switch_key_prod(ct, target, keys_tensor,
                                             keys_quot=keys_quot)
         return tks.prod_rows(target, keys_tensor)
+
+    def rotate_batch_hoisted(self, ct: Ciphertext, steps, galois_keys):
+        """TP-sharded hoisted rotation batch: one shared sharded decompose,
+        k digit-sharded contractions, ONE psum (TPKeySwitch.hoisted_prod_
+        rows). The special-prime tail and the output permutation run
+        replicated, exactly as the single-chip path — outputs are
+        bit-identical to Evaluator.rotate_batch_hoisted."""
+        if ct.size != 2:
+            raise ValueError("encrypted size must be 2")
+        cd = self._cd(ct)
+        gt = cd.galois_tool
+        mc = cd.mod_consts
+        elts = [gt.get_elt_from_step(s) for s in steps]
+        for s, e in zip(steps, elts):
+            if s != 0 and not galois_keys.has_key(e):
+                raise ValueError(f"Galois key for step {s} not present")
+        live = [(s, e) for s, e in zip(steps, elts) if s != 0]
+        if not live:
+            return [ct.copy() for _ in steps]
+
+        tks = self._tks_for(ct.parms_id)
+        keys_list = [self._permuted_keys(galois_keys, e, gt) for _, e in live]
+        prods = tks.hoisted_prod_rows(ct.poly(1), keys_list)
+        c0 = ct.poly(0)
+        by_step = {}
+        for (s, elt), prod in zip(live, prods):
+            delta = self._switch_key_tail(ct, prod)
+            out = ct.copy()
+            if ct.is_ntt_form:
+                out0 = gt.apply_galois_ntt(
+                    modring.add_poly(c0, delta.poly(0), mc), elt)
+                out1 = gt.apply_galois_ntt(delta.poly(1), elt)
+            else:
+                out0 = gt.apply_galois(
+                    modring.add_poly(c0, delta.poly(0), mc), elt, mc)
+                out1 = gt.apply_galois(delta.poly(1), elt, mc)
+            out.data = stack_polys([out0, out1])
+            by_step[s] = out
+        return [by_step[s] if s != 0 else ct.copy() for s in steps]
 
 
 def tp_relinearize(ev, ct: Ciphertext, relin_keys, mesh: Mesh,

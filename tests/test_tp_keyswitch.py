@@ -286,3 +286,62 @@ def test_tp_every_chain_level():
         for x, y in zip(a.data, b.data):
             assert np.array_equal(np.asarray(x), np.asarray(y))
         assert a.scale == b.scale
+
+
+@pytest.mark.parametrize("alpha", [1, 2])
+def test_tp_hoisted_rotation_batch(alpha):
+    """VERDICT r3 item 2 / BASELINE config #4: a hoisted rotation batch
+    through TPEvaluator must stay sharded — one shared sharded decompose,
+    k digit-sharded contractions, exactly ONE psum for the whole batch —
+    and be bit-identical to the single-chip rotate_batch_hoisted, at the
+    first level AND at a rescaled level (zero-padding path), for both the
+    per-prime (alpha=1) and hybrid (alpha=2) decompositions."""
+    mesh = _mesh(4)
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40] * 6))
+    if alpha > 1:
+        parms.set_special_modulus_size(alpha)
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    pk = kg.create_public_key()
+    rk = kg.create_relin_keys()
+    gt = ctx.key_context_data().galois_tool
+    steps = [1, 2, -1]
+    gk = kg.create_galois_keys(gt.get_elts_from_steps(steps))
+    enc = Encryptor(ctx, pk)
+    encd = CKKSEncoder(ctx)
+    scale = 2.0 ** 16
+    v = np.linspace(-1, 1, encd.slot_count)
+    ct0 = enc.encrypt(encd.encode(v, scale))
+    ev = Evaluator(ctx)
+    # a rescaled level exercises the decomposition-axis padding
+    ct1 = ev.rescale_to_next(ev.relinearize(ev.multiply(ct0, ct0), rk))
+
+    import seal_tpu.parallel.keyswitch as ksmod
+
+    psum_calls = []
+    real_psum = jax.lax.psum
+
+    def counting_psum(x, axis_name, **kw):
+        psum_calls.append(axis_name)
+        return real_psum(x, axis_name, **kw)
+
+    tpe = TPEvaluator(ctx, mesh)
+    for ct in (ct0, ct1):
+        ref = ev.rotate_batch_hoisted(ct, steps, gk)
+        psum_calls.clear()
+        old = jax.lax.psum
+        jax.lax.psum = counting_psum
+        ksmod.jax.lax.psum = counting_psum
+        try:
+            got = tpe.rotate_batch_hoisted(ct, steps, gk)
+        finally:
+            jax.lax.psum = old
+            ksmod.jax.lax.psum = old
+        # ONE collective traced for the whole 3-rotation batch
+        assert len(psum_calls) == 1, psum_calls
+        for a, b in zip(ref, got):
+            for x, y in zip(a.data, b.data):
+                assert np.array_equal(np.asarray(x), np.asarray(y))
