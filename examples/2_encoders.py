@@ -29,7 +29,7 @@ def main():
     ct = encryptor.encrypt(encoder.encode(pod))
     sq = evaluator.add(ct, ct)
     out = encoder.decode(decryptor.decrypt(sq))
-    assert out[:4] == [0, 2, 4, 6]
+    assert list(out[:4]) == [0, 2, 4, 6]
     print("batched add:", out[:4])
 
     # --- CKKSEncoder ------------------------------------------------------

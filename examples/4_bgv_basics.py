@@ -33,7 +33,7 @@ def main(n: int = 4096):
     sq = evaluator.relinearize(evaluator.square(ct), relin_keys)
     sq = evaluator.mod_switch_to_next(sq)
     out = encoder.decode(decryptor.decrypt(sq))
-    assert out[:8] == [i * i for i in range(8)]
+    assert list(out[:8]) == [i * i for i in range(8)]
     print("BGV square after modswitch:", out[:8])
     print("4_bgv_basics OK")
 

@@ -40,9 +40,9 @@ def main(n_bfv: int = 4096, n_ckks: int = 8192):
     ct = encryptor.encrypt(encoder.encode(vals))
     out = encoder.decode(decryptor.decrypt(evaluator.rotate_rows(ct, 3, galois_keys)))
     r1, r2 = vals[:row], vals[row:]
-    assert out == r1[3:] + r1[:3] + r2[3:] + r2[:3]
+    assert list(out) == r1[3:] + r1[:3] + r2[3:] + r2[:3]
     out = encoder.decode(decryptor.decrypt(evaluator.rotate_columns(ct, galois_keys)))
-    assert out == r2 + r1
+    assert list(out) == r2 + r1
     print("BFV rotate rows/columns OK")
 
     # --- multiparty common rotation keys (fork surface) ----------------------

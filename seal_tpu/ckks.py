@@ -227,21 +227,19 @@ class CKKSEncoder:
                 iv = int(v)
                 for j, q in enumerate(moduli):
                     rows[j, i] = iv % q
+        from seal_tpu.dtypes import _LazyHostData
         from seal_tpu.native import poly as native_poly
 
         npoly = native_poly.for_context_data(cd)
-        host_rows = None
-        if npoly is not None:
-            host_rows = npoly.ntt_forward(np.ascontiguousarray(rows))
-            dev = to_device(host_rows)
-        else:
-            dev = ntt_mod.ntt_forward_eager(to_device(rows), cd.ntt_tables)
         p = Plaintext()
-        p.rns_data = dev
-        if host_rows is not None:
-            # numpy mirror for the native encrypt path, keyed to this
-            # device pair so later rns_data mutation invalidates it
-            p.host_mirror = (host_rows, dev)
+        if npoly is not None:
+            # LAZY device data: the host API (encode -> encrypt -> ...)
+            # never pays the jax boundary; first device use materializes
+            host_rows = npoly.ntt_forward(np.ascontiguousarray(rows))
+            p.rns_data = _LazyHostData(host_rows)
+        else:
+            p.rns_data = ntt_mod.ntt_forward_eager(
+                to_device(rows), cd.ntt_tables)
         p.parms_id = tuple(parms_id)
         p.scale = float(scale)
         return p
@@ -470,8 +468,10 @@ class CKKSEncoder:
 
         npoly = native_poly.for_context_data(cd)
         if npoly is not None:
-            rows = npoly.ntt_inverse(
-                np.ascontiguousarray(to_host(plain.rns_data)))
+            host = plain.host_rns_u64()
+            rows = (host.copy() if host is not None
+                    else np.ascontiguousarray(to_host(plain.rns_data)))
+            rows = npoly.ntt_inverse(rows)
         else:
             rows = to_host(
                 ntt_mod.ntt_inverse_eager(plain.rns_data, cd.ntt_tables))

@@ -162,11 +162,21 @@ class Decryptor:
         npoly = native_poly.for_context_data(cd)
         if npoly is None:
             return None
-        data = to_host(ct.data)
+        data = ct.host_u64()
+        if data is None:
+            data = to_host(ct.data)
         powers = self._powers_np(ct.size - 1, cd)
+        if ct.size == 2:
+            # fused one-call path for the common size-2 ciphertext
+            return npoly.phase2(
+                np.ascontiguousarray(data[0]), np.ascontiguousarray(data[1]),
+                powers[0], ct.is_ntt_form)
         acc = None
         for j in range(1, ct.size):
-            cj = np.ascontiguousarray(data[j])
+            # copy: ntt_forward mutates in place, and `data` may be the
+            # ciphertext's cached host mirror (host_np)
+            cj = np.array(data[j]) if not ct.is_ntt_form \
+                else np.ascontiguousarray(data[j])
             if not ct.is_ntt_form:
                 npoly.ntt_forward(cj, lazy=True)
             term = npoly.dyadic_mul(cj, powers[j - 1])
@@ -275,6 +285,15 @@ class Decryptor:
             raise ValueError("encrypted must be in NTT form")
         cd0 = self.context.get_context_data(ct.parms_id)
         phase_np = self._phase_np(ct, cd0)
+        if phase_np is not None and flood_bits == 0:
+            # lazy device plaintext: decode reads the host rows directly
+            from seal_tpu.dtypes import _LazyHostData
+
+            p = Plaintext()
+            p.rns_data = _LazyHostData(phase_np)
+            p.parms_id = tuple(ct.parms_id)
+            p.scale = ct.scale
+            return p
         phase = (to_device(phase_np) if phase_np is not None
                  else self._phase_core(ct, "phase"))
         if flood_bits > 0:

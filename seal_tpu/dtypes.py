@@ -85,12 +85,42 @@ class Plaintext:
         self.scale: float = 1.0
 
     @property
+    def rns_data(self):
+        d = self._rns_data
+        if type(d) is _LazyHostData:
+            dev = to_device(d.arr)
+            self._rns_data = dev
+            self.host_mirror = (d.arr, dev)
+            return dev
+        return d
+
+    @rns_data.setter
+    def rns_data(self, v):
+        self._rns_data = v
+
+    def host_rns_u64(self) -> np.ndarray | None:
+        """Host u64 [L, N] NTT rows WITHOUT forcing device materialization
+        (the lazy array or a fresh host_mirror), else None."""
+        d = self._rns_data
+        if type(d) is _LazyHostData:
+            return d.arr
+        m = getattr(self, "host_mirror", None)
+        if m is not None and m[1] is d:
+            return m[0]
+        return None
+
+    @property
     def is_ntt_form(self) -> bool:
         return self.parms_id != PARMS_ID_ZERO
 
     @property
     def coeff_count(self) -> int:
-        return len(self.data) if self.rns_data is None else self.rns_data[0].shape[-1]
+        d = self._rns_data
+        if d is None:
+            return len(self.data)
+        if type(d) is _LazyHostData:
+            return d.arr.shape[-1]
+        return d[0].shape[-1]
 
     def set_values(self, values):
         self.data = np.asarray(values, dtype=np.uint64)
@@ -154,6 +184,21 @@ class Plaintext:
 # Ciphertext
 # ---------------------------------------------------------------------------
 
+class _LazyHostData:
+    """Host u64 [size, L, N] ciphertext data pending device conversion.
+
+    The host API (encrypt/decrypt/serialize) is a pure-host flow in the
+    reference; producing device arrays eagerly paid ~100-300 us of jax
+    boundary cost per encrypt that SEAL never pays. Ciphertext.data
+    materializes on first device use (any Evaluator op); host consumers
+    read through Ciphertext.host_u64() without converting (r4)."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr: np.ndarray):
+        self.arr = arr
+
+
 class Ciphertext:
     """size >= 2 polynomials over the level's tower: device pair [size, L, N]
     (parity: ciphertext.h:701-715)."""
@@ -169,26 +214,66 @@ class Ciphertext:
         self.seed_info = None                 # (prng_type, seed) for seeded c1
 
     @property
+    def data(self):
+        d = self._data
+        if type(d) is _LazyHostData:
+            dev = to_device(d.arr)
+            self._data = dev
+            # keep the host mirror for native decrypt / serialization
+            self.host_np = (d.arr, dev)
+            return dev
+        return d
+
+    @data.setter
+    def data(self, v):
+        self._data = v
+
+    def host_u64(self) -> np.ndarray | None:
+        """Host u64 [size, L, N] mirror WITHOUT forcing device
+        materialization: the lazy array, or a fresh host_np cache, or None
+        when only device data exists."""
+        d = self._data
+        if type(d) is _LazyHostData:
+            return d.arr
+        m = getattr(self, "host_np", None)
+        if m is not None and m[1] is d:
+            return m[0]
+        return None
+
+    @property
+    def _shape(self):
+        d = self._data
+        if d is None:
+            return None
+        return d.arr.shape if type(d) is _LazyHostData else d[0].shape
+
+    @property
     def size(self) -> int:
-        return 0 if self.data is None else self.data[0].shape[0]
+        s = self._shape
+        return 0 if s is None else s[0]
 
     @property
     def coeff_modulus_size(self) -> int:
-        return 0 if self.data is None else self.data[0].shape[1]
+        s = self._shape
+        return 0 if s is None else s[1]
 
     @property
     def poly_modulus_degree(self) -> int:
-        return 0 if self.data is None else self.data[0].shape[2]
+        s = self._shape
+        return 0 if s is None else s[2]
 
     def poly(self, j: int):
         """The j-th polynomial as a [L, N] pair."""
         return self.data[0][j], self.data[1][j]
 
     def to_numpy(self) -> np.ndarray:
+        host = self.host_u64()
+        if host is not None:
+            return host
         return to_host(self.data)
 
     def copy(self) -> "Ciphertext":
-        c = Ciphertext(self.data, self.parms_id, self.is_ntt_form, self.scale,
+        c = Ciphertext(self._data, self.parms_id, self.is_ntt_form, self.scale,
                        self.correction_factor)
         c.seed_info = self.seed_info
         return c
@@ -200,6 +285,9 @@ class Ciphertext:
         is symbolic, so the check is skipped (returns False)."""
         if self.size < 2:
             return True
+        host = self.host_u64()
+        if host is not None:
+            return bool((host[1:] == 0).all())
         import jax.core
 
         lo, hi = self.data

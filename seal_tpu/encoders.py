@@ -57,19 +57,42 @@ class BatchEncoder:
         return self.slots
 
     def encode(self, values) -> Plaintext:
-        try:
-            v = np.asarray(list(values), dtype=np.int64)  # t < 2^60 fits signed
-        except OverflowError:
-            raise ValueError("input value is larger than plain_modulus")
-        if v.size > self.slots:
-            raise ValueError("values_matrix size is too large")
         t = self._t
-        neg = v < 0
-        if np.any(-v[neg] > (t - 1) // 2):  # signed inputs like the int64 overload
-            raise ValueError("input value is larger than plain_modulus")
-        u = np.where(neg, v + t, v).astype(np.uint64)
-        if np.any(u >= t):
-            raise ValueError("input value is larger than plain_modulus")
+        if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
+            # fast path: integer ndarrays validate with two scalar
+            # reductions instead of the per-element Python boxing of list()
+            # (~10x of the whole encode at small n)
+            if values.dtype.kind == "u":
+                if values.size and int(values.max()) >= t:
+                    raise ValueError(
+                        "input value is larger than plain_modulus")
+                u = values.astype(np.uint64, copy=False)
+            else:
+                vmin = int(values.min()) if values.size else 0
+                vmax = int(values.max()) if values.size else 0
+                if vmax >= t or -vmin > (t - 1) // 2:
+                    raise ValueError(
+                        "input value is larger than plain_modulus")
+                if vmin < 0:
+                    u = np.mod(values.astype(np.int64, copy=False),
+                               t).astype(np.uint64)
+                else:
+                    u = values.astype(np.uint64)
+            if u.size > self.slots:
+                raise ValueError("values_matrix size is too large")
+        else:
+            try:
+                v = np.asarray(list(values), dtype=np.int64)  # t < 2^60 fits signed
+            except OverflowError:
+                raise ValueError("input value is larger than plain_modulus")
+            if v.size > self.slots:
+                raise ValueError("values_matrix size is too large")
+            neg = v < 0
+            if np.any(-v[neg] > (t - 1) // 2):  # signed, like the int64 overload
+                raise ValueError("input value is larger than plain_modulus")
+            u = np.where(neg, v + t, v).astype(np.uint64)
+            if np.any(u >= t):
+                raise ValueError("input value is larger than plain_modulus")
         coeffs = np.zeros(self.slots, dtype=np.uint64)
         coeffs[self._index_map[: u.size]] = u
         if self._npoly.available:
@@ -98,5 +121,7 @@ class BatchEncoder:
             t = self._t
             half = (t + 1) >> 1
             return (values.astype(np.int64)
-                    - np.where(values >= half, t, 0).astype(np.int64)).tolist()
-        return values.tolist()
+                    - np.where(values >= half, t, 0).astype(np.int64))
+        # returns np.uint64 [slots] — the TPU-native API (r4; was a Python
+        # list, whose construction dominated small-n decode)
+        return values

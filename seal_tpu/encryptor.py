@@ -265,8 +265,13 @@ class Encryptor:
         c0 = polys[0, :rows.shape[0]]
         npoly.add_inplace(np.ascontiguousarray(c0), rows)
         polys[0, :rows.shape[0]] = c0
+        # LAZY device data (dtypes._LazyHostData): the host API never pays
+        # the jax boundary; the first Evaluator touch materializes, and the
+        # native decrypt path reads the host array directly
+        from seal_tpu.dtypes import _LazyHostData
+
         ct = Ciphertext(
-            to_device(polys), parms_id=tuple(cd.parms_id),
+            _LazyHostData(polys), parms_id=tuple(cd.parms_id),
             is_ntt_form=cd.parms.scheme == SchemeType.CKKS, scale=scale,
             correction_factor=1,
         )
@@ -302,10 +307,10 @@ class Encryptor:
             cd = ctx.get_context_data(plain.parms_id)
             if cd is None:
                 raise ValueError("plain is not valid for encryption parameters")
-            mirror = getattr(plain, "host_mirror", None)
-            if mirror is not None and plain.rns_data is mirror[1]:
+            host = plain.host_rns_u64()
+            if host is not None:
                 ct = self._encrypt_np(
-                    plain, mirror[0], cd, asymmetric, save_seed, plain.scale)
+                    plain, host, cd, asymmetric, save_seed, plain.scale)
                 if ct is not None:
                     return ct
             ct = self.encrypt_zero(plain.parms_id, asymmetric, save_seed)

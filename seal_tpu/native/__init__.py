@@ -27,10 +27,15 @@ def _build() -> bool:
     # full 512-bit vectors first (gcc's -march=native tuning otherwise
     # splits the 8-lane u64 blake2 compression into 2x ymm — measured 3x
     # slower); the flag is x86-only, so fall back without it
+    # -ffp-contract=off: the DWT butterflies (poly_native.cpp) must round
+    # exactly like the reference's baseline-x86 build — FMA contraction
+    # would change the complex-multiply rounding and break bit-exactness.
+    # (All other native code is integer; the flag costs nothing there.)
     for extra in (["-mprefer-vector-width=512"], []):
         try:
             subprocess.run(
-                ["g++", "-O3", "-march=native", *extra, "-shared", "-fPIC",
+                ["g++", "-O3", "-march=native", "-ffp-contract=off", *extra,
+                 "-shared", "-fPIC",
                  *map(str, _srcs), "-o", str(_so)],
                 check=True, capture_output=True, timeout=120,
             )
@@ -98,6 +103,36 @@ def get_lib():
             c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p, c_u64p, c_u64p,
         ]
         lib.sealtpu_mul_scalar_shoup.restype = None
+        c_f64p = ctypes.POINTER(ctypes.c_double)
+        lib.sealtpu_dwt_from_rev.argtypes = [
+            c_f64p, c_f64p, ctypes.c_size_t, c_f64p, c_f64p,
+            ctypes.c_int, ctypes.c_double,
+        ]
+        lib.sealtpu_dwt_from_rev.restype = None
+        lib.sealtpu_dwt_to_rev.argtypes = [
+            c_f64p, c_f64p, ctypes.c_size_t, c_f64p, c_f64p,
+            ctypes.c_int, ctypes.c_double,
+        ]
+        lib.sealtpu_dwt_to_rev.restype = None
+        lib.sealtpu_bfv_decrypt_tail.argtypes = [
+            c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p, c_u64p,
+            c_u64p, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p,
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, c_u64p, c_u64p,
+        ]
+        lib.sealtpu_bfv_decrypt_tail.restype = None
+        lib.sealtpu_phase2.argtypes = [
+            c_u64p, c_u64p, c_u64p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p,
+            c_u64p, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p,
+            ctypes.c_int, c_u64p,
+        ]
+        lib.sealtpu_phase2.restype = None
+        lib.sealtpu_bfv_tg_correct.argtypes = [
+            c_u64p, c_u64p, ctypes.c_size_t, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, c_u64p,
+        ]
+        lib.sealtpu_bfv_tg_correct.restype = None
         lib.sealtpu_absorb.argtypes = [
             c_u64p, c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p,
             c_u64p, c_u64p,

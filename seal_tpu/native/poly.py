@@ -52,6 +52,18 @@ class NativePolyOps:
         self.inv_n_qt = _host_u64(t.inv_n_qt).reshape(-1)
         self.last_op = _host_u64(t.last_op).reshape(-1)
         self.last_qt = _host_u64(t.last_qt).reshape(-1)
+        # cached row-0 pointers: ctypes data_as costs ~2 us apiece and the
+        # hot host paths (encode/encrypt/decrypt) issue 6-10 per call (r4)
+        self._ptr0 = {
+            name: _p(getattr(self, name))
+            for name in ("fwd_op", "fwd_qt", "inv_op", "inv_qt", "inv_n_op",
+                         "inv_n_qt", "last_op", "last_qt", "q", "r0", "r1")
+        }
+
+    def _tp(self, name, row0=0):
+        if row0 == 0:
+            return self._ptr0[name]
+        return _p(getattr(self, name)[row0:])
 
     def _rows(self, L_sub: int):
         if L_sub > self.L:
@@ -65,8 +77,8 @@ class NativePolyOps:
         L = self._rows(row0 + x.shape[0]) - row0
         assert x.flags.c_contiguous and x.dtype == np.uint64
         self.lib.sealtpu_ntt_forward(
-            _p(x), L, self.log_n, _p(self.fwd_op[row0:]),
-            _p(self.fwd_qt[row0:]), _p(self.q[row0:]), int(lazy))
+            _p(x), L, self.log_n, self._tp("fwd_op", row0),
+            self._tp("fwd_qt", row0), self._tp("q", row0), int(lazy))
         return x
 
     def ntt_inverse(self, x: np.ndarray, lazy: bool = False,
@@ -74,11 +86,25 @@ class NativePolyOps:
         L = self._rows(row0 + x.shape[0]) - row0
         assert x.flags.c_contiguous and x.dtype == np.uint64
         self.lib.sealtpu_ntt_inverse(
-            _p(x), L, self.log_n, _p(self.inv_op[row0:]),
-            _p(self.inv_qt[row0:]), _p(self.inv_n_op[row0:]),
-            _p(self.inv_n_qt[row0:]), _p(self.last_op[row0:]),
-            _p(self.last_qt[row0:]), _p(self.q[row0:]), int(lazy))
+            _p(x), L, self.log_n, self._tp("inv_op", row0),
+            self._tp("inv_qt", row0), self._tp("inv_n_op", row0),
+            self._tp("inv_n_qt", row0), self._tp("last_op", row0),
+            self._tp("last_qt", row0), self._tp("q", row0), int(lazy))
         return x
+
+    def phase2(self, c0: np.ndarray, c1: np.ndarray, sk_ntt: np.ndarray,
+               ntt_form: bool) -> np.ndarray:
+        """Fused size-2 decrypt phase: INTT(NTT(c1)·s) + c0 in one native
+        call (decryptor.cpp:126/249). Inputs are read-only."""
+        L = c0.shape[0]
+        out = np.empty((L, self.n), dtype=np.uint64)
+        tp = self._ptr0
+        self.lib.sealtpu_phase2(
+            _p(c0), _p(c1), _p(sk_ntt), L, self.n, self.log_n,
+            tp["fwd_op"], tp["fwd_qt"], tp["inv_op"], tp["inv_qt"],
+            tp["inv_n_op"], tp["inv_n_qt"], tp["last_op"], tp["last_qt"],
+            tp["q"], tp["r0"], tp["r1"], int(ntt_form), _p(out))
+        return out
 
     def rescale_ntt(self, x: np.ndarray) -> np.ndarray:
         """Divide-and-round by the tower's LAST prime row, NTT domain
@@ -132,8 +158,8 @@ class NativePolyOps:
         L = self._rows(a.shape[0])
         out = np.empty_like(a)
         self.lib.sealtpu_keygen_c0(
-            _p(a), _p(s), _p(e_ntt), _p(out), L, self.n, _p(self.q),
-            _p(self.r0), _p(self.r1))
+            _p(a), _p(s), _p(e_ntt), _p(out), L, self.n, self._tp("q"),
+            self._tp("r0"), self._tp("r1"))
         return out
 
     def dyadic_mul(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -141,20 +167,20 @@ class NativePolyOps:
         L = self._rows(a.shape[0])
         out = np.empty_like(a)
         self.lib.sealtpu_dyadic_mul(
-            _p(a), _p(b), _p(out), L, self.n, _p(self.q),
-            _p(self.r0), _p(self.r1))
+            _p(a), _p(b), _p(out), L, self.n, self._tp("q"),
+            self._tp("r0"), self._tp("r1"))
         return out
 
     def add_inplace(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         """In-place a = (a + b) mod q."""
         L = self._rows(a.shape[0])
-        self.lib.sealtpu_add_inplace(_p(a), _p(b), L, self.n, _p(self.q))
+        self.lib.sealtpu_add_inplace(_p(a), _p(b), L, self.n, self._tp("q"))
         return a
 
     def add_neg_inplace(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         """In-place a = -(a + b) mod q."""
         L = self._rows(a.shape[0])
-        self.lib.sealtpu_add_neg_inplace(_p(a), _p(b), L, self.n, _p(self.q))
+        self.lib.sealtpu_add_neg_inplace(_p(a), _p(b), L, self.n, self._tp("q"))
         return a
 
     def mul_scalar(self, x: np.ndarray, scalars) -> np.ndarray:
@@ -166,7 +192,7 @@ class NativePolyOps:
             [(int(v) << 64) // int(q) for v, q in zip(scalars[:L], self.q)],
             dtype=np.uint64)
         self.lib.sealtpu_mul_scalar_shoup(
-            _p(x), L, self.n, _p(s_op), _p(s_qt), _p(self.q))
+            _p(x), L, self.n, _p(s_op), _p(s_qt), self._tp("q"))
         return x
 
     def absorb(self, c0: np.ndarray, key: np.ndarray, factors) -> np.ndarray:
@@ -178,19 +204,29 @@ class NativePolyOps:
             [(int(v) << 64) // int(q) for v, q in zip(factors[:L], self.q)],
             dtype=np.uint64)
         self.lib.sealtpu_absorb(
-            _p(c0), _p(key), L, self.n, _p(f_op), _p(f_qt), _p(self.q))
+            _p(c0), _p(key), L, self.n, _p(f_op), _p(f_qt), self._tp("q"))
         return c0
 
 
-def _mul_scalar_rows(lib, x: np.ndarray, scalars, moduli) -> np.ndarray:
+def _shoup_pairs(scalars, moduli):
+    """Precomputed (s_op, s_qt, q) u64 arrays for _mul_scalar_rows — the
+    Python big-int `<< 64 // q` quotients cost ~10 us per row, so hot
+    callers (the decrypt tail) build these once."""
+    s_op = np.asarray([int(v) for v in scalars], dtype=np.uint64)
+    s_qt = np.asarray([(int(v) << 64) // int(q)
+                       for v, q in zip(scalars, moduli)], dtype=np.uint64)
+    q = np.asarray([int(m) for m in moduli], dtype=np.uint64)
+    return s_op, s_qt, q
+
+
+def _mul_scalar_rows(lib, x: np.ndarray, scalars, moduli,
+                     pairs=None) -> np.ndarray:
     """In-place x[l] *= scalars[l] mod moduli[l] over [L, n] (arbitrary
     moduli — not tied to a NativePolyOps tower)."""
     L, n = x.shape
-    s_op = np.asarray([int(v) for v in scalars[:L]], dtype=np.uint64)
-    s_qt = np.asarray([(int(v) << 64) // int(q)
-                       for v, q in zip(scalars[:L], moduli[:L])],
-                      dtype=np.uint64)
-    q = np.asarray([int(m) for m in moduli[:L]], dtype=np.uint64)
+    if pairs is None:
+        pairs = _shoup_pairs(scalars[:L], moduli[:L])
+    s_op, s_qt, q = pairs
     lib.sealtpu_mul_scalar_shoup(_p(x), L, n, _p(s_op), _p(s_qt), _p(q))
     return x
 
@@ -240,34 +276,45 @@ class NativeDecryptTool:
             dtype=np.uint64)
         self.ratio_hi = np.asarray(
             [((1 << 128) // q) >> 64 for q in q_base.base], dtype=np.uint64)
+        # precomputed Shoup pairs for every per-call scalar multiply (r4:
+        # these were rebuilt with Python big-int divisions on EVERY decrypt
+        # — a fixed ~100 us that dominated small-n rows)
+        qlist = [int(v) for v in self.q]
+        self._invp_pairs = _shoup_pairs(self.invp, qlist)
+        self._ptg_pairs = _shoup_pairs(self.prod_t_gamma, qlist)
+        self._negtg_pairs = _shoup_pairs(
+            self.neg_inv_tg, [int(v) for v in self.tg_base])
+        self._invg_op = int(self.inv_gamma_mod_t)
+        self._invg_qt = (self._invg_op << 64) // int(self.t)
+        # combined constant for the one-call tail: the two leading Shoup
+        # scalar multiplies compose exactly (both are exact modular
+        # multiplies), so prod_t_gamma then qhat^{-1} = one multiply by
+        # their product mod q
+        comb = [(int(a) * int(b)) % q
+                for a, b, q in zip(self.prod_t_gamma, self.invp, qlist)]
+        self._comb_pairs = _shoup_pairs(comb, qlist)
+        self._scratch = np.empty((self.Li, self.n), dtype=np.uint64)
 
     def _scaled(self, phase: np.ndarray) -> np.ndarray:
         xhat = np.ascontiguousarray(phase[:self.Li]).copy()
-        _mul_scalar_rows(self.lib, xhat, self.invp, self.q)
+        _mul_scalar_rows(self.lib, xhat, self.invp, self.q,
+                         pairs=self._invp_pairs)
         return xhat
 
     def bfv_scale_round(self, phase: np.ndarray) -> np.ndarray:
-        """[Lq, N] phase -> [N] mod t (the {t, γ} route)."""
-        x = np.ascontiguousarray(phase[:self.Li]).copy()
-        _mul_scalar_rows(self.lib, x, self.prod_t_gamma, self.q)
-        xhat = self._scaled(x)
-        tgv = np.empty((2, self.n), dtype=np.uint64)
-        self.lib.sealtpu_base_convert_dot(
-            _p(xhat), self.Li, self.n, _p(self.M_tg), 2, _p(self.tg_base),
-            _p(self.tg_r0), _p(self.tg_r1), _p(tgv))
-        _mul_scalar_rows(self.lib, tgv, self.neg_inv_tg, self.tg_base)
-        t = self.t
-        gamma = self.gamma
-        t_row, g_row = tgv[0], tgv[1]
-        over = g_row > np.uint64(gamma >> 1)
-        corr_pos = (t_row + (np.uint64(gamma) - g_row) % np.uint64(t)) \
-            % np.uint64(t)
-        corr_neg = (t_row + np.uint64(t) - g_row % np.uint64(t)) \
-            % np.uint64(t)
-        dest = np.ascontiguousarray(
-            np.where(over, corr_pos, corr_neg).reshape(1, self.n))
-        _mul_scalar_rows(self.lib, dest, [self.inv_gamma_mod_t], [t])
-        return dest[0]
+        """[Lq, N] phase -> [N] mod t: the whole {t, γ} route in ONE native
+        call (rns.cpp:1133-1201; five calls' ctypes dispatch previously
+        exceeded the arithmetic at small n)."""
+        phase = np.ascontiguousarray(phase[:self.Li])
+        dest = np.empty(self.n, dtype=np.uint64)
+        s_op, s_qt, q = self._comb_pairs
+        n_op, n_qt, _ = self._negtg_pairs
+        self.lib.sealtpu_bfv_decrypt_tail(
+            _p(phase), self.Li, self.n, _p(s_op), _p(s_qt), _p(q),
+            _p(self.M_tg), _p(self.tg_base), _p(self.tg_r0), _p(self.tg_r1),
+            _p(n_op), _p(n_qt), int(self.t), int(self.gamma),
+            self._invg_op, self._invg_qt, _p(self._scratch), _p(dest))
+        return dest
 
     def bgv_modt(self, phase: np.ndarray) -> np.ndarray:
         """[Lq, N] phase -> [N] mod t (exact conversion + v-correction)."""

@@ -14,6 +14,7 @@
 
 #include <cstdint>
 #include <cstddef>
+#include <cstring>
 
 namespace {
 
@@ -190,6 +191,216 @@ void sealtpu_mul_scalar_shoup(uint64_t *x, size_t L, size_t n,
         const uint64_t w = s_op[l], wq = s_qt[l], q = moduli[l];
         uint64_t *xl = x + l * n;
         for (size_t i = 0; i < n; i++) xl[i] = mul_shoup(xl[i], w, wq, q);
+    }
+}
+
+// Whole BFV {t, gamma} decrypt tail in ONE native call (rns.cpp:1133-1201
+// parity; r4 — the previous five-call pipeline spent more in ctypes
+// dispatch than in arithmetic at small n): scale the phase rows by the
+// combined (prod_t_gamma * qhat_inv) constant, base-convert to {t, gamma},
+// apply -q^{-1} on each, then the gamma-centering correction and the final
+// gamma^{-1} mod t multiply.
+void sealtpu_bfv_decrypt_tail(
+    const uint64_t *phase, size_t Li, size_t n,
+    const uint64_t *s_op, const uint64_t *s_qt, const uint64_t *q,
+    const uint64_t *M, const uint64_t *tg, const uint64_t *tg_r0,
+    const uint64_t *tg_r1, const uint64_t *neg_op, const uint64_t *neg_qt,
+    uint64_t t, uint64_t gamma, uint64_t inv_g_op, uint64_t inv_g_qt,
+    uint64_t *scratch /* [Li, n] */, uint64_t *out /* [n] */)
+{
+    for (size_t l = 0; l < Li; l++) {
+        const uint64_t w = s_op[l], wq = s_qt[l], ql = q[l];
+        const uint64_t *pl = phase + l * n;
+        uint64_t *xl = scratch + l * n;
+        for (size_t i = 0; i < n; i++) xl[i] = mul_shoup(pl[i], w, wq, ql);
+    }
+    const uint64_t half_g = gamma >> 1;
+    const uint64_t *Mt = M, *Mg = M + Li;
+    for (size_t i = 0; i < n; i++) {
+        unsigned __int128 at = 0, ag = 0;
+        for (size_t j = 0; j < Li; j++) {
+            at += (unsigned __int128)scratch[j * n + i] * Mt[j];
+            ag += (unsigned __int128)scratch[j * n + i] * Mg[j];
+        }
+        uint64_t tv = barrett128((uint64_t)at, (uint64_t)(at >> 64), tg[0],
+                                 tg_r0[0], tg_r1[0]);
+        uint64_t gv = barrett128((uint64_t)ag, (uint64_t)(ag >> 64), tg[1],
+                                 tg_r0[1], tg_r1[1]);
+        tv = mul_shoup(tv, neg_op[0], neg_qt[0], t);
+        gv = mul_shoup(gv, neg_op[1], neg_qt[1], gamma);
+        uint64_t d;
+        if (gv > half_g)
+            d = (tv + (gamma - gv) % t) % t;
+        else
+            d = (tv + (t - gv % t)) % t;
+        out[i] = mul_shoup(d, inv_g_op, inv_g_qt, t);
+    }
+}
+
+// Fused size-2 decrypt phase: out = INTT(NTT(c1) . s) + c0 over [L, n]
+// (decryptor.cpp:126/249 parity for the common size-2 ciphertext; one
+// native call instead of four).
+void sealtpu_phase2(const uint64_t *c0, const uint64_t *c1,
+                    const uint64_t *sk_ntt, size_t L, size_t n,
+                    size_t log_n,
+                    const uint64_t *fwd_op, const uint64_t *fwd_qt,
+                    const uint64_t *inv_op, const uint64_t *inv_qt,
+                    const uint64_t *inv_n_op, const uint64_t *inv_n_qt,
+                    const uint64_t *last_op, const uint64_t *last_qt,
+                    const uint64_t *moduli, const uint64_t *r0s,
+                    const uint64_t *r1s, int ntt_form, uint64_t *out)
+{
+    std::memcpy(out, c1, L * n * sizeof(uint64_t));
+    if (!ntt_form)
+        sealtpu_ntt_forward(out, L, log_n, fwd_op, fwd_qt, moduli, 1);
+    for (size_t l = 0; l < L; l++) {
+        const uint64_t q = moduli[l], r0 = r0s[l], r1 = r1s[l];
+        const uint64_t *sl = sk_ntt + l * n;
+        uint64_t *ol = out + l * n;
+        for (size_t i = 0; i < n; i++) {
+            const unsigned __int128 p = (unsigned __int128)ol[i] * sl[i];
+            ol[i] = barrett128((uint64_t)p, (uint64_t)(p >> 64), q, r0, r1);
+        }
+    }
+    if (!ntt_form)
+        sealtpu_ntt_inverse(out, L, log_n, inv_op, inv_qt, inv_n_op,
+                            inv_n_qt, last_op, last_qt, moduli, 0);
+    for (size_t l = 0; l < L; l++) {
+        const uint64_t q = moduli[l];
+        const uint64_t *cl = c0 + l * n;
+        uint64_t *ol = out + l * n;
+        for (size_t i = 0; i < n; i++) {
+            uint64_t r = ol[i] + cl[i];
+            if (r >= q) r -= q;
+            ol[i] = r;
+        }
+    }
+}
+
+// Complex-double DWT butterflies — the CKKS encoder FFT (dwthandler.h:94-356
+// parity; same operation order as utils/dwt.py's vectorized replay, so the
+// output is bit-identical to the reference's encoder BUTTERFLY-FOR-BUTTERFLY.
+// The build passes -ffp-contract=off: FMA contraction would change the
+// complex-multiply rounding and break bit-exactness.
+void sealtpu_dwt_from_rev(double *re, double *im, size_t log_n,
+                          const double *r_re, const double *r_im,
+                          int use_scalar, double scalar)
+{
+    const size_t n = (size_t)1 << log_n;
+    size_t gap = 1, m = n >> 1, ridx = 1;
+    for (; m > 1; m >>= 1) {
+        size_t offset = 0;
+        for (size_t i = 0; i < m; i++) {
+            const double wr = r_re[ridx], wi = r_im[ridx];
+            ridx++;
+            double *xr = re + offset, *xi = im + offset;
+            double *yr = xr + gap, *yi = xi + gap;
+            for (size_t j = 0; j < gap; j++) {
+                const double ur = xr[j], ui = xi[j];
+                const double vr = yr[j], vi = yi[j];
+                xr[j] = ur + vr;
+                xi[j] = ui + vi;
+                const double sr = ur - vr, si = ui - vi;
+                yr[j] = sr * wr - si * wi;
+                yi[j] = sr * wi + si * wr;
+            }
+            offset += gap << 1;
+        }
+        gap <<= 1;
+    }
+    const double wr0 = r_re[ridx], wi0 = r_im[ridx];
+    double *xr = re, *xi = im, *yr = re + gap, *yi = im + gap;
+    if (use_scalar) {
+        const double swr = wr0 * scalar, swi = wi0 * scalar;
+        for (size_t j = 0; j < gap; j++) {
+            const double ur = xr[j], ui = xi[j];
+            const double vr = yr[j], vi = yi[j];
+            xr[j] = (ur + vr) * scalar;
+            xi[j] = (ui + vi) * scalar;
+            const double sr = ur - vr, si = ui - vi;
+            yr[j] = sr * swr - si * swi;
+            yi[j] = sr * swi + si * swr;
+        }
+    } else {
+        for (size_t j = 0; j < gap; j++) {
+            const double ur = xr[j], ui = xi[j];
+            const double vr = yr[j], vi = yi[j];
+            xr[j] = ur + vr;
+            xi[j] = ui + vi;
+            const double sr = ur - vr, si = ui - vi;
+            yr[j] = sr * wr0 - si * wi0;
+            yi[j] = sr * wi0 + si * wr0;
+        }
+    }
+}
+
+void sealtpu_dwt_to_rev(double *re, double *im, size_t log_n,
+                        const double *r_re, const double *r_im,
+                        int use_scalar, double scalar)
+{
+    const size_t n = (size_t)1 << log_n;
+    size_t gap = n >> 1, m = 1, ridx = 1;
+    for (; m < (n >> 1); m <<= 1) {
+        size_t offset = 0;
+        for (size_t i = 0; i < m; i++) {
+            const double wr = r_re[ridx], wi = r_im[ridx];
+            ridx++;
+            double *xr = re + offset, *xi = im + offset;
+            double *yr = xr + gap, *yi = xi + gap;
+            for (size_t j = 0; j < gap; j++) {
+                const double ur = xr[j], ui = xi[j];
+                const double pr = yr[j] * wr - yi[j] * wi;
+                const double pi = yr[j] * wi + yi[j] * wr;
+                xr[j] = ur + pr;
+                xi[j] = ui + pi;
+                yr[j] = ur - pr;
+                yi[j] = ui - pi;
+            }
+            offset += gap << 1;
+        }
+        gap >>= 1;
+    }
+    // final stage: m = n/2 adjacent pairs, one root each
+    for (size_t i = 0; i < m; i++) {
+        const double wr = r_re[ridx], wi = r_im[ridx];
+        ridx++;
+        double *xr = re + 2 * i, *xi = im + 2 * i;
+        double ur = xr[0], ui = xi[0];
+        double pr, pi;
+        if (use_scalar) {
+            const double swr = wr * scalar, swi = wi * scalar;
+            ur = ur * scalar;
+            ui = ui * scalar;
+            pr = xr[1] * swr - xi[1] * swi;
+            pi = xr[1] * swi + xi[1] * swr;
+        } else {
+            pr = xr[1] * wr - xi[1] * wi;
+            pi = xr[1] * wi + xi[1] * wr;
+        }
+        xr[0] = ur + pr;
+        xi[0] = ui + pi;
+        xr[1] = ur - pr;
+        xi[1] = ui - pi;
+    }
+}
+
+// BFV {t, gamma} decrypt correction tail in ONE pass (rns.cpp:1170-1201
+// parity; replaces six numpy passes + a scalar multiply): given the
+// neg-scaled (t, gamma) rows, apply the gamma-centering correction and the
+// final gamma^{-1} mod t Shoup multiply.
+void sealtpu_bfv_tg_correct(const uint64_t *t_row, const uint64_t *g_row,
+                            size_t n, uint64_t t, uint64_t gamma,
+                            uint64_t inv_g_op, uint64_t inv_g_qt,
+                            uint64_t *out)
+{
+    const uint64_t half_g = gamma >> 1;
+    for (size_t i = 0; i < n; i++) {
+        uint64_t tv = t_row[i], gv = g_row[i], d;
+        if (gv > half_g)
+            d = (tv + (gamma - gv) % t) % t;
+        else
+            d = (tv + (t - gv % t)) % t;
+        out[i] = mul_shoup(d, inv_g_op, inv_g_qt, t);
     }
 }
 

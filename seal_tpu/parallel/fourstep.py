@@ -339,6 +339,100 @@ def _inv_local(x_lo, x_hi, t: FourStepTables, axis: str):
     return out[0], out[1]
 
 
+def ntt_forward_local(x: limb.U64Pair, t: FourStepTables) -> limb.U64Pair:
+    """SINGLE-CHIP four-step forward NTT: the shard axis becomes a leading
+    batch axis and the all_gather becomes a reshape — no collectives
+    (VERDICT r3 item 6). The point at huge n (131072): the monolithic
+    kernel's stage working set exceeds VMEM, but this route runs P batched
+    M-point sub-NTTs (M = n/P VMEM-resident) plus O(n·P) butterflies.
+    Bit-identical to ops/ntt.py (same fully-reduced steps as the sharded
+    route, which is bit-exactness-tested against the single-chip kernel)."""
+    lo, hi = x
+    L = lo.shape[0]
+    P_ = t.shards
+    n = 1 << t.log_n
+    M = n // P_
+    log_m = t.log_n - (P_.bit_length() - 1)
+    mc = t.mc
+
+    def split(a):
+        return jnp.moveaxis(a.reshape(a.shape[0], P_, M), 1, 0)  # [P, L, M]
+
+    xs = (split(lo), split(hi))
+    psi_s = (split(t.psi_op[0]), split(t.psi_op[1]))
+    psi_q = (split(t.psi_qt[0]), split(t.psi_qt[1]))
+    b = limb.mul_mod_shoup(xs, psi_s, psi_q, mc.q)
+    # P-point DFT across the (now batched) shard axis
+    c_lo, c_hi = [], []
+    for p in range(P_):
+        acc = None
+        for i1 in range(P_):
+            term = limb.mul_mod_shoup(
+                (b[0][i1], b[1][i1]),
+                (t.wp_op[0][:, p, i1, None], t.wp_op[1][:, p, i1, None]),
+                (t.wp_qt[0][:, p, i1, None], t.wp_qt[1][:, p, i1, None]),
+                mc.q,
+            )
+            acc = term if acc is None else limb.add_mod(acc, term, mc.q)
+        c_lo.append(acc[0])
+        c_hi.append(acc[1])
+    c = (jnp.stack(c_lo), jnp.stack(c_hi))                      # [P, L, M]
+    tw_s = (jnp.moveaxis(t.tw_op[0], 1, 0), jnp.moveaxis(t.tw_op[1], 1, 0))
+    tw_q = (jnp.moveaxis(t.tw_qt[0], 1, 0), jnp.moveaxis(t.tw_qt[1], 1, 0))
+    d = limb.mul_mod_shoup(c, tw_s, tw_q, mc.q)
+    out = jax.vmap(
+        lambda pair: _cyclic_ntt(pair, log_m, t.cyc_op, t.cyc_qt, mc))(d)
+
+    def join(a):
+        return jnp.moveaxis(a, 0, 1).reshape(L, n)
+
+    return join(out[0]), join(out[1])
+
+
+def ntt_inverse_local(x: limb.U64Pair, t: FourStepTables) -> limb.U64Pair:
+    """Single-chip four-step inverse NTT (see ntt_forward_local)."""
+    lo, hi = x
+    L = lo.shape[0]
+    P_ = t.shards
+    n = 1 << t.log_n
+    M = n // P_
+    log_m = t.log_n - (P_.bit_length() - 1)
+    mc = t.mc
+
+    def split(a):
+        return jnp.moveaxis(a.reshape(a.shape[0], P_, M), 1, 0)
+
+    xs = (split(lo), split(hi))
+    e = jax.vmap(
+        lambda pair: _cyclic_intt(pair, log_m, t.icyc_op, t.icyc_qt,
+                                  t.invm_op, t.invm_qt, mc))(xs)
+    itw_s = (jnp.moveaxis(t.itw_op[0], 1, 0), jnp.moveaxis(t.itw_op[1], 1, 0))
+    itw_q = (jnp.moveaxis(t.itw_qt[0], 1, 0), jnp.moveaxis(t.itw_qt[1], 1, 0))
+    e = limb.mul_mod_shoup(e, itw_s, itw_q, mc.q)
+    b_lo, b_hi = [], []
+    for p in range(P_):
+        acc = None
+        for r in range(P_):
+            term = limb.mul_mod_shoup(
+                (e[0][r], e[1][r]),
+                (t.iwp_op[0][:, p, r, None], t.iwp_op[1][:, p, r, None]),
+                (t.iwp_qt[0][:, p, r, None], t.iwp_qt[1][:, p, r, None]),
+                mc.q,
+            )
+            acc = term if acc is None else limb.add_mod(acc, term, mc.q)
+        b_lo.append(acc[0])
+        b_hi.append(acc[1])
+    b = (jnp.stack(b_lo), jnp.stack(b_hi))
+    ipsi_s = (split(t.ipsi_op[0]), split(t.ipsi_op[1]))
+    ipsi_q = (split(t.ipsi_qt[0]), split(t.ipsi_qt[1]))
+    out = limb.mul_mod_shoup(b, ipsi_s, ipsi_q, mc.q)
+
+    def join(a):
+        return jnp.moveaxis(a, 0, 1).reshape(L, n)
+
+    return join(out[0]), join(out[1])
+
+
 def _a2a_chunks(pair, P_, axis):
     """Transpose [L, M] shard-local pairs: chunk j of shard p lands on
     shard j as row p of a [P, L, M/P] tensor (one tiled all_to_all)."""

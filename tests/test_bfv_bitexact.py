@@ -133,7 +133,7 @@ def test_batch_encode(bfv):
     vals = [(i * 7 + 1) % 257 for i in range(64)]
     p = be.encode(vals)
     assert np.array_equal(p.data, ref("batch_encoded"))
-    assert be.decode(p) == vals
+    assert np.array_equal(be.decode(p), vals)
 
 
 def test_sub_roundtrip(bfv):

@@ -128,6 +128,6 @@ def test_rotation_semantics(bfv_rot):
     ct = enc.encrypt(be.encode(vals))
     got = be.decode(dec.decrypt(ev.rotate_rows(ct, 3, bfv_rot["gk"])))
     r1, r2 = vals[:32], vals[32:]
-    assert got == r1[3:] + r1[:3] + r2[3:] + r2[:3]
+    assert np.array_equal(got, r1[3:] + r1[:3] + r2[3:] + r2[:3])
     got = be.decode(dec.decrypt(ev.rotate_columns(ct, bfv_rot["gk"])))
-    assert got == r2 + r1
+    assert np.array_equal(got, r2 + r1)

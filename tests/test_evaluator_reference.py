@@ -93,7 +93,7 @@ class TestNAFRotations:
             top, bot = vals[:row], vals[row:]
             s = step % row
             want = top[s:] + top[:s] + bot[s:] + bot[:s]
-            assert got == want, f"step {step}"
+            assert np.array_equal(got, want), f"step {step}"
 
     def test_multi_hop_rotation_ckks(self):
         ctx, kg, enc, ev, dec = _make(SchemeType.CKKS)
@@ -231,7 +231,7 @@ class TestLargeN:
         ct = enc.encrypt(be.encode(vals))
         prod = ev.relinearize(ev.multiply(ct, ct), rk)
         got = be.decode(dec.decrypt(prod))
-        assert got == [(v * v) % t for v in vals]
+        assert np.array_equal(got, [(v * v) % t for v in vals])
         assert dec.invariant_noise_budget(prod) > 0
         rot = ev.apply_galois(ct, 3, gk)
         assert dec.decrypt(rot) is not None

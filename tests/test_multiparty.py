@@ -140,7 +140,7 @@ def test_common_galois_keys(mp):
     agg = Decryptor(ctx, mp["sks"][0]).aggregate_partial_decryption(rot, partials)
     got = be.decode(agg)
     r1, r2 = vals[:32], vals[32:]
-    assert got == r1[1:] + r1[:1] + r2[1:] + r2[:1]
+    assert np.array_equal(got, r1[1:] + r1[:1] + r2[1:] + r2[:1])
 
 
 def test_five_party_flow():

@@ -126,13 +126,13 @@ class TestBatchEncoderSigned:
         vals = [0, 1, -1, 2, -2, 100, -100] + [0] * (encoder.slot_count - 7)
         p = encoder.encode(vals)
         out = encoder.decode(p, signed=True)
-        assert out[:7] == [0, 1, -1, 2, -2, 100, -100]
+        assert list(out[:7]) == [0, 1, -1, 2, -2, 100, -100]
 
     def test_unsigned_roundtrip(self):
         ctx = _ctx(SchemeType.BFV, plain_mod=257)
         encoder = BatchEncoder(ctx)
         vals = list(range(encoder.slot_count))
-        assert encoder.decode(encoder.encode(vals)) == vals
+        assert np.array_equal(encoder.decode(encoder.encode(vals)), vals)
 
 
 class TestKeyGeneratorConstructors:

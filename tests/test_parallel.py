@@ -318,3 +318,32 @@ class TestPipelineRealStages:
             want = stage_rescale(stage_mult_relin((xs[0][m], xs[1][m])))
             assert np.array_equal(np.asarray(got[0][m]), np.asarray(want[0])), m
             assert np.array_equal(np.asarray(got[1][m]), np.asarray(want[1])), m
+
+
+def test_fourstep_local_single_chip_bit_exact():
+    """Single-chip four-step route (VERDICT r3 item 6 — the huge-n
+    alternative where the monolithic Pallas kernel exceeds VMEM): shard
+    axis as a batch axis, no collectives, bit-identical to ops/ntt.py."""
+    import numpy as np
+
+    from seal_tpu.modulus import CoeffModulus
+    from seal_tpu.ops import limb
+    from seal_tpu.ops import ntt as ntt_mod
+    from seal_tpu.parallel import fourstep
+
+    log_n = 10
+    n = 1 << log_n
+    moduli = [int(m) for m in CoeffModulus.create(n, [50, 40])]
+    rng = np.random.default_rng(3)
+    x = limb.arr_to_u64(
+        [[int(v) for v in rng.integers(0, q, size=n)] for q in moduli],
+        shape=(2, n))
+    ref = ntt_mod.ntt_forward(x, ntt_mod.build_device_tables(log_n, moduli))
+    for P_ in (2, 4):
+        t4 = fourstep.build_fourstep_tables(log_n, moduli, P_)
+        got = fourstep.ntt_forward_local(x, t4)
+        assert np.array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        assert np.array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+        back = fourstep.ntt_inverse_local(got, t4)
+        assert np.array_equal(np.asarray(back[0]), np.asarray(x[0]))
+        assert np.array_equal(np.asarray(back[1]), np.asarray(x[1]))

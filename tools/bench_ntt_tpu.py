@@ -23,6 +23,13 @@ def main():
                     help="A/B: disable the transposed lane-stage compaction")
     ap.add_argument("--skip-compact", action="store_true",
                     help="skip the compact-table kernel rows")
+    ap.add_argument("--fourstep", type=int, default=0,
+                    help="also bench the SINGLE-CHIP four-step route with "
+                         "this many sub-blocks (huge-n alternative where "
+                         "the monolithic Pallas kernel exceeds VMEM)")
+    ap.add_argument("--skip-pallas", action="store_true",
+                    help="skip the Pallas kernels entirely (n=131072: no "
+                         "VMEM-feasible monolithic kernel)")
     args = ap.parse_args()
 
     import jax
@@ -47,8 +54,14 @@ def main():
     with jax.default_device(cpu):
         qs = [int(m) for m in CoeffModulus.create(n, [50] * L)]
         t = ntt_mod.build_device_tables(log_n, qs)
-        pt = npk.build_pallas_tables(log_n, qs)
-        ct = npk.build_pallas_tables_compact(log_n, qs)
+        pt = ct = None
+        if not args.skip_pallas:
+            pt = npk.build_pallas_tables(log_n, qs)
+            ct = npk.build_pallas_tables_compact(log_n, qs)
+        t4 = None
+        if args.fourstep:
+            from seal_tpu.parallel import fourstep
+            t4 = fourstep.build_fourstep_tables(log_n, qs, args.fourstep)
         rng = np.random.default_rng(0)
         x_host = np.stack(
             [rng.integers(0, q, size=(batch, n), dtype=np.uint64) for q in qs], axis=1
@@ -59,8 +72,11 @@ def main():
 
     x = jax.device_put(x, tpu)
     t = jax.device_put(t, tpu)
-    pt = jax.device_put(pt, tpu)
-    ct = jax.device_put(ct, tpu)
+    if pt is not None:
+        pt = jax.device_put(pt, tpu)
+        ct = jax.device_put(ct, tpu)
+    if t4 is not None:
+        t4 = jax.device_put(t4, tpu)
 
     from jax import tree_util
 
@@ -82,7 +98,8 @@ def main():
         return lambda *ex_: conv(consts, *ex_)
 
     # correctness of the compiled kernels on real hardware (fwd and inv)
-    kinds = [("expanded", pt)] + ([] if args.skip_compact else [("compact", ct)])
+    kinds = [] if args.skip_pallas else (
+        [("expanded", pt)] + ([] if args.skip_compact else [("compact", ct)]))
     for name, tables in kinds:
         got = hoisted(lambda v, tb=tables: npk.ntt_forward_pallas(v, tb), x)(x)
         ok = np.array_equal(np.asarray(got[0]), ref_np[0]) and np.array_equal(
@@ -116,10 +133,23 @@ def main():
         print(f"{label}: {d*1e6:.2f} us per {n}-pt transform "
               f"({batch*L/d:.0f} NTT/s marginal)")
 
+    if t4 is not None:
+        from seal_tpu.parallel import fourstep
+        vfwd = lambda a: jax.vmap(
+            lambda pair: fourstep.ntt_forward_local(pair, t4))(a)
+        got = hoisted(vfwd, x)(x)
+        ok = np.array_equal(np.asarray(got[0]), ref_np[0]) and \
+            np.array_equal(np.asarray(got[1]), ref_np[1])
+        print(f"four-step local (P={args.fourstep}) fwd matches XLA on TPU: "
+              f"{ok}", flush=True)
+
     measure(lambda a: ntt_mod.ntt_forward(a, t), "XLA stage-by-stage")
-    measure(lambda a: npk.ntt_forward_pallas(a, pt), "Pallas expanded  ")
-    if not args.skip_compact:
-        measure(lambda a: npk.ntt_forward_pallas(a, ct), "Pallas compact   ")
+    if not args.skip_pallas:
+        measure(lambda a: npk.ntt_forward_pallas(a, pt), "Pallas expanded  ")
+        if not args.skip_compact:
+            measure(lambda a: npk.ntt_forward_pallas(a, ct), "Pallas compact   ")
+    if t4 is not None:
+        measure(vfwd, f"four-step local P={args.fourstep}")
 
 
 if __name__ == "__main__":

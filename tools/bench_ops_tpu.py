@@ -27,6 +27,11 @@ BITS = {
     8192: [43, 43, 43, 43, 46],
     16384: [48] * 8 + [54],
     32768: [55] * 15 + [56],
+    # beyond the reference's own bench grid (its max is 32768): huge-n rows
+    # for SEAL_POLY_MOD_DEGREE_MAX parity (VERDICT r3 item 6) — sec none,
+    # tower sized to keep the keyswitch key under HBM limits
+    65536: [55] * 15 + [56],
+    131072: [55] * 15 + [56],
 }
 
 # --alpha 2: same data-prime count and total budget, 2 special primes
@@ -107,7 +112,13 @@ def bench_one(n: int, rotations: int = 8, alpha: int = 1):
     parms.set_random_seed((1, 2, 3, 4, 5, 6, 7, 8))
 
     with jax.default_device(cpu):
-        ctx = SEALContext(parms)
+        if n > 32768:
+            # beyond the HE-std table (the reference's MaxBitCount is also
+            # 0 there): sec none, like its own huge-n usage would need
+            from seal_tpu import SecLevelType
+            ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+        else:
+            ctx = SEALContext(parms)
         kg = KeyGenerator(ctx)
         pk = kg.create_public_key()
         rk = kg.create_relin_keys()
