@@ -100,8 +100,16 @@ def main(batches=(16,), alpha=2, fused=True):
         }), flush=True)
         return
 
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: tunnel compiles cost minutes; repeats hit disk
+    os.makedirs("/root/.cache/jax", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     from seal_tpu import (
         CoeffModulus, Decryptor, EncryptionParameters, Encryptor, Evaluator,

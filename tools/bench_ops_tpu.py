@@ -89,7 +89,8 @@ def _marginal(fn, x0, short=8, long_=520, repeats=4, extra=()):
     return (tl - ts) / (long_ - short)
 
 
-def bench_one(n: int, rotations: int = 8, alpha: int = 1):
+def bench_one(n: int, rotations: int = 8, alpha: int = 1,
+              core_only: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -185,6 +186,19 @@ def bench_one(n: int, rotations: int = 8, alpha: int = 1):
                 return (lo, hi)
             return jax.lax.fori_loop(0, steps_, body, x)
         us["rescale"] = _marginal(rs_chain, d1) * 1e6
+
+        if core_only:
+            # huge-n rows (VERDICT r3 item 6): the pipeline trio plus the
+            # raw NTT — the rest of the grid is not defined at these sizes
+            # in the reference either (its bench stops at 32768)
+            def ntt_chain(x, steps_):
+                return jax.lax.fori_loop(
+                    0, steps_,
+                    lambda i, a: ntt_mod.ntt_forward(a, cd.ntt_tables), x)
+            us[f"ntt_forward_L{L}"] = _marginal(
+                ntt_chain, (d1[0][0], d1[1][0])) * 1e6
+            return {"n": n, "L": L, "alpha": alpha, "us":
+                    {k: round(v, 1) for k, v in us.items()}}
 
         # rotation (shape-preserving: directly chainable); key tensors are
         # jit ARGUMENTS — closure key stacks blow the remote-compile payload
@@ -595,10 +609,22 @@ def main():
     ap.add_argument("--keyswitch-xla", action="store_true",
                     help="A/B: force the XLA key-switch inner product "
                          "(default: fused Pallas kernel on TPU)")
+    ap.add_argument("--core-only", action="store_true",
+                    help="CKKS rows: only multiply/relinearize/rescale/NTT "
+                         "(huge-n grid)")
     ap.add_argument("--alpha", type=int, default=1,
                     help="hybrid keyswitch special-prime count (CKKS rows "
                          "only; 2 uses the BITS_ALPHA2 same-budget parms)")
     args = ap.parse_args()
+    # persistent compile cache: tunnel compiles cost minutes; repeats hit disk
+    import os
+
+    import jax
+
+    os.makedirs("/root/.cache/jax", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     if args.keyswitch_xla:
         from seal_tpu.config import config as _cfg
         _cfg.use_pallas_keyswitch = "never"
@@ -608,7 +634,8 @@ def main():
     for n in args.ns:
         t0 = time.time()
         if args.scheme == "ckks":
-            rep = bench_one(n, args.rotations, args.alpha)
+            rep = bench_one(n, args.rotations, args.alpha,
+                            core_only=args.core_only)
         elif args.scheme == "keygen":
             rep = bench_keygen(n)
         elif args.scheme == "small":

@@ -29,16 +29,34 @@ Usage: python tools/bench_sustained.py [--total 1024] [--B 16] [--parity]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import REFERENCE_OPS_PER_S, _backend_up  # repo-root bench.py
+
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache (tunnel compiles cost minutes; repeat
+    runs should hit disk — same setup as tests/conftest.py)."""
+    import os
+
+    import jax
+
+    os.makedirs("/root/.cache/jax", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def _setup(alpha: int, fused: bool):
     import jax
+
+    _enable_compile_cache()
 
     from seal_tpu import (
         CoeffModulus, EncryptionParameters, Encryptor, Evaluator,

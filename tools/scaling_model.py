@@ -39,8 +39,12 @@ def main():
     ap.add_argument("--L", type=int, default=8)
     ap.add_argument("--relin-us", type=float, default=1132.0,
                     help="measured single-chip relinearize (BASELINE grid)")
-    ap.add_argument("--pipeline-us", type=float, default=1290.0,
-                    help="measured single-chip mult+relin+rescale per ct (B=16)")
+    ap.add_argument("--pipeline-us", type=float, default=1300.0,
+                    help="measured single-chip mult+relin+rescale per ct: "
+                         "the r4 SUSTAINED streaming number (769.3-770.7 "
+                         "ops/s at B=16-24, tools/bench_sustained.py — "
+                         "independent per-chunk dispatches with host "
+                         "feed/drain), not the 1135 ops/s chained marginal")
     ap.add_argument("--ici-gbs", type=float, default=180.0,
                     help="per-chip ICI all-reduce bandwidth assumption (GB/s)")
     ap.add_argument("--dcn-gbs", type=float, default=25.0)
