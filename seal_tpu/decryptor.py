@@ -275,6 +275,17 @@ class Decryptor:
         cd = self.context.get_context_data(ct.parms_id)
         ndt = native_poly.decrypt_tool_for(cd)
         if ndt is not None:
+            if ct.size == 2:
+                # whole decrypt in ONE native call (phase + {t,γ} tail)
+                data = ct.host_u64()
+                if data is None:
+                    data = to_host(ct.data)
+                npoly = native_poly.for_context_data(cd)
+                out = ndt.bfv_decrypt2(
+                    npoly, np.ascontiguousarray(data[0]),
+                    np.ascontiguousarray(data[1]),
+                    self._powers_np(1, cd)[0])
+                return _trimmed_plain(out)
             phase = self._phase_np(ct, cd)
             return _trimmed_plain(ndt.bfv_scale_round(phase))
         tg = to_host(self._phase_core(ct, "bfv"))        # [2, N]

@@ -121,6 +121,11 @@ def get_lib():
             ctypes.c_uint64, c_u64p, c_u64p,
         ]
         lib.sealtpu_bfv_decrypt_tail.restype = None
+        lib.sealtpu_bfv_decrypt2.argtypes = (
+            [c_u64p] * 3 + [ctypes.c_size_t] * 3 + [c_u64p] * 19
+            + [ctypes.c_uint64] * 4 + [c_u64p] * 3
+        )
+        lib.sealtpu_bfv_decrypt2.restype = None
         lib.sealtpu_phase2.argtypes = [
             c_u64p, c_u64p, c_u64p, ctypes.c_size_t, ctypes.c_size_t,
             ctypes.c_size_t, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p,

@@ -301,6 +301,27 @@ class NativeDecryptTool:
                          pairs=self._invp_pairs)
         return xhat
 
+    def bfv_decrypt2(self, npoly: "NativePolyOps", c0: np.ndarray,
+                     c1: np.ndarray, sk_ntt: np.ndarray) -> np.ndarray:
+        """Whole size-2 BFV decrypt (phase + {t,γ} tail) in ONE native call
+        — the two-call split's Python/ctypes glue dominated n=1024."""
+        tp = npoly._ptr0
+        s_op, s_qt, _ = self._comb_pairs
+        n_op, n_qt, _ = self._negtg_pairs
+        if not hasattr(self, "_phase_scratch"):
+            self._phase_scratch = np.empty((self.Li, self.n), dtype=np.uint64)
+        dest = np.empty(self.n, dtype=np.uint64)
+        self.lib.sealtpu_bfv_decrypt2(
+            _p(c0), _p(c1), _p(sk_ntt), self.Li, self.n, npoly.log_n,
+            tp["fwd_op"], tp["fwd_qt"], tp["inv_op"], tp["inv_qt"],
+            tp["inv_n_op"], tp["inv_n_qt"], tp["last_op"], tp["last_qt"],
+            tp["q"], tp["r0"], tp["r1"],
+            _p(s_op), _p(s_qt), _p(self.M_tg), _p(self.tg_base),
+            _p(self.tg_r0), _p(self.tg_r1), _p(n_op), _p(n_qt),
+            int(self.t), int(self.gamma), self._invg_op, self._invg_qt,
+            _p(self._phase_scratch), _p(self._scratch), _p(dest))
+        return dest
+
     def bfv_scale_round(self, phase: np.ndarray) -> np.ndarray:
         """[Lq, N] phase -> [N] mod t: the whole {t, γ} route in ONE native
         call (rns.cpp:1133-1201; five calls' ctypes dispatch previously

@@ -384,6 +384,32 @@ void sealtpu_dwt_to_rev(double *re, double *im, size_t log_n,
     }
 }
 
+// Whole size-2 BFV decrypt in ONE native call: phase (NTT(c1).s -> INTT ->
+// +c0) then the {t,gamma} tail — the per-call Python/ctypes glue of the
+// two-call split dominated n=1024 decrypt (BASELINE.md host-API rows).
+void sealtpu_bfv_decrypt2(
+    const uint64_t *c0, const uint64_t *c1, const uint64_t *sk_ntt,
+    size_t L, size_t n, size_t log_n,
+    const uint64_t *fwd_op, const uint64_t *fwd_qt,
+    const uint64_t *inv_op, const uint64_t *inv_qt,
+    const uint64_t *inv_n_op, const uint64_t *inv_n_qt,
+    const uint64_t *last_op, const uint64_t *last_qt,
+    const uint64_t *moduli, const uint64_t *r0s, const uint64_t *r1s,
+    const uint64_t *s_op, const uint64_t *s_qt,
+    const uint64_t *M, const uint64_t *tg, const uint64_t *tg_r0,
+    const uint64_t *tg_r1, const uint64_t *neg_op, const uint64_t *neg_qt,
+    uint64_t t, uint64_t gamma, uint64_t inv_g_op, uint64_t inv_g_qt,
+    uint64_t *phase_scratch /* [L, n] */, uint64_t *tail_scratch /* [L, n] */,
+    uint64_t *out /* [n] */)
+{
+    sealtpu_phase2(c0, c1, sk_ntt, L, n, log_n, fwd_op, fwd_qt, inv_op,
+                   inv_qt, inv_n_op, inv_n_qt, last_op, last_qt, moduli,
+                   r0s, r1s, 0, phase_scratch);
+    sealtpu_bfv_decrypt_tail(phase_scratch, L, n, s_op, s_qt, moduli, M, tg,
+                             tg_r0, tg_r1, neg_op, neg_qt, t, gamma,
+                             inv_g_op, inv_g_qt, tail_scratch, out);
+}
+
 // BFV {t, gamma} decrypt correction tail in ONE pass (rns.cpp:1170-1201
 // parity; replaces six numpy passes + a scalar multiply): given the
 // neg-scaled (t, gamma) rows, apply the gamma-centering correction and the
