@@ -51,6 +51,7 @@ class BatchEncoder:
         from seal_tpu.native.poly import NativePolyOps
 
         self._npoly = NativePolyOps(self._tables)
+        self._scratch = np.empty(self.slots, dtype=np.uint64)
 
     @property
     def slot_count(self) -> int:
@@ -93,13 +94,26 @@ class BatchEncoder:
             u = np.where(neg, v + t, v).astype(np.uint64)
             if np.any(u >= t):
                 raise ValueError("input value is larger than plain_modulus")
+        npoly = self._npoly
+        if npoly.available:
+            # scatter + INTT mod t in ONE native call (batchencoder.cpp
+            # :110-149 role; the Python zeros+fancy-scatter+wrapper glue
+            # previously cost as much as the transform at small n)
+            from seal_tpu.native.poly import _p, _pi64
+
+            u = np.ascontiguousarray(u, dtype=np.uint64)
+            out_np = np.empty(self.slots, dtype=np.uint64)
+            tp = npoly._ptr0
+            npoly.lib.sealtpu_batch_encode(
+                _p(u), u.size, self.slots, _pi64(self._index_map),
+                npoly.log_n, tp["inv_op"], tp["inv_qt"], tp["inv_n_op"],
+                tp["inv_n_qt"], tp["last_op"], tp["last_qt"], tp["q"],
+                _p(out_np))
+            p = Plaintext()
+            p.data = out_np
+            return p
         coeffs = np.zeros(self.slots, dtype=np.uint64)
         coeffs[self._index_map[: u.size]] = u
-        if self._npoly.available:
-            out_np = self._npoly.ntt_inverse(coeffs.reshape(1, self.slots))
-            p = Plaintext(self.slots)
-            p.data = out_np[0]
-            return p
         dev = to_device(coeffs.reshape(1, self.slots))
         out = ntt_mod.ntt_inverse_eager(dev, self._tables)
         p = Plaintext(self.slots)
@@ -109,14 +123,24 @@ class BatchEncoder:
     def decode(self, plain: Plaintext, signed: bool = False):
         if plain.is_ntt_form:
             raise ValueError("plain cannot be in NTT form")
-        coeffs = np.zeros(self.slots, dtype=np.uint64)
-        coeffs[: len(plain.data)] = plain.data
-        if self._npoly.available:
-            out = self._npoly.ntt_forward(coeffs.reshape(1, self.slots))[0]
+        npoly = self._npoly
+        if npoly.available:
+            from seal_tpu.native.poly import _p, _pi64
+
+            data = np.ascontiguousarray(plain.data, dtype=np.uint64)
+            values = np.empty(self.slots, dtype=np.uint64)
+            tp = npoly._ptr0
+            npoly.lib.sealtpu_batch_decode(
+                _p(data), min(data.size, self.slots), self.slots,
+                _pi64(self._index_map), npoly.log_n,
+                tp["fwd_op"], tp["fwd_qt"], tp["q"], _p(self._scratch),
+                _p(values))
         else:
+            coeffs = np.zeros(self.slots, dtype=np.uint64)
+            coeffs[: len(plain.data)] = plain.data
             dev = to_device(coeffs.reshape(1, self.slots))
             out = to_host(ntt_mod.ntt_forward_eager(dev, self._tables))[0]
-        values = out[self._index_map]
+            values = out[self._index_map]
         if signed:
             t = self._t
             half = (t + 1) >> 1

@@ -121,6 +121,29 @@ def get_lib():
             ctypes.c_uint64, c_u64p, c_u64p,
         ]
         lib.sealtpu_bfv_decrypt_tail.restype = None
+        lib.sealtpu_bfv_plan_create.argtypes = (
+            [ctypes.c_size_t] * 3 + [c_u64p] * 19
+            + [ctypes.c_uint64] * 4 + [c_u64p] * 2
+        )
+        lib.sealtpu_bfv_plan_create.restype = ctypes.c_void_p
+        lib.sealtpu_plan_free.argtypes = [ctypes.c_void_p]
+        lib.sealtpu_plan_free.restype = None
+        lib.sealtpu_bfv_decrypt_plan.argtypes = [
+            ctypes.c_void_p, c_u64p, c_u64p, c_u64p, c_u64p,
+        ]
+        lib.sealtpu_bfv_decrypt_plan.restype = None
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.sealtpu_batch_encode.argtypes = [
+            c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_i64p,
+            ctypes.c_size_t, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p,
+            c_u64p, c_u64p, c_u64p,
+        ]
+        lib.sealtpu_batch_encode.restype = None
+        lib.sealtpu_batch_decode.argtypes = [
+            c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_i64p,
+            ctypes.c_size_t, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p,
+        ]
+        lib.sealtpu_batch_decode.restype = None
         lib.sealtpu_bfv_decrypt2.argtypes = (
             [c_u64p] * 3 + [ctypes.c_size_t] * 3 + [c_u64p] * 19
             + [ctypes.c_uint64] * 4 + [c_u64p] * 3

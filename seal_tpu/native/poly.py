@@ -16,10 +16,15 @@ import numpy as np
 from seal_tpu import native
 
 _U64P = ctypes.POINTER(ctypes.c_uint64)
+_I64P = ctypes.POINTER(ctypes.c_int64)
 
 
 def _p(arr: np.ndarray):
     return arr.ctypes.data_as(_U64P)
+
+
+def _pi64(arr: np.ndarray):
+    return arr.ctypes.data_as(_I64P)
 
 
 def _host_u64(pair) -> np.ndarray:
@@ -303,24 +308,39 @@ class NativeDecryptTool:
 
     def bfv_decrypt2(self, npoly: "NativePolyOps", c0: np.ndarray,
                      c1: np.ndarray, sk_ntt: np.ndarray) -> np.ndarray:
-        """Whole size-2 BFV decrypt (phase + {t,γ} tail) in ONE native call
-        — the two-call split's Python/ctypes glue dominated n=1024."""
-        tp = npoly._ptr0
-        s_op, s_qt, _ = self._comb_pairs
-        n_op, n_qt, _ = self._negtg_pairs
-        if not hasattr(self, "_phase_scratch"):
+        """Whole size-2 BFV decrypt (phase + {t,γ} tail) via a C-side PLAN
+        handle: constants are snapshotted once, per-call marshaling is 5
+        arguments (the 33-argument variant spent ~8 us/call in ctypes)."""
+        plan = getattr(self, "_plan", None)
+        if plan is None:
+            tp = npoly._ptr0
+            s_op, s_qt, _ = self._comb_pairs
+            n_op, n_qt, _ = self._negtg_pairs
             self._phase_scratch = np.empty((self.Li, self.n), dtype=np.uint64)
+            # the plan stores raw pointers: keep every referenced array alive
+            self._plan_refs = (s_op, s_qt, n_op, n_qt, npoly)
+            plan = self.lib.sealtpu_bfv_plan_create(
+                self.Li, self.n, npoly.log_n,
+                tp["fwd_op"], tp["fwd_qt"], tp["inv_op"], tp["inv_qt"],
+                tp["inv_n_op"], tp["inv_n_qt"], tp["last_op"], tp["last_qt"],
+                tp["q"], tp["r0"], tp["r1"],
+                _p(s_op), _p(s_qt), _p(self.M_tg), _p(self.tg_base),
+                _p(self.tg_r0), _p(self.tg_r1), _p(n_op), _p(n_qt),
+                int(self.t), int(self.gamma), self._invg_op, self._invg_qt,
+                _p(self._phase_scratch), _p(self._scratch))
+            self._plan = plan
         dest = np.empty(self.n, dtype=np.uint64)
-        self.lib.sealtpu_bfv_decrypt2(
-            _p(c0), _p(c1), _p(sk_ntt), self.Li, self.n, npoly.log_n,
-            tp["fwd_op"], tp["fwd_qt"], tp["inv_op"], tp["inv_qt"],
-            tp["inv_n_op"], tp["inv_n_qt"], tp["last_op"], tp["last_qt"],
-            tp["q"], tp["r0"], tp["r1"],
-            _p(s_op), _p(s_qt), _p(self.M_tg), _p(self.tg_base),
-            _p(self.tg_r0), _p(self.tg_r1), _p(n_op), _p(n_qt),
-            int(self.t), int(self.gamma), self._invg_op, self._invg_qt,
-            _p(self._phase_scratch), _p(self._scratch), _p(dest))
+        self.lib.sealtpu_bfv_decrypt_plan(
+            plan, _p(c0), _p(c1), _p(sk_ntt), _p(dest))
         return dest
+
+    def __del__(self):
+        plan = getattr(self, "_plan", None)
+        if plan is not None and getattr(self, "lib", None) is not None:
+            try:
+                self.lib.sealtpu_plan_free(plan)
+            except Exception:  # noqa: BLE001 — interpreter teardown
+                pass
 
     def bfv_scale_round(self, phase: np.ndarray) -> np.ndarray:
         """[Lq, N] phase -> [N] mod t: the whole {t, γ} route in ONE native

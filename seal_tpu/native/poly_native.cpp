@@ -58,6 +58,16 @@ static inline uint64_t barrett128(uint64_t xlo, uint64_t xhi, uint64_t q,
     return r >= q ? r - q : r;
 }
 
+// x mod q for 64-bit x via the same floor(2^128/q) words (parity:
+// barrett_reduce_64, uintarithsmallmod.h:211-233) — replaces hardware
+// division in per-element loops (~25 cycles/div vs ~5 for this)
+static inline uint64_t barrett64(uint64_t x, uint64_t q, uint64_t r1)
+{
+    uint64_t tmp = mulhi64(x, r1);
+    uint64_t r = x - tmp * q;
+    return r >= q ? r - q : r;
+}
+
 }  // namespace
 
 extern "C" {
@@ -228,11 +238,15 @@ void sealtpu_bfv_decrypt_tail(
                                  tg_r0[1], tg_r1[1]);
         tv = mul_shoup(tv, neg_op[0], neg_qt[0], t);
         gv = mul_shoup(gv, neg_op[1], neg_qt[1], gamma);
+        // Barrett instead of hardware % (same canonical residues; the raw
+        // divisions were ~40% of the whole n=1024 decrypt)
         uint64_t d;
-        if (gv > half_g)
-            d = (tv + (gamma - gv) % t) % t;
-        else
-            d = (tv + (t - gv % t)) % t;
+        if (gv > half_g) {
+            d = tv + barrett64(gamma - gv, t, tg_r1[0]);
+        } else {
+            d = tv + (t - barrett64(gv, t, tg_r1[0]));
+        }
+        if (d >= t) d -= t;
         out[i] = mul_shoup(d, inv_g_op, inv_g_qt, t);
     }
 }
@@ -408,6 +422,97 @@ void sealtpu_bfv_decrypt2(
     sealtpu_bfv_decrypt_tail(phase_scratch, L, n, s_op, s_qt, moduli, M, tg,
                              tg_r0, tg_r1, neg_op, neg_qt, t, gamma,
                              inv_g_op, inv_g_qt, tail_scratch, out);
+}
+
+// Plan-handle variant: the 33-argument sealtpu_bfv_decrypt2 spends ~8 us
+// per call on ctypes argument marshaling at small n. The plan snapshots
+// every constant pointer once (the Python side keeps the arrays alive);
+// per-decrypt calls pass only the 4 varying pointers.
+struct BfvDecryptPlan {
+    size_t L, n, log_n;
+    const uint64_t *fwd_op, *fwd_qt, *inv_op, *inv_qt;
+    const uint64_t *inv_n_op, *inv_n_qt, *last_op, *last_qt;
+    const uint64_t *moduli, *r0s, *r1s;
+    const uint64_t *s_op, *s_qt, *M, *tg, *tg_r0, *tg_r1, *neg_op, *neg_qt;
+    uint64_t t, gamma, inv_g_op, inv_g_qt;
+    uint64_t *phase_scratch, *tail_scratch;
+};
+
+void *sealtpu_bfv_plan_create(
+    size_t L, size_t n, size_t log_n,
+    const uint64_t *fwd_op, const uint64_t *fwd_qt,
+    const uint64_t *inv_op, const uint64_t *inv_qt,
+    const uint64_t *inv_n_op, const uint64_t *inv_n_qt,
+    const uint64_t *last_op, const uint64_t *last_qt,
+    const uint64_t *moduli, const uint64_t *r0s, const uint64_t *r1s,
+    const uint64_t *s_op, const uint64_t *s_qt,
+    const uint64_t *M, const uint64_t *tg, const uint64_t *tg_r0,
+    const uint64_t *tg_r1, const uint64_t *neg_op, const uint64_t *neg_qt,
+    uint64_t t, uint64_t gamma, uint64_t inv_g_op, uint64_t inv_g_qt,
+    uint64_t *phase_scratch, uint64_t *tail_scratch)
+{
+    BfvDecryptPlan *p = new BfvDecryptPlan();
+    p->L = L; p->n = n; p->log_n = log_n;
+    p->fwd_op = fwd_op; p->fwd_qt = fwd_qt;
+    p->inv_op = inv_op; p->inv_qt = inv_qt;
+    p->inv_n_op = inv_n_op; p->inv_n_qt = inv_n_qt;
+    p->last_op = last_op; p->last_qt = last_qt;
+    p->moduli = moduli; p->r0s = r0s; p->r1s = r1s;
+    p->s_op = s_op; p->s_qt = s_qt; p->M = M; p->tg = tg;
+    p->tg_r0 = tg_r0; p->tg_r1 = tg_r1;
+    p->neg_op = neg_op; p->neg_qt = neg_qt;
+    p->t = t; p->gamma = gamma;
+    p->inv_g_op = inv_g_op; p->inv_g_qt = inv_g_qt;
+    p->phase_scratch = phase_scratch; p->tail_scratch = tail_scratch;
+    return p;
+}
+
+void sealtpu_plan_free(void *plan)
+{
+    delete static_cast<BfvDecryptPlan *>(plan);
+}
+
+void sealtpu_bfv_decrypt_plan(void *plan, const uint64_t *c0,
+                              const uint64_t *c1, const uint64_t *sk_ntt,
+                              uint64_t *out)
+{
+    const BfvDecryptPlan *p = static_cast<BfvDecryptPlan *>(plan);
+    sealtpu_phase2(c0, c1, sk_ntt, p->L, p->n, p->log_n, p->fwd_op,
+                   p->fwd_qt, p->inv_op, p->inv_qt, p->inv_n_op, p->inv_n_qt,
+                   p->last_op, p->last_qt, p->moduli, p->r0s, p->r1s, 0,
+                   p->phase_scratch);
+    sealtpu_bfv_decrypt_tail(p->phase_scratch, p->L, p->n, p->s_op, p->s_qt,
+                             p->moduli, p->M, p->tg, p->tg_r0, p->tg_r1,
+                             p->neg_op, p->neg_qt, p->t, p->gamma,
+                             p->inv_g_op, p->inv_g_qt, p->tail_scratch, out);
+}
+
+// One-call BatchEncoder transforms (batchencoder.cpp:110-149 parity): the
+// Python glue (zeros + fancy scatter + wrapper) previously cost as much as
+// the INTT at small n. v holds the already-validated residues mod t.
+void sealtpu_batch_encode(const uint64_t *v, size_t count, size_t n,
+                          const int64_t *index_map, size_t log_n,
+                          const uint64_t *inv_op, const uint64_t *inv_qt,
+                          const uint64_t *inv_n_op, const uint64_t *inv_n_qt,
+                          const uint64_t *last_op, const uint64_t *last_qt,
+                          const uint64_t *t_mod, uint64_t *out)
+{
+    std::memset(out, 0, n * sizeof(uint64_t));
+    for (size_t i = 0; i < count; i++) out[index_map[i]] = v[i];
+    sealtpu_ntt_inverse(out, 1, log_n, inv_op, inv_qt, inv_n_op, inv_n_qt,
+                        last_op, last_qt, t_mod, 0);
+}
+
+void sealtpu_batch_decode(const uint64_t *data, size_t count, size_t n,
+                          const int64_t *index_map, size_t log_n,
+                          const uint64_t *fwd_op, const uint64_t *fwd_qt,
+                          const uint64_t *t_mod, uint64_t *scratch,
+                          uint64_t *out)
+{
+    std::memset(scratch, 0, n * sizeof(uint64_t));
+    std::memcpy(scratch, data, count * sizeof(uint64_t));
+    sealtpu_ntt_forward(scratch, 1, log_n, fwd_op, fwd_qt, t_mod, 0);
+    for (size_t i = 0; i < n; i++) out[i] = scratch[index_map[i]];
 }
 
 // BFV {t, gamma} decrypt correction tail in ONE pass (rns.cpp:1170-1201
