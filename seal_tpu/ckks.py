@@ -215,22 +215,33 @@ class CKKSEncoder:
 
         coeffd = dwt.round_half_away(re)   # std::round semantics
         moduli = cd.key_moduli()
-        rows = np.zeros((len(moduli), n), dtype=np.uint64)
-        if max_bits <= 63:
-            # integral float64 -> int64 is exact below 2^63; iv % q equals
-            # the reference's negate_uint_mod(barrett_reduce_64(|v|))
-            iv = coeffd.astype(np.int64)
-            for j, q in enumerate(moduli):
-                rows[j] = np.mod(iv, q).astype(np.uint64)
-        else:
-            for i, v in enumerate(coeffd.tolist()):
-                iv = int(v)
-                for j, q in enumerate(moduli):
-                    rows[j, i] = iv % q
         from seal_tpu.dtypes import _LazyHostData
         from seal_tpu.native import poly as native_poly
 
         npoly = native_poly.for_context_data(cd)
+        rows = None
+        if max_bits <= 63:
+            # integral float64 -> int64 is exact below 2^63; iv % q equals
+            # the reference's negate_uint_mod(barrett_reduce_64(|v|))
+            iv = np.ascontiguousarray(coeffd.astype(np.int64))
+            if npoly is not None:
+                # Barrett in C (the numpy int64 hardware division was the
+                # dominant cost of large-n encode, r4)
+                rows = np.empty((len(moduli), n), dtype=np.uint64)
+                npoly.lib.sealtpu_reduce_signed_rows(
+                    native_poly._pi64(iv), n, len(moduli),
+                    npoly._ptr0["q"], npoly._ptr0["r1"],
+                    native_poly._p(rows))
+            else:
+                rows = np.zeros((len(moduli), n), dtype=np.uint64)
+                for j, q in enumerate(moduli):
+                    rows[j] = np.mod(iv, q).astype(np.uint64)
+        else:
+            rows = np.zeros((len(moduli), n), dtype=np.uint64)
+            for i, v in enumerate(coeffd.tolist()):
+                iv = int(v)
+                for j, q in enumerate(moduli):
+                    rows[j, i] = iv % q
         p = Plaintext()
         if npoly is not None:
             # LAZY device data: the host API (encode -> encrypt -> ...)

@@ -133,6 +133,11 @@ def get_lib():
         ]
         lib.sealtpu_bfv_decrypt_plan.restype = None
         c_i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.sealtpu_reduce_signed_rows.argtypes = [
+            c_i64p, ctypes.c_size_t, ctypes.c_size_t, c_u64p, c_u64p,
+            c_u64p,
+        ]
+        lib.sealtpu_reduce_signed_rows.restype = None
         lib.sealtpu_batch_encode.argtypes = [
             c_u64p, ctypes.c_size_t, ctypes.c_size_t, c_i64p,
             ctypes.c_size_t, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p,

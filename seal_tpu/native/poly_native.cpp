@@ -487,6 +487,26 @@ void sealtpu_bfv_decrypt_plan(void *plan, const uint64_t *c0,
                              p->inv_g_op, p->inv_g_qt, p->tail_scratch, out);
 }
 
+// Signed-coefficient RNS decompose (ckks.h:527-619 fast path): out[l,i] =
+// v[i] mod q_l with negate_uint_mod for negatives — Barrett instead of the
+// numpy int64 hardware division that dominated large-n CKKS encode.
+void sealtpu_reduce_signed_rows(const int64_t *v, size_t n, size_t L,
+                                const uint64_t *q, const uint64_t *r1s,
+                                uint64_t *out)
+{
+    for (size_t l = 0; l < L; l++) {
+        const uint64_t ql = q[l], r1 = r1s[l];
+        uint64_t *ol = out + l * n;
+        for (size_t i = 0; i < n; i++) {
+            const int64_t s = v[i];
+            const uint64_t a = (uint64_t)(s < 0 ? -s : s);
+            uint64_t r = barrett64(a, ql, r1);
+            if (s < 0 && r) r = ql - r;
+            ol[i] = r;
+        }
+    }
+}
+
 // One-call BatchEncoder transforms (batchencoder.cpp:110-149 parity): the
 // Python glue (zeros + fancy scatter + wrapper) previously cost as much as
 // the INTT at small n. v holds the already-validated residues mod t.
