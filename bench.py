@@ -16,8 +16,9 @@ Measurement methodology (hard-won, see memory/BASELINE notes):
   i.e. pure marginal device throughput.
 
 vs_baseline: measured reference comparator (BASELINE.md "x86 comparator
-correction (r2)"): 26.6 ops/s/socket for the same pipeline, reference
-built Release -O3 -march=native (no HEXL; network-fetch forbidden here).
+correction", r4 refresh): 28.061 ops/s/socket fastest observation for the
+same pipeline, reference built Release -O3 -march=native (no HEXL;
+network-fetch forbidden here).
 """
 
 from __future__ import annotations
@@ -28,9 +29,10 @@ import time
 import numpy as np
 
 # tools/oracle/bench_reference.cpp re-measured on an idle host (r2
-# correction, BASELINE.md): the round-1 13.39 ops/s recording was taken
-# under load; the honest comparator is the faster observation.
-REFERENCE_OPS_PER_S = 26.599
+# correction; r4 refresh on a quiet box raised the fastest observation
+# from 26.6 — range that session 22.6-28.1): the honest comparator is
+# the FASTEST observation (BASELINE.md fair-measurement notes).
+REFERENCE_OPS_PER_S = 28.061
 
 # Best measurement validated ON HARDWARE, used only as a clearly-flagged
 # fallback when the tunnel is unreachable at bench time (it has day-long
