@@ -345,3 +345,32 @@ def test_tp_hoisted_rotation_batch(alpha):
         for a, b in zip(ref, got):
             for x, y in zip(a.data, b.data):
                 assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tp_hoisted_rotation_batch_bfv():
+    """BFV leg of the TP-sharded hoisted batch (no CKKS eye substitution
+    in the sharded decompose body): bit-identical to single-chip."""
+    mesh = _mesh(4)
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40] * 5))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    pk = kg.create_public_key()
+    gt = ctx.key_context_data().galois_tool
+    steps = [1, -1]
+    gk = kg.create_galois_keys(gt.get_elts_from_steps(steps))
+    from seal_tpu import BatchEncoder
+
+    be = BatchEncoder(ctx)
+    enc = Encryptor(ctx, pk)
+    ct = enc.encrypt(be.encode(np.arange(64, dtype=np.uint64) % 257))
+    ev = Evaluator(ctx)
+    tpe = TPEvaluator(ctx, mesh)
+    ref = ev.rotate_batch_hoisted(ct, steps, gk)
+    got = tpe.rotate_batch_hoisted(ct, steps, gk)
+    for a, b in zip(ref, got):
+        for x, y in zip(a.data, b.data):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
