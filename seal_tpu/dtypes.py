@@ -88,7 +88,11 @@ class Plaintext:
     def rns_data(self):
         d = self._rns_data
         if type(d) is _LazyHostData:
-            dev = to_device(d.arr)
+            # see Ciphertext.data: materialize outside any active trace
+            import jax
+
+            with jax.ensure_compile_time_eval():
+                dev = to_device(d.arr)
             self._rns_data = dev
             self.host_mirror = (d.arr, dev)
             return dev
@@ -217,7 +221,14 @@ class Ciphertext:
     def data(self):
         d = self._data
         if type(d) is _LazyHostData:
-            dev = to_device(d.arr)
+            # materialize OUTSIDE any active jit trace: the converted arrays
+            # are cached across traces, and a value created while tracing
+            # would be a leaked tracer (first touch may be a closure capture
+            # inside jax.jit — e.g. examples/13_streaming_pipeline.py)
+            import jax
+
+            with jax.ensure_compile_time_eval():
+                dev = to_device(d.arr)
             self._data = dev
             # keep the host mirror for native decrypt / serialization
             self.host_np = (d.arr, dev)

@@ -108,3 +108,8 @@ def test_example_performance_reduced():
     every example executes in the green CI path; the full-size run stays
     under SEAL_TPU_RUN_ALL_EXAMPLES)."""
     _import("8_performance.py").main(n_bfv=512, n_ckks=512)
+
+
+def test_example_streaming_pipeline_reduced():
+    """13_streaming_pipeline: config-#5-shaped chunked stream at n=512."""
+    _import("13_streaming_pipeline.py").main(n=512, total=8, B=4)
