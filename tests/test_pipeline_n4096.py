@@ -201,3 +201,45 @@ def test_bgv_pipeline():
     pd = dec.decrypt(cs)
     assert_h("bgv_decrypted", pd.data)
     assert_h("bgv_decoded", be.decode(pd))
+
+
+def test_multiparty_pipeline():
+    """Fork multiparty surface pinned at n=4096 (r4): per-party SKs,
+    CPK/CSK sums, encryption under the CPK, every partial decryption, and
+    the aggregation — hash-for-hash with the reference fork."""
+    ctxs, kgs = [], []
+    for i in range(3):
+        parms = EncryptionParameters(SchemeType.BFV)
+        parms.set_poly_modulus_degree(N)
+        parms.set_coeff_modulus(CoeffModulus.create(N, [40, 40, 40]))
+        parms.set_plain_modulus(PlainModulus.batching(N, 20))
+        parms.set_random_seed((10 + i, 2, 3, 4, 5, 6, 7, 8))
+        ctxs.append(SEALContext(parms, sec_level=SecLevelType.NONE))
+        kgs.append(KeyGenerator(ctxs[-1]))
+    sks = [kg.generate_secret_key() for kg in kgs]
+    for i, sk in enumerate(sks):
+        assert_h(f"mp_sk{i}", sk.to_numpy())
+    pks = [kgs[0].create_public_key_with_sk(sks[0])]
+    for i in range(1, 3):
+        pks.append(kgs[i].create_public_key_with_same_c1(sks[i], pks[0]))
+    cpk = kgs[0].create_common_public_key(pks)
+    assert_h("mp_cpk", cpk.data.to_numpy())
+    csk = kgs[0].create_common_secret_key(sks)
+    assert_h("mp_csk", csk.to_numpy())
+
+    be = BatchEncoder(ctxs[0])
+    t = ctxs[0].first_context_data().parms.plain_modulus.value
+    i = np.arange(N, dtype=np.uint64)
+    p = be.encode((i * 9 + 2) % t)
+    enc = Encryptor(ctxs[0], cpk)
+    ct = enc.encrypt(p)
+    assert_ct("mp_ct", ct)
+    partials = []
+    for j in range(3):
+        d = Decryptor(ctxs[j], sks[j])
+        part = d.distributed_decrypt(ct)
+        partials.append(part)
+        assert_h(f"mp_partial{j}", part.to_numpy()[1])
+    d0 = Decryptor(ctxs[0], sks[0])
+    out = d0.aggregate_partial_decryption(ct, partials)
+    assert_h("mp_aggregated_plain", out.data)

@@ -231,6 +231,69 @@ int main()
         hash_u64s("bgv_decoded", out.data(), out.size());
     }
 
+    // ---------------- multiparty (fork surface) at n=4096 ----------------
+    {
+        const int parties = 3;
+        auto make_parms = [&](uint64_t s0) {
+            EncryptionParameters parms(scheme_type::bfv);
+            parms.set_poly_modulus_degree(n);
+            parms.set_coeff_modulus(CoeffModulus::Create(n, { 40, 40, 40 }));
+            parms.set_plain_modulus(PlainModulus::Batching(n, 20));
+            prng_seed_type s{ s0, 2, 3, 4, 5, 6, 7, 8 };
+            parms.set_random_generator(make_shared<Blake2xbPRNGFactory>(s));
+            return parms;
+        };
+        vector<SEALContext> ctxs;
+        for (int i = 0; i < parties; i++)
+            ctxs.emplace_back(make_parms(10 + i), true, sec_level_type::none);
+        vector<unique_ptr<KeyGenerator>> kgs;
+        for (int i = 0; i < parties; i++)
+            kgs.push_back(make_unique<KeyGenerator>(ctxs[i]));
+        vector<SecretKey> sks(parties);
+        for (int i = 0; i < parties; i++)
+        {
+            kgs[i]->gen_secret_key(sks[i]);
+            char buf[32];
+            snprintf(buf, sizeof(buf), "mp_sk%d", i);
+            hash_u64s(buf, sks[i].data().data(), n * 3);
+        }
+        vector<PublicKey> pks(parties);
+        kgs[0]->create_public_key_with_sk(pks[0], sks[0]);
+        for (int i = 1; i < parties; i++)
+            kgs[i]->create_public_key_with_same_c1(pks[0], pks[i], sks[i]);
+        PublicKey cpk;
+        kgs[0]->create_common_public_key(cpk, pks, parties);
+        hash_ct("mp_cpk", cpk.data());
+        SecretKey csk;
+        kgs[0]->create_common_secret_key(csk, sks, parties);
+        hash_u64s("mp_csk", csk.data().data(), n * 3);
+
+        Encryptor enc(ctxs[0], cpk);
+        BatchEncoder be(ctxs[0]);
+        uint64_t t = ctxs[0].first_context_data()->parms().plain_modulus().value();
+        vector<uint64_t> v(n);
+        for (size_t i = 0; i < n; i++) v[i] = (i * 9 + 2) % t;
+        Plaintext p;
+        be.encode(v, p);
+        Ciphertext ct;
+        enc.encrypt(p, ct);
+        hash_ct("mp_ct", ct);
+        vector<Ciphertext> partials(parties);
+        for (int i = 0; i < parties; i++)
+        {
+            Decryptor d(ctxs[i], sks[i]);
+            d.distributed_decrypt(ct, partials[i]);
+            char buf[32];
+            snprintf(buf, sizeof(buf), "mp_partial%d", i);
+            hash_u64s(buf, partials[i].data(1),
+                      ct.poly_modulus_degree() * ct.coeff_modulus_size());
+        }
+        Decryptor d0(ctxs[0], sks[0]);
+        Plaintext out;
+        d0.aggregate_partial_decryption(ct, partials, out, parties);
+        hash_u64s("mp_aggregated_plain", out.data(), out.coeff_count());
+    }
+
     printf("  \"seed\": [1,2,3,4,5,6,7,8]\n}\n");
     return 0;
 }
