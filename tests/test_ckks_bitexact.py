@@ -196,3 +196,26 @@ def test_scalar_encode_bit_exact(ck):
     assert np.array_equal(to_host(p.rns_data).reshape(-1), ref("plain_scalar_0p7"))
     pi = encoder.encode_int(-5)
     assert np.array_equal(to_host(pi.rns_data).reshape(-1), ref("plain_int_m5"))
+
+
+def test_encode_bit_exact_large_coeff_classes():
+    """The >64-bit decompose classes of encode_internal (ckks.h:559-618:
+    barrett_reduce_128 for <=128-bit coefficients, multi-word decompose
+    beyond) are bit-exact too — golden vectors at n=1024, scales 2^80 and
+    2^150 (tools/oracle via /tmp/check_encode_big recipe, r4)."""
+    import pathlib as _pl
+
+    B = json.loads((_pl.Path(__file__).parent / "vectors" /
+                    "ckks_encode_big_n1024.json").read_text())
+    n = B["n"]
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, B["bits"]))
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    enc = CKKSEncoder(ctx)
+    i = np.arange(n >> 1, dtype=np.float64)
+    v = ((i % 89) / 89.0 - 0.4) + 1j * ((i % 23) / 23.0)
+    for lg in (80, 150):
+        got = to_host(enc.encode(v, 2.0 ** lg).rns_data)
+        want = np.array(B[f"plain_{lg}"], dtype=np.uint64).reshape(3, n)
+        assert np.array_equal(got, want), f"scale 2^{lg}"
