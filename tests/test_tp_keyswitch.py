@@ -374,3 +374,36 @@ def test_tp_hoisted_rotation_batch_bfv():
     for a, b in zip(ref, got):
         for x, y in zip(a.data, b.data):
             assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tp8_relinearize_and_hoisted():
+    """tp=8 across all virtual devices (mesh-width diversity beyond the
+    tp=4 suite): relinearize and a hoisted batch, bit-identical."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(np.asarray(devs[:8]).reshape(1, 8), ("dp", "tp"))
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [30] * 9))
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    pk = kg.create_public_key()
+    rk = kg.create_relin_keys()
+    gt = ctx.key_context_data().galois_tool
+    gk = kg.create_galois_keys(gt.get_elts_from_steps([1, 2]))
+    enc = Encryptor(ctx, pk)
+    encd = CKKSEncoder(ctx)
+    ct = enc.encrypt(encd.encode(np.linspace(-1, 1, 32), 2.0 ** 14))
+    ev = Evaluator(ctx)
+    tpe = TPEvaluator(ctx, mesh)
+    cm = ev.multiply(ct, ct)
+    ref = ev.relinearize(cm, rk)
+    got = tpe.relinearize(cm, rk)
+    assert np.array_equal(ref.to_numpy(), got.to_numpy())
+    ref_r = ev.rotate_batch_hoisted(ct, [1, 2], gk)
+    got_r = tpe.rotate_batch_hoisted(ct, [1, 2], gk)
+    for a, b in zip(ref_r, got_r):
+        for x, y in zip(a.data, b.data):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
