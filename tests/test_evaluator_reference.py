@@ -410,3 +410,37 @@ class TestHugeN:
         inv = npk.ntt_inverse_pallas(got, pt, interpret=True)
         assert np.array_equal(np.asarray(inv[0]), xp[0])
         assert np.array_equal(np.asarray(inv[1]), xp[1])
+
+
+class TestBaselineConfig2:
+    """BASELINE.json config #2, verbatim: 'CKKS n=8192 L=4: encode,
+    encrypt, multiply+relinearize+rescale, rotate, decrypt-decode with
+    precision check' (r4 — direct 1:1 mapping of the config list)."""
+
+    def test_ckks_n8192_L4_pipeline(self):
+        n = 8192
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        # 4 data primes + 1 special at the 218-bit 128-bit-security budget
+        parms.set_coeff_modulus(CoeffModulus.create(n, [43, 43, 43, 43, 46]))
+        parms.set_random_seed(SEED)
+        ctx = SEALContext(parms)          # default tc128 security check ON
+        assert ctx.parameters_set
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key())
+        dec = Decryptor(ctx, kg.secret_key())
+        ev = Evaluator(ctx)
+        rk = kg.create_relin_keys()
+        gt = ctx.key_context_data().galois_tool
+        gk = kg.create_galois_keys(gt.get_elts_from_steps([3]))
+        encoder = CKKSEncoder(ctx)
+        scale = 2.0 ** 40
+        v1 = np.sin(np.arange(encoder.slot_count) * 0.01)
+        v2 = np.linspace(0.5, 1.5, encoder.slot_count)
+        c1 = enc.encrypt(encoder.encode(v1, scale))
+        c2 = enc.encrypt(encoder.encode(v2, scale))
+        prod = ev.rescale_to_next(ev.relinearize(ev.multiply(c1, c2), rk))
+        rot = ev.rotate_vector(prod, 3, gk)
+        out = encoder.decode(dec.decrypt(rot))
+        want = np.roll(v1 * v2, -3)
+        assert np.max(np.abs(out - want)) < 1e-6, np.max(np.abs(out - want))
