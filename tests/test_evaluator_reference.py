@@ -15,6 +15,7 @@ from seal_tpu import (
     Encryptor,
     Evaluator,
     KeyGenerator,
+    PlainModulus,
     Plaintext,
     SEALContext,
     SchemeType,
@@ -444,3 +445,41 @@ class TestBaselineConfig2:
         out = encoder.decode(dec.decrypt(rot))
         want = np.roll(v1 * v2, -3)
         assert np.max(np.abs(out - want)) < 1e-6, np.max(np.abs(out - want))
+
+
+class TestBaselineConfig3:
+    """BASELINE.json config #3, verbatim: 'BGV n=8192: multiply +
+    modulus-switch chain to last level, bit-exact decrypt' (r4)."""
+
+    def test_bgv_n8192_chain_to_last(self):
+        n = 8192
+        parms = EncryptionParameters(SchemeType.BGV)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, [43, 43, 43, 43, 46]))
+        parms.set_plain_modulus(PlainModulus.batching(n, 20))
+        parms.set_random_seed(SEED)
+        ctx = SEALContext(parms)          # tc128 security check ON
+        assert ctx.parameters_set
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key())
+        dec = Decryptor(ctx, kg.secret_key())
+        ev = Evaluator(ctx)
+        rk = kg.create_relin_keys()
+        be = BatchEncoder(ctx)
+        t = parms.plain_modulus.value
+        i = np.arange(n, dtype=np.uint64)
+        v1 = (i * 11 + 5) % t
+        v2 = (i + 3) % t
+        ct = ev.relinearize(
+            ev.multiply(enc.encrypt(be.encode(v1)), enc.encrypt(be.encode(v2))),
+            rk)
+        # walk the modulus-switching chain to the LAST level
+        cd = ctx.get_context_data(ct.parms_id)
+        while cd.next_context_data is not None:
+            ct = ev.mod_switch_to_next(ct)
+            cd = ctx.get_context_data(ct.parms_id)
+        assert tuple(ct.parms_id) == tuple(ctx.last_parms_id)
+        # bit-exact decrypt: the exact product mod t
+        out = be.decode(dec.decrypt(ct))
+        want = (v1.astype(object) * v2.astype(object)) % t
+        assert np.array_equal(out.astype(object), want)
