@@ -265,6 +265,55 @@ static void bench_bfv(size_t n, const vector<int> &bits, bool bgv = false)
     emit("bfv", n, bits.size() - 1, us, bgv ? "bgv" : "bfv");
 }
 
+
+// Single-prime small parms (n in {1024, 2048}, log q in {27, 54}): no
+// special prime => no relin/rotate; the keyswitch-free CKKS family
+// (bench.cpp covers these sizes for all schemes).
+static void bench_ckks_small(size_t n)
+{
+    EncryptionParameters parms(scheme_type::ckks);
+    parms.set_poly_modulus_degree(n);
+    parms.set_coeff_modulus(CoeffModulus::BFVDefault(n));
+    SEALContext ctx(parms);
+    KeyGenerator keygen(ctx);
+    PublicKey pk;
+    keygen.create_public_key(pk);
+    Encryptor enc(ctx, pk);
+    enc.set_secret_key(keygen.secret_key());
+    Evaluator ev(ctx);
+    Decryptor dec(ctx, keygen.secret_key());
+    CKKSEncoder encoder(ctx);
+    double scale = pow(2.0, n == 1024 ? 10 : 20);
+    vector<double> vals(encoder.slot_count());
+    for (size_t i = 0; i < vals.size(); i++)
+        vals[i] = -1.0 + 2.0 * double(i) / double(vals.size() - 1);
+    Plaintext p1;
+    encoder.encode(vals, scale, p1);
+    Ciphertext c1, c2;
+    enc.encrypt(p1, c1);
+    enc.encrypt(p1, c2);
+    int reps = 50;
+    map<string, double> us;
+    us["encrypt_pk"] = time_us([&] { Ciphertext o; enc.encrypt(p1, o); }, reps);
+    us["encrypt_sk"] = time_us([&] { Ciphertext o; enc.encrypt_symmetric(p1, o); }, reps);
+    us["decrypt"] = time_us([&] { Plaintext p; dec.decrypt(c1, p); }, reps);
+    us["encode"] = time_us([&] { Plaintext p; encoder.encode(vals, scale, p); }, reps);
+    us["decode"] = time_us([&] { vector<double> v; encoder.decode(p1, v); }, reps);
+    us["add_ct"] = time_us([&] { Ciphertext o; ev.add(c1, c2, o); }, reps);
+    us["multiply"] = time_us([&] { Ciphertext o; ev.multiply(c1, c2, o); }, reps);
+    us["square"] = time_us([&] { Ciphertext o; ev.square(c1, o); }, reps);
+    us["mul_pt"] = time_us([&] { Ciphertext o; ev.multiply_plain(c1, p1, o); }, reps);
+    us["negate"] = time_us([&] { Ciphertext o; ev.negate(c1, o); }, reps);
+    printf("{\"n\": %zu, \"L\": 1, \"scheme\": \"ckks\", \"mode\": \"small\", \"us\": {", n);
+    bool first = true;
+    for (auto &kv : us) {
+        printf("%s\"%s\": %.1f", first ? "" : ", ", kv.first.c_str(), kv.second);
+        first = false;
+    }
+    printf("}}\n");
+    fflush(stdout);
+}
+
 int main(int argc, char **argv)
 {
     string mode = argc > 1 ? argv[1] : "ckks";
@@ -285,6 +334,12 @@ int main(int argc, char **argv)
     {
         bench_small(1024);
         bench_small(2048);
+        return 0;
+    }
+    if (mode == "ckks_small")
+    {
+        bench_ckks_small(1024);
+        bench_ckks_small(2048);
         return 0;
     }
     bench_one(4096, { 36, 36, 37 });
