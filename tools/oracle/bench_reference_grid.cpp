@@ -131,9 +131,9 @@ static void bench_one(size_t n, const vector<int> &bits)
 
 // n=1024/2048 default-parms rows (one prime: no keyswitching, no rescale —
 // exactly what the reference bench can run there, bench.cpp:160-176).
-static void bench_small(size_t n)
+static void bench_small(size_t n, bool bgv = false)
 {
-    EncryptionParameters parms(scheme_type::bfv);
+    EncryptionParameters parms(bgv ? scheme_type::bgv : scheme_type::bfv);
     parms.set_poly_modulus_degree(n);
     parms.set_coeff_modulus(CoeffModulus::BFVDefault(n));
     parms.set_plain_modulus(786433);  // 20-bit batching prime for n=1024/2048
@@ -168,16 +168,21 @@ static void bench_small(size_t n)
     us["decode"] = time_us([&] { vector<uint64_t> v; encoder.decode(p1, v); }, reps);
     us["add_ct"] = time_us([&] { Ciphertext o; ev.add(c1, c2, o); }, reps);
     us["negate"] = time_us([&] { Ciphertext o; ev.negate(c1, o); }, reps);
-    us["multiply_behz"] = time_us([&] { Ciphertext o; ev.multiply(c1, c2, o); }, reps);
+    us[bgv ? "multiply" : "multiply_behz"] =
+        time_us([&] { Ciphertext o; ev.multiply(c1, c2, o); }, reps);
     us["square"] = time_us([&] { Ciphertext o; ev.square(c1, o); }, reps);
     us["mul_pt"] = time_us([&] { Ciphertext o; ev.multiply_plain(c1, p1, o); }, reps);
-    Ciphertext cn = c1;
-    us["to_ntt"] = time_us([&] { Ciphertext o; ev.transform_to_ntt(c1, o); }, reps);
-    ev.transform_to_ntt_inplace(cn);
-    us["from_ntt"] = time_us([&] { Ciphertext o; ev.transform_from_ntt(cn, o); }, reps);
+    if (!bgv)
+    {
+        // BFV-only transforms (BGV ciphertexts are NTT-form already)
+        Ciphertext cn = c1;
+        us["to_ntt"] = time_us([&] { Ciphertext o; ev.transform_to_ntt(c1, o); }, reps);
+        ev.transform_to_ntt_inplace(cn);
+        us["from_ntt"] = time_us([&] { Ciphertext o; ev.transform_from_ntt(cn, o); }, reps);
+    }
 
     size_t L = ctx.first_context_data()->parms().coeff_modulus().size();
-    emit("small", n, L, us, "bfv");
+    emit("small", n, L, us, bgv ? "bgv" : "bfv");
 }
 
 static void bench_keygen(size_t n, const vector<int> &bits)
@@ -340,6 +345,12 @@ int main(int argc, char **argv)
     {
         bench_ckks_small(1024);
         bench_ckks_small(2048);
+        return 0;
+    }
+    if (mode == "bgv_small")
+    {
+        bench_small(1024, true);
+        bench_small(2048, true);
         return 0;
     }
     bench_one(4096, { 36, 36, 37 });
