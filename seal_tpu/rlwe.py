@@ -296,6 +296,24 @@ def encrypt_zero_symmetric(
     encrypt_zero_symmetric_with_c1 (rlwe.cpp:276-413) used by the multiparty
     common-public-key flow.
     """
+    # native fast path with LAZY device data (r4): keygen/public-key flows
+    # were paying ~0.5 ms of eager to_device+stack per call that the
+    # encrypt path no longer pays
+    r = encrypt_zero_symmetric_parts_np(
+        secret_key, context, parms_id, c1_override, c1_seed,
+        is_ntt_form=is_ntt_form, save_seed=save_seed)
+    if r is not None and (c1_override is None
+                          or isinstance(c1_override, np.ndarray)):
+        from seal_tpu.dtypes import _LazyHostData
+
+        c0np, c1np, seed_info = r
+        ct = Ciphertext(
+            _LazyHostData(np.stack([c0np, c1np])), parms_id=tuple(parms_id),
+            is_ntt_form=is_ntt_form, scale=1.0, correction_factor=1,
+        )
+        if save_seed:
+            ct.seed_info = seed_info
+        return ct
     c0, c1_out, seed_info = encrypt_zero_symmetric_parts(
         secret_key, context, parms_id, is_ntt_form, save_seed,
         c1_override, c1_seed)
@@ -431,10 +449,13 @@ def encrypt_zero_asymmetric_np(
 
 
 def pk_host_u64(public_key: PublicKey) -> np.ndarray:
-    """Cached numpy u64 mirror of a public key's device data [size, L, N]."""
+    """Cached numpy u64 mirror of a public key's data [size, L, N] (reads
+    the lazy host array directly when the pk was never device-materialized)."""
     arr = getattr(public_key, "_host_u64", None)
     if arr is None:
-        arr = np.ascontiguousarray(to_host(public_key.data.data))
+        arr = public_key.data.host_u64()
+        if arr is None:
+            arr = np.ascontiguousarray(to_host(public_key.data.data))
         public_key._host_u64 = arr
     return arr
 
