@@ -125,8 +125,10 @@ class Decryptor:
     def __init__(self, context: SEALContext, secret_key: SecretKey):
         self.context = context
         self.secret_key = secret_key
-        # powers of s over the KEY tower, NTT form
-        self._sk_powers = [secret_key.data]
+        # powers of s over the KEY tower, NTT form; built on first device
+        # use so a lazily-sampled secret key stays host-side through the
+        # native decrypt path (_powers_np)
+        self._sk_powers: list | None = None
 
     def _phase_core(self, ct: Ciphertext, kind: str):
         """One-executable dot_product (+ scheme tail) for eager callers."""
@@ -188,7 +190,8 @@ class Decryptor:
     def _powers(self, count: int, cd):
         key_cd = self.context.key_context_data()
         mc = key_cd.mod_consts
-        powers = list(self._sk_powers)
+        powers = [self.secret_key.data] if self._sk_powers is None \
+            else list(self._sk_powers)
         while len(powers) < count:
             powers.append(
                 modring.dyadic_product(powers[-1], powers[0], mc)

@@ -348,14 +348,45 @@ def stack_polys(polys) -> tuple:
 
 class SecretKey:
     """NTT-form RNS poly at key level: device pair [L, N]
-    (parity: secretkey.h — a Plaintext wrapper in the reference)."""
+    (parity: secretkey.h — a Plaintext wrapper in the reference).
+
+    Like Ciphertext, the native sampling path stores host u64 rows lazily;
+    the device pair materializes on first device use (keyswitch-key
+    generation, device decrypt) while host flows (native keygen/decrypt,
+    serialization) read through host_u64()."""
 
     def __init__(self, data=None, parms_id: ParmsId = PARMS_ID_ZERO):
         self.data = data
         self.parms_id = parms_id
 
+    @property
+    def data(self):
+        d = self._data
+        if type(d) is _LazyHostData:
+            # see Ciphertext.data: materialize outside any active trace
+            import jax
+
+            with jax.ensure_compile_time_eval():
+                dev = to_device(d.arr)
+            self._data = dev
+            self._host_u64 = d.arr
+            return dev
+        return d
+
+    @data.setter
+    def data(self, v):
+        self._data = v
+
+    def host_u64(self) -> np.ndarray | None:
+        """Host u64 [L, N] mirror WITHOUT forcing device materialization."""
+        d = self._data
+        if type(d) is _LazyHostData:
+            return d.arr
+        return getattr(self, "_host_u64", None)
+
     def to_numpy(self) -> np.ndarray:
-        return to_host(self.data)
+        h = self.host_u64()
+        return np.array(h) if h is not None else to_host(self.data)
 
 
 class PublicKey:

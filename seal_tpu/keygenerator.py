@@ -22,6 +22,7 @@ from seal_tpu.dtypes import (
     PublicKey,
     RelinKeys,
     SecretKey,
+    _LazyHostData,
     stack_polys,
     to_device,
     to_host,
@@ -73,8 +74,10 @@ class KeyGenerator:
             self.secret_key_ = secret_key
         else:
             self.secret_key_ = self._sample_secret_key()
-        # cache of NTT-form powers of s: [k] holds s^(k+1), device [L, N]
-        self._sk_powers = [self.secret_key_.data]
+        # cache of NTT-form powers of s: [k] holds s^(k+1), device [L, N].
+        # Built on first use so a lazily-sampled secret key stays host-side
+        # through pure-host keygen flows.
+        self._sk_powers: list | None = None
 
     # -- secret / public ------------------------------------------------------
 
@@ -89,9 +92,7 @@ class KeyGenerator:
         npoly = native_poly.for_context_data(cd)
         if npoly is not None:
             sk_np = npoly.ntt_forward(np.ascontiguousarray(sk_np))
-            key = SecretKey(to_device(sk_np), tuple(cd.parms_id))
-            key._host_u64 = sk_np
-            return key
+            return SecretKey(_LazyHostData(sk_np), tuple(cd.parms_id))
         sk = ntt_mod.ntt_forward_eager(to_device(sk_np), cd.ntt_tables)
         return SecretKey(sk, tuple(cd.parms_id))
 
@@ -156,6 +157,8 @@ class KeyGenerator:
     def _compute_secret_key_powers(self, max_power: int):
         cd = self.context.key_context_data()
         mc = cd.mod_consts
+        if self._sk_powers is None:
+            self._sk_powers = [self.secret_key_.data]
         while len(self._sk_powers) < max_power:
             nxt = modring.dyadic_product(self._sk_powers[-1], self._sk_powers[0], mc)
             self._sk_powers.append(nxt)

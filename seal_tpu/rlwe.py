@@ -328,7 +328,8 @@ def encrypt_zero_symmetric(
 
 def sk_host_u64(secret_key: SecretKey) -> np.ndarray:
     """Cached numpy u64 mirror of a secret key's device data (native path)."""
-    arr = getattr(secret_key, "_host_u64", None)
+    h = getattr(secret_key, "host_u64", None)
+    arr = h() if callable(h) else getattr(secret_key, "_host_u64", None)
     if arr is None:
         arr = np.ascontiguousarray(to_host(secret_key.data))
         secret_key._host_u64 = arr

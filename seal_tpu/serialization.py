@@ -32,6 +32,7 @@ from seal_tpu.dtypes import (
     PublicKey,
     RelinKeys,
     SecretKey,
+    _LazyHostData,
     to_device,
     to_host,
 )
@@ -213,8 +214,9 @@ def load_prng_info(stream: io.BytesIO):
 def save_plaintext(p: Plaintext, compr_mode: ComprMode = ComprMode.NONE) -> bytes:
     buf = io.BytesIO()
     buf.write(struct.pack("<4Q", *p.parms_id))
-    if p.rns_data is not None:
-        data = to_host(p.rns_data).reshape(-1)
+    if p._rns_data is not None:
+        host = p.host_rns_u64()
+        data = (host if host is not None else to_host(p.rns_data)).reshape(-1)
     else:
         data = np.asarray(p.data, dtype=np.uint64)
     buf.write(struct.pack("<Q", data.size))
@@ -318,7 +320,8 @@ def _check_loaded(obj, context, allow_key_levels: bool = False):
 
 def save_secret_key(sk: SecretKey, compr_mode: ComprMode = ComprMode.NONE) -> bytes:
     p = Plaintext()
-    p.rns_data = sk.data
+    host = sk.host_u64() if hasattr(sk, "host_u64") else None
+    p.rns_data = _LazyHostData(host) if host is not None else sk.data
     p.parms_id = tuple(sk.parms_id)
     p.scale = 1.0
     return save_plaintext(p, compr_mode)

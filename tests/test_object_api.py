@@ -151,3 +151,46 @@ class TestKeyGeneratorConstructors:
         ct = enc.encrypt(Plaintext.from_hex_string("5"))
         out = ev.relinearize(ev.multiply(ct, ct), rk)
         assert dec.decrypt(out).to_hex_string() == "19"  # 25
+
+
+class TestLazySecretKey:
+    """The native sampling path returns a SecretKey whose device pair is
+    lazy (r4 host-API work): pure-host flows — public-key creation,
+    serialization, native decrypt — must not force materialization, and
+    first device use must produce the identical pair."""
+
+    def test_stays_lazy_through_host_flows(self):
+        from seal_tpu.dtypes import _LazyHostData
+        from seal_tpu.serialization import load_secret_key, save_secret_key
+
+        ctx = _ctx(SchemeType.BFV, plain_mod=257)
+        kg = KeyGenerator(ctx)
+        sk = kg.secret_key()
+        if type(sk._data) is not _LazyHostData:
+            pytest.skip("native library unavailable — sk is eager")
+        blob = save_secret_key(sk)
+        kg.create_public_key()
+        enc = Encryptor(ctx, sk)
+        ct = enc.encrypt_symmetric(Plaintext.from_hex_string("7"))
+        dec = Decryptor(ctx, sk)
+        assert dec.decrypt(ct).to_hex_string() == "7"
+        assert type(sk._data) is _LazyHostData, "host flows forced to_device"
+        sk2 = load_secret_key(ctx, blob)
+        assert np.array_equal(sk.to_numpy(), sk2.to_numpy())
+
+    def test_device_materialization_matches_host(self):
+        from seal_tpu.dtypes import to_host
+
+        ctx = _ctx(SchemeType.BFV, plain_mod=257)
+        sk = KeyGenerator(ctx).secret_key()
+        host = np.array(sk.to_numpy())          # via host mirror when lazy
+        dev = to_host(sk.data)                  # forces materialization
+        assert np.array_equal(host, dev)
+        # relin keys built AFTER materialization still work
+        kg2 = KeyGenerator(ctx, sk)
+        rk = kg2.create_relin_keys()
+        enc = Encryptor(ctx, kg2.create_public_key())
+        dec = Decryptor(ctx, sk)
+        ev = Evaluator(ctx)
+        ct = enc.encrypt(Plaintext.from_hex_string("5"))
+        assert dec.decrypt(ev.relinearize(ev.multiply(ct, ct), rk)).to_hex_string() == "19"
