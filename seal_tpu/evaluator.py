@@ -1353,3 +1353,42 @@ def _plain_to_rns_rows(plain: Plaintext, cd) -> np.ndarray:
             for j, q in enumerate(moduli):
                 rows[j, i] = lifted % q
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Reference-compat `*_inplace` variants (evaluator.h declares an _inplace
+# overload for every mutating op). seal_tpu ciphertexts are immutable
+# pytrees, so these are thin wrappers: run the functional op, then rebind
+# the result's state onto the first argument (same object identity) so
+# reference call sites port verbatim. See docs/MIGRATING.md §Evaluator.
+# ---------------------------------------------------------------------------
+
+_INPLACE_METHODS = (
+    "negate", "add", "sub", "multiply", "square", "relinearize",
+    "mod_switch_to_next", "mod_switch_to", "rescale_to_next", "rescale_to",
+    "add_plain", "sub_plain", "multiply_plain",
+    "transform_to_ntt", "transform_from_ntt",
+    "apply_galois", "rotate_rows", "rotate_columns", "rotate_vector",
+    "complex_conjugate", "exponentiate",
+)
+
+
+def _make_inplace(name: str):
+    def method(self, ct, *args, **kwargs):
+        out = getattr(self, name)(ct, *args, **kwargs)
+        ct.__dict__.clear()
+        ct.__dict__.update(out.__dict__)
+        return ct
+
+    method.__name__ = name + "_inplace"
+    method.__qualname__ = f"Evaluator.{name}_inplace"
+    method.__doc__ = (
+        f"Reference-compat: `{name}` with the result rebound onto `ct` "
+        f"(same object identity; the op itself stays functional)."
+    )
+    return method
+
+
+for _name in _INPLACE_METHODS:
+    setattr(Evaluator, _name + "_inplace", _make_inplace(_name))
+del _name

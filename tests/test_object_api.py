@@ -194,3 +194,43 @@ class TestLazySecretKey:
         ev = Evaluator(ctx)
         ct = enc.encrypt(Plaintext.from_hex_string("5"))
         assert dec.decrypt(ev.relinearize(ev.multiply(ct, ct), rk)).to_hex_string() == "19"
+
+
+class TestInplaceVariants:
+    """evaluator.h declares an `*_inplace` overload per op; seal_tpu's
+    wrappers rebind the functional result onto the argument so reference
+    call sites port verbatim (docs/MIGRATING.md)."""
+
+    def test_bfv_inplace_chain_matches_functional(self):
+        ctx = _ctx(SchemeType.BFV, plain_mod=257)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key())
+        dec = Decryptor(ctx, kg.secret_key())
+        rk = kg.create_relin_keys()
+        ev = Evaluator(ctx)
+        ct = enc.encrypt(Plaintext.from_hex_string("5"))
+        want = ev.relinearize(ev.multiply(ct, ct), rk)
+        c = enc.encrypt(Plaintext.from_hex_string("5"))
+        r1 = ev.multiply_inplace(c, c)
+        assert r1 is c
+        ev.relinearize_inplace(c, rk)
+        assert np.array_equal(np.asarray(c.data[0]), np.asarray(want.data[0]))
+        assert dec.decrypt(c).to_hex_string() == "19"
+
+    def test_ckks_inplace_rescale_and_rotate(self):
+        ctx = _ctx(SchemeType.CKKS)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key())
+        dec = Decryptor(ctx, kg.secret_key())
+        rk = kg.create_relin_keys()
+        gk = kg.create_galois_keys([3])
+        ev = Evaluator(ctx)
+        ce = CKKSEncoder(ctx)
+        x = np.linspace(0.1, 1.0, ce.slot_count)
+        c = enc.encrypt(ce.encode(x, 2.0**30))
+        ev.square_inplace(c)
+        ev.relinearize_inplace(c, rk)
+        ev.rescale_to_next_inplace(c)
+        ev.rotate_vector_inplace(c, 1, gk)
+        got = np.real(ce.decode(dec.decrypt(c)))
+        assert np.max(np.abs(got - np.roll(x * x, -1))) < 1e-3
