@@ -348,3 +348,10 @@ class Encryptor:
 
     def encrypt_symmetric(self, plain: Plaintext, save_seed: bool = False) -> Ciphertext:
         return self._encrypt_internal(plain, asymmetric=False, save_seed=save_seed)
+
+    def encrypt_zero_symmetric(self, parms_id=None,
+                               save_seed: bool = False) -> Ciphertext:
+        """Reference-compat alias: encrypt_zero with the secret key
+        (encryptor.h encrypt_zero_symmetric)."""
+        return self.encrypt_zero(parms_id, asymmetric=False,
+                                 save_seed=save_seed)

@@ -401,3 +401,46 @@ def load_galois_keys(context, data) -> GaloisKeys:
 
 save_relin_keys = save_kswitch_keys
 save_galois_keys = save_kswitch_keys
+
+
+# -- Reference-compat instance methods ----------------------------------------------
+#
+# Every serializable reference object exposes `obj.save(stream)` /
+# `obj.load(context, stream)` (serialization.h Serialization::Save/Load
+# wrappers on each class). seal_tpu's canonical API is the function form
+# above (save_x(obj) -> bytes); these attached methods make reference call
+# sites port verbatim: save() returns bytes, load() rebinds the loaded
+# state onto the receiver (same object identity) and returns self.
+# `seal_tpu/__init__` imports this module, so they are always present.
+
+def _attach_io(cls, save_fn, load_fn, needs_context: bool):
+    def save(self, compr_mode: ComprMode = ComprMode.NONE) -> bytes:
+        return save_fn(self, compr_mode)
+
+    def load(self, *args):
+        out = load_fn(*args) if needs_context else load_fn(args[-1])
+        self.__dict__.clear()
+        self.__dict__.update(out.__dict__)
+        return self
+
+    save.__doc__ = f"Reference-compat: {save_fn.__name__}(self) -> bytes."
+    load.__doc__ = (
+        f"Reference-compat: {load_fn.__name__}(...), result rebound onto "
+        f"self (same object identity)."
+    )
+    cls.save = save
+    cls.load = load
+
+
+_attach_io(Plaintext, save_plaintext, load_plaintext, True)
+_attach_io(Ciphertext, save_ciphertext, load_ciphertext, True)
+_attach_io(SecretKey, save_secret_key, load_secret_key, True)
+_attach_io(PublicKey, save_public_key, load_public_key, True)
+_attach_io(KSwitchKeys, save_kswitch_keys, load_kswitch_keys, True)
+_attach_io(RelinKeys, save_relin_keys, load_relin_keys, True)
+_attach_io(GaloisKeys, save_galois_keys, load_galois_keys, True)
+_attach_io(EncryptionParameters, save_encryption_parameters,
+           load_encryption_parameters, False)
+# Modulus is a frozen value dataclass: save() only (use load_modulus()).
+Modulus.save = lambda self, compr_mode=ComprMode.NONE: save_modulus(
+    self, compr_mode)

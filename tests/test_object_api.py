@@ -234,3 +234,14 @@ class TestInplaceVariants:
         ev.rotate_vector_inplace(c, 1, gk)
         got = np.real(ce.decode(dec.decrypt(c)))
         assert np.max(np.abs(got - np.roll(x * x, -1))) < 1e-3
+
+
+def test_encrypt_zero_symmetric_alias():
+    """encryptor.h encrypt_zero_symmetric — alias over
+    encrypt_zero(asymmetric=False); decrypts to zero."""
+    ctx = _ctx(SchemeType.BFV, plain_mod=257)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, kg.create_public_key(), kg.secret_key())
+    dec = Decryptor(ctx, kg.secret_key())
+    ct = enc.encrypt_zero_symmetric()
+    assert dec.decrypt(ct).is_zero()

@@ -188,3 +188,36 @@ def test_all_compression_modes_roundtrip(ctx, keys, mode):
     blob = ser.save_ciphertext(ct, compr_mode=mode)
     ct2 = ser.load_ciphertext(ctx, blob)
     assert np.array_equal(ct.to_numpy(), ct2.to_numpy())
+
+
+def test_instance_save_load_methods(ctx, keys):
+    """Reference-compat obj.save() / obj.load(context, data) methods
+    (serialization.h Save/Load wrappers on every class): bytes identical
+    to the function API, load rebinds onto the receiver."""
+    from seal_tpu.dtypes import Ciphertext, RelinKeys, SecretKey
+
+    kg, pk, rk = keys
+    ct = Encryptor(ctx, pk).encrypt(Plaintext.from_hex_string("3x^2 + 1"))
+    assert ct.save() == ser.save_ciphertext(ct)
+    ct2 = Ciphertext()
+    out = ct2.load(ctx, ct.save())
+    assert out is ct2
+    assert np.array_equal(ct.to_numpy(), ct2.to_numpy())
+
+    sk = kg.secret_key()
+    sk2 = SecretKey()
+    sk2.load(ctx, sk.save())
+    assert np.array_equal(sk.to_numpy(), sk2.to_numpy())
+
+    rk2 = RelinKeys()
+    rk2.load(ctx, rk.save())
+    dec = Decryptor(ctx, sk)
+    from seal_tpu import Evaluator
+    ev = Evaluator(ctx)
+    prod = ev.relinearize(ev.multiply(ct, ct), rk2)
+    assert dec.decrypt(prod).to_hex_string() == "9x^4 + 6x^2 + 1"
+
+    p = Plaintext.from_hex_string("5")
+    p2 = Plaintext()
+    p2.load(ctx, p.save())
+    assert p2.to_hex_string() == "5"
