@@ -408,6 +408,9 @@ class KSwitchKeys:
     def __init__(self):
         self.keys: list = []          # per target: (lo, hi) [L_decomp, 2, L_key, N]
         self.parms_id: ParmsId = PARMS_ID_ZERO
+        # save_seed keygen: seeds[target][digit] = c1 PRNG info, enabling
+        # seed-compressed (half-size) serialization (serializable.h)
+        self.seeds: list | None = None
 
     @property
     def size(self) -> int:

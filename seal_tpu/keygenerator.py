@@ -166,12 +166,15 @@ class KeyGenerator:
     # -- key switching keys -------------------------------------------------------
 
     def _generate_one_kswitch_key(self, new_key, secret_key: SecretKey,
-                                  c1_refs=None) -> tuple:
+                                  c1_refs=None, seeds_out: list | None = None) -> tuple:
         """KSwitch key for `new_key` (NTT [L_key, N] pair): per decomposition
         prime i, an NTT encryption of zero whose c0's i-th RNS row absorbs
         new_key_i * (q_special mod q_i) (keygenerator.cpp:732-765).
 
-        Returns a stacked device pair [L_decomp, 2, L_key, N].
+        Returns a stacked device pair [L_decomp, 2, L_key, N]. When
+        `seeds_out` is a list, each digit's c1 PRNG info is appended to it
+        (the reference's save_seed plumbing, keygenerator.cpp:272-310 —
+        seed-compressed key serialization).
         """
         ctx = self.context
         key_cd = ctx.key_context_data()
@@ -202,10 +205,12 @@ class KeyGenerator:
             digits = []
             for j in range(decomp_count):
                 rows = set(range(j * alpha, min((j + 1) * alpha, data_count)))
-                c0, c1, _ = rlwe.encrypt_zero_symmetric_parts_np(
+                c0, c1, seed = rlwe.encrypt_zero_symmetric_parts_np(
                     secret_key, ctx, key_cd.parms_id,
                     c1_override=c1_refs[j] if c1_refs is not None else None,
                 )
+                if seeds_out is not None:
+                    seeds_out.append(seed)
                 factors = [p_special % q if i in rows else 0
                            for i, q in enumerate(key_moduli)]
                 npoly.absorb(c0, key_np, factors)
@@ -215,10 +220,12 @@ class KeyGenerator:
         c0s, c1s, f_ops, f_qts = [], [], [], []
         for j in range(decomp_count):
             rows = set(range(j * alpha, min((j + 1) * alpha, data_count)))
-            c0, c1, _ = rlwe.encrypt_zero_symmetric_parts(
+            c0, c1, seed = rlwe.encrypt_zero_symmetric_parts(
                 secret_key, ctx, key_cd.parms_id, is_ntt_form=True,
                 c1_override=c1_refs[j] if c1_refs is not None else None,
             )
+            if seeds_out is not None:
+                seeds_out.append(seed)
             # vectorized absorb: rows outside the digit carry factor 0, so
             # the Shoup multiply yields exactly 0 there and the add is a
             # no-op — no per-row .at loop
@@ -240,10 +247,16 @@ class KeyGenerator:
             raise ValueError("invalid count")
         self._compute_secret_key_powers(count + 1)
         rk = RelinKeys()
+        if save_seed:
+            rk.seeds = []
         for p in range(2, count + 2):
+            seeds = [] if save_seed else None
             rk.keys.append(
-                self._generate_one_kswitch_key(self._sk_powers[p - 1], self.secret_key_)
+                self._generate_one_kswitch_key(
+                    self._sk_powers[p - 1], self.secret_key_, seeds_out=seeds)
             )
+            if save_seed:
+                rk.seeds.append(seeds)
         rk.parms_id = tuple(self.context.key_parms_id)
         return rk
 
@@ -263,6 +276,8 @@ class KeyGenerator:
 
         use_native = native_poly.for_context_data(key_cd) is not None
         gk = GaloisKeys()
+        if save_seed:
+            gk.seeds = []
         for idx, elt in enumerate(galois_elts):
             if elt % 2 == 0 or elt < 1:
                 raise ValueError("Galois element is not valid")
@@ -274,10 +289,24 @@ class KeyGenerator:
             index = GaloisKeys.get_index(elt)
             while len(gk.keys) <= index:
                 gk.keys.append(None)
+                if save_seed:
+                    gk.seeds.append(None)
+            seeds = [] if save_seed else None
             gk.keys[index] = self._generate_one_kswitch_key(
                 rotated, sk,
                 c1_refs=c1_refs_per_elt[idx] if c1_refs_per_elt is not None else None,
+                seeds_out=seeds,
             )
+            if save_seed:
+                gk.seeds[index] = seeds
+        # the reference sizes the key vector to n — every possible index
+        # (elt-1)/2 for odd elt < 2n (keygenerator.cpp create_galois_keys
+        # resize; pinned by the seeded wire-format golden vector)
+        n = key_cd.parms.poly_modulus_degree
+        while len(gk.keys) < n:
+            gk.keys.append(None)
+            if save_seed:
+                gk.seeds.append(None)
         gk.parms_id = tuple(ctx.key_parms_id)
         return gk
 
@@ -304,5 +333,8 @@ class KeyGenerator:
                     acc[1].at[:, 0].set(summed_c0[1]),
                 )
             out.keys[index] = acc
+        # size to n like create_galois_keys (reference wire parity)
+        while len(out.keys) < key_cd.parms.poly_modulus_degree:
+            out.keys.append(None)
         out.parms_id = tuple(self.context.key_parms_id)
         return out

@@ -348,18 +348,25 @@ def save_kswitch_keys(keys: KSwitchKeys, compr_mode: ComprMode = ComprMode.NONE)
     buf = io.BytesIO()
     buf.write(struct.pack("<4Q", *keys.parms_id))
     buf.write(struct.pack("<Q", len(keys.keys)))
-    for k in keys.keys:
+    seeds = getattr(keys, "seeds", None)
+    for ki, k in enumerate(keys.keys):
         if k is None:
             buf.write(struct.pack("<Q", 0))
             continue
         arr = to_host(k)  # [L_decomp, 2, L_key, N]
         dim2 = arr.shape[0]
         buf.write(struct.pack("<Q", dim2))
+        k_seeds = seeds[ki] if seeds is not None else None
         for i in range(dim2):
             ct = Ciphertext(
                 to_device(arr[i]), parms_id=tuple(keys.parms_id),
                 is_ntt_form=True,
             )
+            if k_seeds is not None:
+                # seed-compressed digit (save_seed keygen): c1 is replaced
+                # by its PRNG info on the wire — half-size keys, exactly
+                # the reference's Serializable<RelinKeys/GaloisKeys>
+                ct.seed_info = k_seeds[i]
             buf.write(save_ciphertext(ct))
     return wrap(buf.getvalue(), compr_mode)
 

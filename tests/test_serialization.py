@@ -221,3 +221,39 @@ def test_instance_save_load_methods(ctx, keys):
     p2 = Plaintext()
     p2.load(ctx, p.save())
     assert p2.to_hex_string() == "5"
+
+
+def test_seeded_keys_byte_interop(ctx):
+    """Seed-compressed keys (keygenerator.h Serializable<RelinKeys/
+    GaloisKeys> overloads): save_seed=True halves the wire size by storing
+    each digit's c1 PRNG info; bytes are identical to the reference's
+    (vectors from tools/oracle/dump_seeded_keys.cpp — NOTE: consumes the
+    module `ctx` but needs its own fresh PRNG stream, so builds its own
+    context with the same parameters)."""
+    W = json.loads((pathlib.Path(__file__).parent / "vectors" /
+                    "seeded_keys_n64.json").read_text())
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed(SEED)
+    c = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(c)
+    rk = kg.create_relin_keys(save_seed=True)
+    assert ser.save_relin_keys(rk) == bytes.fromhex(W["relin_keys_seeded"])
+    gk = kg.create_galois_keys([3], save_seed=True)
+    blob = ser.save_galois_keys(gk)
+    assert blob == bytes.fromhex(W["galois_keys_seeded"])
+    # the seeded blob expands to full working keys on load
+    from seal_tpu import Evaluator
+    rk2 = ser.load_relin_keys(c, ser.save_relin_keys(rk))
+    gk2 = ser.load_galois_keys(c, blob)
+    pk = kg.create_public_key()
+    enc = Encryptor(c, pk)
+    dec = Decryptor(c, kg.secret_key())
+    ev = Evaluator(c)
+    ct = enc.encrypt(Plaintext.from_hex_string("5"))
+    assert dec.decrypt(ev.relinearize(ev.multiply(ct, ct), rk2)).to_hex_string() == "19"
+    ev.apply_galois(ct, 3, gk2)  # must not raise
+    # seeded is strictly smaller than the expanded serialization
+    assert len(blob) < len(ser.save_galois_keys(kg.create_galois_keys([3])))
