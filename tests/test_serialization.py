@@ -257,3 +257,26 @@ def test_seeded_keys_byte_interop(ctx):
     ev.apply_galois(ct, 3, gk2)  # must not raise
     # seeded is strictly smaller than the expanded serialization
     assert len(blob) < len(ser.save_galois_keys(kg.create_galois_keys([3])))
+
+
+def test_seeded_public_key_byte_interop():
+    """Serializable<PublicKey> (create_public_key() seeded overload): same
+    PRNG consumption order as tools/oracle/dump_seeded_keys.cpp."""
+    W = json.loads((pathlib.Path(__file__).parent / "vectors" /
+                    "seeded_keys_n64.json").read_text())
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed(SEED)
+    c = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(c)
+    kg.create_relin_keys(save_seed=True)
+    kg.create_galois_keys([3], save_seed=True)
+    pk = kg.create_public_key(save_seed=True)
+    blob = ser.save_public_key(pk)
+    assert blob == bytes.fromhex(W["public_key_seeded"])
+    # expands on load and encrypts/decrypts
+    pk2 = ser.load_public_key(c, blob)
+    ct = Encryptor(c, pk2).encrypt(Plaintext.from_hex_string("6"))
+    assert Decryptor(c, kg.secret_key()).decrypt(ct).to_hex_string() == "6"

@@ -43,6 +43,12 @@ int main()
         gk.save(ss, compr_mode_type::none);
         dump_hex("galois_keys_seeded", ss.str());
     }
+    {
+        stringstream ss;
+        auto pk = keygen.create_public_key();
+        pk.save(ss, compr_mode_type::none);
+        dump_hex("public_key_seeded", ss.str());
+    }
     printf("  \"end\": \"\"\n}\n");
     return 0;
 }
