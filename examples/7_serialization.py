@@ -32,11 +32,21 @@ def main():
     print(f"seeded+zlib ciphertext: {len(ct_blob)} bytes "
           f"(vs {len(full_blob)} uncompressed full)")
 
+    # seed-compressed evaluation keys (Serializable<RelinKeys>): the client
+    # ships half-size keys; they expand to full keys on the server's load
+    rk_blob = ser.save_relin_keys(keygen.create_relin_keys(save_seed=True))
+    rk_full = ser.save_relin_keys(keygen.create_relin_keys())
+    print(f"seeded relin keys: {len(rk_blob)} bytes (vs {len(rk_full)} expanded)")
+
     # server side: load and compute
     server_ct = ser.load_ciphertext(context, ct_blob)
+    server_rk = ser.load_relin_keys(context, rk_blob)
     evaluator = Evaluator(context)
     doubled = evaluator.add(server_ct, server_ct)
+    squared = evaluator.relinearize(
+        evaluator.multiply(server_ct, server_ct), server_rk)
     out_blob = ser.save_ciphertext(doubled)
+    sq_blob = ser.save_ciphertext(squared)
 
     # client side: decrypt
     sk = ser.load_secret_key(context, sk_blob)
@@ -44,6 +54,9 @@ def main():
     result = decryptor.decrypt(ser.load_ciphertext(context, out_blob))
     print("decrypted 6+6 =", int(result.to_hex_string(), 16))
     assert result.to_hex_string() == "C"
+    sq = decryptor.decrypt(ser.load_ciphertext(context, sq_blob))
+    assert sq.to_hex_string() == "24"  # 36
+    print("decrypted 6*6 =", int(sq.to_hex_string(), 16), "(seeded relin keys)")
     print("7_serialization OK")
 
 
