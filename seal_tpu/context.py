@@ -52,6 +52,42 @@ class ErrorType(enum.Enum):
     FAILED_CREATING_RNS_TOOL = "failed_creating_rns_tool"
 
 
+# parity: context.cpp:78-133 parameter_error_message
+_ERROR_MESSAGES = {
+    ErrorType.NONE: "constructed but not yet validated",
+    ErrorType.SUCCESS: "valid",
+    ErrorType.INVALID_SCHEME: "scheme must be BFV or CKKS or BGV",
+    ErrorType.INVALID_COEFF_MODULUS_SIZE:
+        "coeff_modulus's primes' count is not bounded by "
+        "SEAL_COEFF_MOD_COUNT_MIN(MAX)",
+    ErrorType.INVALID_COEFF_MODULUS_BIT_COUNT:
+        "coeff_modulus's primes' bit counts are not bounded by "
+        "SEAL_USER_MOD_BIT_COUNT_MIN(MAX)",
+    ErrorType.INVALID_COEFF_MODULUS_NO_NTT:
+        "coeff_modulus's primes are not congruent to 1 modulo "
+        "(2 * poly_modulus_degree)",
+    ErrorType.INVALID_POLY_MODULUS_DEGREE:
+        "poly_modulus_degree is not bounded by SEAL_POLY_MOD_DEGREE_MIN(MAX)",
+    ErrorType.INVALID_POLY_MODULUS_DEGREE_NON_POWER_OF_TWO:
+        "poly_modulus_degree is not a power of two",
+    ErrorType.INVALID_PARAMETERS_TOO_LARGE:
+        "parameters are too large to fit in size_t type",
+    ErrorType.INVALID_PARAMETERS_INSECURE:
+        "parameters are not compliant with HomomorphicEncryption.org "
+        "security standard",
+    ErrorType.FAILED_CREATING_RNS_BASE: "RNSBase cannot be constructed",
+    ErrorType.INVALID_PLAIN_MODULUS_BIT_COUNT:
+        "plain_modulus's bit count is not bounded by "
+        "SEAL_PLAIN_MOD_BIT_COUNT_MIN(MAX)",
+    ErrorType.INVALID_PLAIN_MODULUS_COPRIMALITY:
+        "plain_modulus is not coprime to coeff_modulus",
+    ErrorType.INVALID_PLAIN_MODULUS_TOO_LARGE:
+        "plain_modulus is not smaller than coeff_modulus",
+    ErrorType.INVALID_PLAIN_MODULUS_NONZERO: "plain_modulus is not zero",
+    ErrorType.FAILED_CREATING_RNS_TOOL: "RNSTool cannot be constructed",
+}
+
+
 @dataclass
 class EncryptionParameterQualifiers:
     """Validation verdict + feature flags (parity: context.h:28-209)."""
@@ -70,7 +106,16 @@ class EncryptionParameterQualifiers:
 
     @property
     def parameter_error_message(self) -> str:
-        return self.parameter_error.value
+        """Human-readable diagnosis (parity: context.cpp:78
+        parameter_error_message)."""
+        return _ERROR_MESSAGES.get(self.parameter_error,
+                                   "invalid parameter_error")
+
+    @property
+    def parameter_error_name(self) -> str:
+        """Short error identifier (parity: context.cpp:21
+        parameter_error_name — the enum's snake-case name)."""
+        return self.parameter_error.name.lower()
 
 
 class ContextData:
@@ -243,6 +288,10 @@ class SEALContext:
 
     def parameter_error_message(self) -> str:
         return self.first_context_data().qualifiers.parameter_error_message
+
+    def parameter_error_name(self) -> str:
+        """Parity: context.h:581 parameter_error_name."""
+        return self.first_context_data().qualifiers.parameter_error_name
 
     # -- construction -----------------------------------------------------------
 

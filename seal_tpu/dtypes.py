@@ -133,6 +133,23 @@ class Plaintext:
         nz = np.nonzero(self.data)[0]
         return int(nz[-1]) + 1 if len(nz) else 0
 
+    def nonzero_coeff_count(self) -> int:
+        """Number of nonzero coefficients (plaintext.h nonzero_coeff_count)."""
+        if self._rns_data is not None:
+            h = self.host_rns_u64()
+            arr = h if h is not None else to_host(self.rns_data)
+            return int(np.count_nonzero(np.count_nonzero(arr, axis=0)))
+        return int(np.count_nonzero(self.data))
+
+    def set_zero(self):
+        """Zero every coefficient in place (plaintext.h set_zero)."""
+        if self._rns_data is not None:
+            h = self.host_rns_u64()
+            rows = (np.zeros_like(h) if h is not None
+                    else np.zeros_like(to_host(self.rns_data)))
+            self.rns_data = to_device(rows)
+        self.data = np.zeros_like(np.asarray(self.data, dtype=np.uint64))
+
     def is_zero(self) -> bool:
         """All coefficients zero (plaintext.h is_zero parity)."""
         if self.rns_data is not None:

@@ -79,6 +79,42 @@ class Modulus:
     def reduce(self, x: int) -> int:
         return x % self.value
 
+    @property
+    def is_zero(self) -> bool:
+        return self.value == 0
+
+    # value comparisons against Modulus or plain ints (modulus.h:315-381
+    # operator==/!=/</<=/>/>= overloads on value)
+    def __eq__(self, other) -> bool:
+        if isinstance(other, Modulus):
+            return self.value == other.value
+        if isinstance(other, int):
+            return self.value == other
+        return NotImplemented
+
+    def __hash__(self) -> int:
+        return hash(self.value)
+
+    def __lt__(self, other):
+        if isinstance(other, (Modulus, int)):
+            return self.value < _as_int(other)
+        return NotImplemented
+
+    def __le__(self, other):
+        if isinstance(other, (Modulus, int)):
+            return self.value <= _as_int(other)
+        return NotImplemented
+
+    def __gt__(self, other):
+        if isinstance(other, (Modulus, int)):
+            return self.value > _as_int(other)
+        return NotImplemented
+
+    def __ge__(self, other):
+        if isinstance(other, (Modulus, int)):
+            return self.value >= _as_int(other)
+        return NotImplemented
+
     def __repr__(self) -> str:
         return f"Modulus({self.value:#x})"
 

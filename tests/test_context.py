@@ -76,9 +76,13 @@ def test_context_qualifiers_errors():
     ctx = SEALContext(parms)
     assert not ctx.parameters_set
     assert ctx.first_context_data().qualifiers.parameter_error == ErrorType.INVALID_PARAMETERS_INSECURE
+    # name/message accessors (context.h:581, context.cpp:21)
+    assert ctx.parameter_error_name() == "invalid_parameters_insecure"
+    assert ctx.parameter_error_message()
     # same parameters accepted with sec_level none
     ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
     assert ctx.parameters_set
+    assert ctx.parameter_error_name() == "success"
 
     # non-coprime plain modulus
     parms = EncryptionParameters(SchemeType.BFV)

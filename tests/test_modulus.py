@@ -101,3 +101,16 @@ def test_create_validation():
         CoeffModulus.create(4096, [61])
     with pytest.raises(ValueError):
         CoeffModulus.create(4096, [])
+
+
+def test_modulus_value_comparisons():
+    """modulus.h:315-381 operator overloads: compare by value, against
+    Modulus or plain ints; usable as dict keys."""
+    from seal_tpu.modulus import Modulus
+
+    m = Modulus(257)
+    assert m == Modulus(257) and m == 257 and m != 256
+    assert m < 1031 and m <= Modulus(257) and m > 2 and m >= 257
+    assert Modulus(0).is_zero and not m.is_zero
+    assert hash(m) == hash(Modulus(257))
+    assert {m: 1}[Modulus(257)] == 1

@@ -245,3 +245,12 @@ def test_encrypt_zero_symmetric_alias():
     dec = Decryptor(ctx, kg.secret_key())
     ct = enc.encrypt_zero_symmetric()
     assert dec.decrypt(ct).is_zero()
+
+
+def test_plaintext_zero_and_counts():
+    """plaintext.h set_zero / nonzero_coeff_count / significant_coeff_count."""
+    p = Plaintext.from_hex_string("3x^2 + 1")
+    assert p.significant_coeff_count() == 3
+    assert p.nonzero_coeff_count() == 2
+    p.set_zero()
+    assert p.is_zero() and p.nonzero_coeff_count() == 0
