@@ -51,6 +51,14 @@ class JitEvaluator:
             return method
 
         def call(*args):
+            if name.endswith("_inplace"):
+                # run the functional twin through the jit cache, then rebind
+                # eagerly — mutating a ciphertext inside a trace would not
+                # persist (see Evaluator's _inplace compat wrappers)
+                out = self._dispatch(name[: -len("_inplace")], args)
+                args[0].__dict__.clear()
+                args[0].__dict__.update(out.__dict__)
+                return args[0]
             return self._dispatch(name, args)
 
         call.__name__ = name

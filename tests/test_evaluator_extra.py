@@ -14,6 +14,7 @@ from seal_tpu import (
     Encryptor,
     Evaluator,
     KeyGenerator,
+    Plaintext,
     SEALContext,
     SchemeType,
     SecLevelType,
@@ -194,6 +195,22 @@ class TestJitEvaluator:
         # static args distinguish cache entries
         jev.rotate_rows(ct, 2, gk)
         assert jev.cache_size() == n0 + 2
+
+    def test_inplace_via_jit_rebinds_eagerly(self):
+        from seal_tpu.jit import JitEvaluator
+
+        ctx, kg, enc, ev, dec = _make(SchemeType.BFV, plain_mod=257)
+        rk = kg.create_relin_keys()
+        jev = JitEvaluator(ctx)
+        ct = enc.encrypt(Plaintext.from_hex_string("5"))
+        want = ev.relinearize(ev.multiply(ct, ct), rk)
+        c = enc.encrypt(Plaintext.from_hex_string("5"))
+        out = jev.multiply_inplace(c, c)
+        assert out is c
+        jev.relinearize_inplace(c, rk)
+        _ct_equal(c, want)
+        # the compiled programs are the functional twins (shared cache)
+        assert any(k[0] == "multiply" for k in jev._cache)
 
     def test_level_changes_recompile_transparently(self):
         from seal_tpu.jit import JitEvaluator
