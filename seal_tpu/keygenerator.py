@@ -262,13 +262,20 @@ class KeyGenerator:
 
     def create_galois_keys(self, galois_elts=None, save_seed: bool = False,
                            secret_key: SecretKey | None = None,
-                           c1_refs_per_elt=None) -> GaloisKeys:
+                           c1_refs_per_elt=None,
+                           steps: list[int] | None = None) -> GaloisKeys:
         """Keys for the automorphisms x -> x^elt (keygenerator.cpp:520-580);
         with secret_key/c1 overrides this is the fork's
-        create_galois_keys_with_sk[_c1] (keygenerator.cpp:404-518)."""
+        create_galois_keys_with_sk[_c1] (keygenerator.cpp:404-518).
+        `steps=` is the reference's rotation-step overload
+        (keygenerator.h create_galois_keys(const vector<int> &steps))."""
         ctx = self.context
         key_cd = ctx.key_context_data()
         gt = key_cd.galois_tool
+        if steps is not None:
+            if galois_elts is not None:
+                raise ValueError("pass either galois_elts or steps, not both")
+            galois_elts = gt.get_elts_from_steps(steps)
         if galois_elts is None:
             galois_elts = gt.get_elts_all()
         sk = secret_key if secret_key is not None else self.secret_key_

@@ -254,3 +254,23 @@ def test_plaintext_zero_and_counts():
     assert p.nonzero_coeff_count() == 2
     p.set_zero()
     assert p.is_zero() and p.nonzero_coeff_count() == 0
+
+
+def test_create_galois_keys_from_steps():
+    """keygenerator.h create_galois_keys(steps) overload: steps convert via
+    GaloisTool.get_elts_from_steps; keys rotate as requested."""
+    ctx = _ctx(SchemeType.BFV, plain_mod=257)
+    kg = KeyGenerator(ctx)
+    gk = kg.create_galois_keys(steps=[1, -1])
+    enc = Encryptor(ctx, kg.create_public_key())
+    dec = Decryptor(ctx, kg.secret_key())
+    ev = Evaluator(ctx)
+    be = BatchEncoder(ctx)
+    v = np.arange(be.slot_count, dtype=np.uint64)
+    ct = enc.encrypt(be.encode(v))
+    half = be.slot_count // 2
+    got = np.asarray(be.decode(dec.decrypt(ev.rotate_rows(ct, 1, gk))), np.uint64)
+    want = np.concatenate([np.roll(v[:half], -1), np.roll(v[half:], -1)])
+    assert np.array_equal(got, want)
+    with pytest.raises(ValueError):
+        kg.create_galois_keys([3], steps=[1])
