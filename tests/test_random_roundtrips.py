@@ -166,3 +166,77 @@ def test_bgv_modswitch_chain_random():
         if cd.next_context_data is None:
             break
         ct = ev.mod_switch_to_next(ct)
+
+
+@pytest.mark.parametrize("fuzz_seed", [7, 19, 43])
+def test_random_op_sequence_bfv(fuzz_seed):
+    """Seeded random op-sequence fuzzer: 14 random Evaluator ops against an
+    exact numpy slot model, noise-budget-guarded. Catches interaction edges
+    (rotate-after-modswitch, plain ops at lower levels, inplace mixing)
+    that fixed circuits don't reach."""
+    t = PlainModulus.batching(N, 17).value
+    ctx = _ctx(SchemeType.BFV, [40, 40, 40, 40], t=t,
+               seed=(fuzz_seed, 2, 3, 4, 5, 6, 7, 8))
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, kg.create_public_key())
+    dec = Decryptor(ctx, kg.secret_key())
+    ev = Evaluator(ctx)
+    rk = kg.create_relin_keys()
+    gk = kg.create_galois_keys(steps=[1, -1, 0])  # 0 = columns (elt 2n-1)
+    be = BatchEncoder(ctx)
+    rng = np.random.default_rng(fuzz_seed)
+    half = be.slot_count // 2
+
+    def fresh():
+        # model arithmetic in int64: uint64 would wrap mod 2^64 on
+        # negate/subtract, which is NOT mod-t arithmetic
+        v = rng.integers(0, t, be.slot_count, dtype=np.int64)
+        return enc.encrypt(be.encode(v.astype(np.uint64))), v
+
+    ct, model = fresh()
+    aux_ct, aux = fresh()
+    ops = ["add", "sub", "negate", "mul_relin", "add_plain", "mul_plain",
+           "rot_rows", "rot_cols", "modswitch", "inplace_add"]
+    for step in range(14):
+        op = ops[int(rng.integers(len(ops)))]
+        if op == "add":
+            ct = ev.add(ct, aux_ct); model = (model + aux) % t
+        elif op == "sub":
+            ct = ev.sub(ct, aux_ct); model = (model - aux) % t
+        elif op == "negate":
+            ct = ev.negate(ct); model = (-model) % t
+        elif op == "mul_relin":
+            if dec.invariant_noise_budget(ct) < 25:
+                continue
+            ct = ev.relinearize(ev.multiply(ct, aux_ct), rk)
+            model = (model * aux) % t
+        elif op == "add_plain":
+            p = rng.integers(0, t, be.slot_count, dtype=np.int64)
+            ct = ev.add_plain(ct, be.encode(p.astype(np.uint64)))
+            model = (model + p) % t
+        elif op == "mul_plain":
+            p = rng.integers(1, t, be.slot_count, dtype=np.int64)
+            ct = ev.multiply_plain(ct, be.encode(p.astype(np.uint64)))
+            model = (model * p) % t
+        elif op == "rot_rows":
+            s = 1 if rng.integers(2) else -1
+            ct = ev.rotate_rows(ct, s, gk)
+            model = np.concatenate([np.roll(model[:half], -s),
+                                    np.roll(model[half:], -s)])
+        elif op == "rot_cols":
+            ct = ev.rotate_columns(ct, gk)
+            model = np.concatenate([model[half:], model[:half]])
+        elif op == "modswitch":
+            if ctx.get_context_data(ct.parms_id).next_context_data is None:
+                continue
+            if dec.invariant_noise_budget(ct) < 25:
+                continue
+            ct = ev.mod_switch_to_next(ct)
+        elif op == "inplace_add":
+            ev.add_inplace(ct, aux_ct); model = (model + aux) % t
+        # aux must live at ct's level for the binary ops
+        if tuple(aux_ct.parms_id) != tuple(ct.parms_id):
+            aux_ct = ev.mod_switch_to(aux_ct, ct.parms_id)
+        assert dec.invariant_noise_budget(ct) > 0, f"budget died at step {step} ({op})"
+    got = np.asarray(be.decode(dec.decrypt(ct)), dtype=np.int64)
+    assert np.array_equal(got, model % t)
