@@ -240,3 +240,116 @@ def test_random_op_sequence_bfv(fuzz_seed):
         assert dec.invariant_noise_budget(ct) > 0, f"budget died at step {step} ({op})"
     got = np.asarray(be.decode(dec.decrypt(ct)), dtype=np.int64)
     assert np.array_equal(got, model % t)
+
+
+@pytest.mark.parametrize("fuzz_seed", [5, 23])
+def test_random_op_sequence_bgv(fuzz_seed):
+    """BGV variant of the op-sequence fuzzer: mod-switches multiply the
+    correction factor, so add/sub after switching exercises
+    balance_correction_factors with random operands."""
+    t = PlainModulus.batching(N, 17).value
+    ctx = _ctx(SchemeType.BGV, [40, 40, 40, 40], t=t,
+               seed=(fuzz_seed, 3, 3, 4, 5, 6, 7, 8))
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, kg.create_public_key())
+    dec = Decryptor(ctx, kg.secret_key())
+    ev = Evaluator(ctx)
+    rk = kg.create_relin_keys()
+    be = BatchEncoder(ctx)
+    rng = np.random.default_rng(fuzz_seed)
+
+    v = rng.integers(0, t, be.slot_count, dtype=np.int64)
+    w = rng.integers(0, t, be.slot_count, dtype=np.int64)
+    ct = enc.encrypt(be.encode(v.astype(np.uint64)))
+    aux = enc.encrypt(be.encode(w.astype(np.uint64)))
+    model = v.copy()
+    for step in range(10):
+        op = ["add", "sub", "mul_relin", "modswitch_ct",
+              "modswitch_aux", "mul_plain"][int(rng.integers(6))]
+        if op == "add":
+            ct = ev.add(ct, aux); model = (model + w) % t
+        elif op == "sub":
+            ct = ev.sub(ct, aux); model = (model - w) % t
+        elif op == "mul_relin":
+            if dec.invariant_noise_budget(ct) < 30:
+                continue
+            ct = ev.relinearize(ev.multiply(ct, aux), rk)
+            model = (model * w) % t
+        elif op == "modswitch_ct":
+            # only switch ct; the next binary op must balance correction
+            # factors between mismatched levels after re-alignment.
+            # keep one level in reserve: a single 40-bit prime has too
+            # little room for further random multiplies
+            if ctx.get_context_data(ct.parms_id).chain_index <= 1:
+                continue
+            ct = ev.mod_switch_to_next(ct)
+        elif op == "modswitch_aux":
+            if ctx.get_context_data(aux.parms_id).chain_index <= 1:
+                continue
+            aux = ev.mod_switch_to_next(aux)
+        elif op == "mul_plain":
+            if dec.invariant_noise_budget(ct) < 30:
+                continue
+            p = rng.integers(1, t, be.slot_count, dtype=np.int64)
+            ct = ev.multiply_plain(ct, be.encode(p.astype(np.uint64)))
+            model = (model * p) % t
+        # re-align levels for the binary ops
+        ci = ctx.get_context_data(ct.parms_id).chain_index
+        ai = ctx.get_context_data(aux.parms_id).chain_index
+        if ai > ci:
+            aux = ev.mod_switch_to(aux, ct.parms_id)
+        elif ci > ai:
+            ct = ev.mod_switch_to(ct, aux.parms_id)
+        assert dec.invariant_noise_budget(ct) > 0, f"step {step} ({op})"
+    got = np.asarray(be.decode(dec.decrypt(ct)), dtype=np.int64)
+    assert np.array_equal(got, model % t)
+
+
+@pytest.mark.parametrize("fuzz_seed", [3, 31])
+def test_random_op_sequence_ckks(fuzz_seed):
+    """CKKS variant: random multiply/rescale/rotate/conjugate/add sequences
+    with scale- and level-tracking against a complex slot model."""
+    ctx = _ctx(SchemeType.CKKS, [50, 35, 35, 35, 50],
+               seed=(fuzz_seed, 4, 3, 4, 5, 6, 7, 8))
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, kg.create_public_key())
+    dec = Decryptor(ctx, kg.secret_key())
+    ev = Evaluator(ctx)
+    rk = kg.create_relin_keys()
+    gk = kg.create_galois_keys(steps=[1, -2, 0])
+    encd = CKKSEncoder(ctx)
+    rng = np.random.default_rng(fuzz_seed)
+    scale = 2.0 ** 35
+
+    x = rng.uniform(-1, 1, encd.slot_count) + 1j * rng.uniform(-1, 1, encd.slot_count)
+    ct = enc.encrypt(encd.encode(x, scale))
+    model = x.copy()
+    muls = 0
+    for step in range(8):
+        op = ["square", "mul_plain", "rot", "conj", "add_self"][int(rng.integers(5))]
+        depth_left = ctx.get_context_data(ct.parms_id).chain_index > 1
+        if op == "square" and depth_left and muls < 3:
+            ct = ev.rescale_to_next(ev.relinearize(ev.square(ct), rk))
+            model = model * model
+            muls += 1
+        elif op == "mul_plain" and depth_left:
+            c = complex(rng.uniform(0.5, 1.5), rng.uniform(-0.5, 0.5))
+            ct = ev.rescale_to_next(
+                ev.multiply_plain(ct, encd.encode_value(c, ct.scale, ct.parms_id)
+                                  if hasattr(encd, "encode_value")
+                                  else encd.encode(
+                                      np.full(encd.slot_count, c), ct.scale,
+                                      parms_id=ct.parms_id)))
+            model = model * c
+        elif op == "rot":
+            s = 1 if rng.integers(2) else -2
+            ct = ev.rotate_vector(ct, s, gk)
+            model = np.roll(model, -s)
+        elif op == "conj":
+            ct = ev.complex_conjugate(ct, gk)
+            model = np.conj(model)
+        elif op == "add_self":
+            ct = ev.add(ct, ct)
+            model = model * 2
+    got = encd.decode(dec.decrypt(ct), complex_out=True)
+    assert np.abs(got - model).max() < 1e-3, np.abs(got - model).max()
