@@ -1376,8 +1376,11 @@ _INPLACE_METHODS = (
 def _make_inplace(name: str):
     def method(self, ct, *args, **kwargs):
         out = getattr(self, name)(ct, *args, **kwargs)
-        ct.__dict__.clear()
-        ct.__dict__.update(out.__dict__)
+        if out is not ct:
+            # no-op paths (e.g. mod_switch_to at the current level) return
+            # ct itself — clearing then would wipe the shared __dict__
+            ct.__dict__.clear()
+            ct.__dict__.update(out.__dict__)
         return ct
 
     method.__name__ = name + "_inplace"

@@ -56,8 +56,9 @@ class JitEvaluator:
                 # eagerly — mutating a ciphertext inside a trace would not
                 # persist (see Evaluator's _inplace compat wrappers)
                 out = self._dispatch(name[: -len("_inplace")], args)
-                args[0].__dict__.clear()
-                args[0].__dict__.update(out.__dict__)
+                if out is not args[0]:  # no-op paths return the input itself
+                    args[0].__dict__.clear()
+                    args[0].__dict__.update(out.__dict__)
                 return args[0]
             return self._dispatch(name, args)
 

@@ -217,6 +217,19 @@ class TestInplaceVariants:
         assert np.array_equal(np.asarray(c.data[0]), np.asarray(want.data[0]))
         assert dec.decrypt(c).to_hex_string() == "19"
 
+    def test_inplace_noop_path_preserves_object(self):
+        """mod_switch_to at the current level returns the input itself;
+        the inplace wrapper must not clear the shared __dict__."""
+        ctx = _ctx(SchemeType.BFV, plain_mod=257)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, kg.create_public_key())
+        dec = Decryptor(ctx, kg.secret_key())
+        ev = Evaluator(ctx)
+        ct = enc.encrypt(Plaintext.from_hex_string("5"))
+        out = ev.mod_switch_to_inplace(ct, ct.parms_id)
+        assert out is ct and ct.size == 2
+        assert dec.decrypt(ct).to_hex_string() == "5"
+
     def test_ckks_inplace_rescale_and_rotate(self):
         ctx = _ctx(SchemeType.CKKS)
         kg = KeyGenerator(ctx)
