@@ -39,12 +39,14 @@ def main():
     ap.add_argument("--L", type=int, default=8)
     ap.add_argument("--relin-us", type=float, default=1132.0,
                     help="measured single-chip relinearize (BASELINE grid)")
-    ap.add_argument("--pipeline-us", type=float, default=1300.0,
+    ap.add_argument("--pipeline-us", type=float, default=897.0,
                     help="measured single-chip mult+relin+rescale per ct: "
-                         "the r4 SUSTAINED streaming number (769.3-770.7 "
-                         "ops/s at B=16-24, tools/bench_sustained.py — "
-                         "independent per-chunk dispatches with host "
-                         "feed/drain), not the 1135 ops/s chained marginal")
+                         "the late-r4 SUSTAINED production-recipe number "
+                         "(1115 ops/s at 4096 cts, B=64 --submap 16, "
+                         "tools/bench_sustained.py — independent per-chunk "
+                         "dispatches with drain), not the 1135 ops/s "
+                         "chained marginal; pass 1300 for the conservative "
+                         "short-stream flat-B=16 figure")
     ap.add_argument("--ici-gbs", type=float, default=180.0,
                     help="per-chip ICI all-reduce bandwidth assumption (GB/s)")
     ap.add_argument("--dcn-gbs", type=float, default=25.0)
