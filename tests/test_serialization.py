@@ -280,3 +280,45 @@ def test_seeded_public_key_byte_interop():
     pk2 = ser.load_public_key(c, blob)
     ct = Encryptor(c, pk2).encrypt(Plaintext.from_hex_string("6"))
     assert Decryptor(c, kg.secret_key()).decrypt(ct).to_hex_string() == "6"
+
+
+def test_ckks_bgv_wire_byte_interop():
+    """CKKS NTT-form plaintext + asymmetric/seeded-symmetric ciphertexts
+    and a BGV ciphertext, byte-identical to reference serializations
+    (tools/oracle/dump_serialization_ckks.cpp — the base vectors cover
+    only BFV)."""
+    from seal_tpu.ckks import CKKSEncoder
+
+    W = json.loads((pathlib.Path(__file__).parent / "vectors" /
+                    "serialization_ckks_n64.json").read_text())
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40, 40]))
+    parms.set_random_seed(SEED)
+    c = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(c)
+    enc = Encryptor(c, kg.create_public_key(), kg.secret_key())
+    ce = CKKSEncoder(c)
+    p = ce.encode(0.1 * np.arange(ce.slot_count) - 1.0, 2.0 ** 30)
+    assert ser.save_plaintext(p) == bytes.fromhex(W["ckks_plain"])
+    assert ser.save_ciphertext(enc.encrypt(p)) == bytes.fromhex(W["ckks_ct"])
+    assert ser.save_ciphertext(enc.encrypt_symmetric(p, save_seed=True)) \
+        == bytes.fromhex(W["ckks_ct_sym_seeded"])
+
+    parms = EncryptionParameters(SchemeType.BGV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed(SEED)
+    c2 = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg2 = KeyGenerator(c2)
+    ct2 = Encryptor(c2, kg2.create_public_key()).encrypt(
+        Plaintext.from_hex_string("3x^5 + 1x^1 + 2"))
+    assert ser.save_ciphertext(ct2) == bytes.fromhex(W["bgv_ct"])
+    # and the reference bytes load back into working objects
+    lp = ser.load_plaintext(c, bytes.fromhex(W["ckks_plain"]))
+    got = ce.decode(lp)
+    assert np.abs(got - (0.1 * np.arange(ce.slot_count) - 1.0)).max() < 1e-5
+    dec2 = Decryptor(c2, kg2.secret_key())
+    lct = ser.load_ciphertext(c2, bytes.fromhex(W["bgv_ct"]))
+    assert dec2.decrypt(lct).to_hex_string() == "3x^5 + 1x^1 + 2"
