@@ -322,3 +322,8 @@ def test_ckks_bgv_wire_byte_interop():
     dec2 = Decryptor(c2, kg2.secret_key())
     lct = ser.load_ciphertext(c2, bytes.fromhex(W["bgv_ct"]))
     assert dec2.decrypt(lct).to_hex_string() == "3x^5 + 1x^1 + 2"
+    # CKKS seeded ct expands on load and decrypts (uses this context's sk)
+    dec = Decryptor(c, kg.secret_key())
+    sct = ser.load_ciphertext(c, bytes.fromhex(W["ckks_ct_sym_seeded"]))
+    got2 = ce.decode(dec.decrypt(sct))
+    assert np.abs(got2 - (0.1 * np.arange(ce.slot_count) - 1.0)).max() < 1e-5
