@@ -364,3 +364,40 @@ class TestDiagonalSkipDecompose:
         want = ntt_mod2.ntt_forward(y, ext_tables)
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
         np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_submap_streaming_step_bit_identical():
+    """The production streaming recipe (lax.map over vmap sub-batches,
+    BASELINE 'sustained') computes bit-identically to the flat vmap step
+    it replaces (tools/bench_sustained.py --submap)."""
+    import jax
+    import jax.numpy as jnp
+
+    ctx, kg, enc, ev, dec = _make(SchemeType.CKKS)
+    rk = kg.create_relin_keys()
+    encd = CKKSEncoder(ctx)
+    scale = 2.0 ** 30
+    proto = enc.encrypt(encd.encode(np.linspace(-1, 1, encd.slot_count), scale))
+
+    def one(x_pair):
+        ca = proto.copy()
+        ca.data = x_pair
+        return ev.rescale_to_next(ev.relinearize(ev.square(ca), rk)).data
+
+    B, S = 4, 2
+    x = tuple(jnp.stack([d + jnp.uint32(i) % jnp.uint32(3) for i in range(B)])
+              for d in proto.data)
+    flat = jax.jit(jax.vmap(one))(x)
+
+    inner = jax.vmap(one)
+
+    def stepped(x_pair):
+        g = B // S
+        xr = tuple(a.reshape((g, S) + a.shape[1:]) for a in x_pair)
+        lo, hi = jax.lax.map(inner, xr)
+        return (lo.reshape((B,) + lo.shape[2:]),
+                hi.reshape((B,) + hi.shape[2:]))
+
+    sub = jax.jit(stepped)(x)
+    assert np.array_equal(np.asarray(flat[0]), np.asarray(sub[0]))
+    assert np.array_equal(np.asarray(flat[1]), np.asarray(sub[1]))
