@@ -222,12 +222,15 @@ def main():
         ("_fused" if fused else "")
 
     if "--sweep" in args:
-        for b in (8, 16, 24, 32):
-            r = run_stream(su, total, b, feed=False)
-            mem = memory_analysis(su, b)
+        for b, sm in ((8, 0), (16, 0), (24, 0), (32, 0),
+                      (32, 16), (64, 16), (128, 16)):
+            r = run_stream(su, total, b, feed=False, submap=sm)
+            mem = memory_analysis(su, b) if not sm else {"submap": sm}
             print(json.dumps({
-                "metric": f"sustained_stream_{mode}", "B": b,
-                "total_cts": total, "value": round(r["ops_per_s"], 1),
+                "metric": f"sustained_stream_{mode}"
+                          + (f"_submap{sm}" if sm else ""),
+                "B": b, "total_cts": total,
+                "value": round(r["ops_per_s"], 1),
                 "unit": "ops/s/chip", "wall_s": round(r["wall_s"], 3),
                 "memory": mem,
             }), flush=True)
