@@ -134,11 +134,16 @@ class Plaintext:
         return int(nz[-1]) + 1 if len(nz) else 0
 
     def nonzero_coeff_count(self) -> int:
-        """Number of nonzero coefficients (plaintext.h nonzero_coeff_count)."""
+        """Number of nonzero coefficients (plaintext.h nonzero_coeff_count).
+
+        For RNS/NTT-form plaintexts the reference counts nonzero entries of
+        the full L*N backing array (get_nonzero_uint64_count_uint over
+        data_), not logical coefficients — match that.
+        """
         if self._rns_data is not None:
             h = self.host_rns_u64()
             arr = h if h is not None else to_host(self.rns_data)
-            return int(np.count_nonzero(np.count_nonzero(arr, axis=0)))
+            return int(np.count_nonzero(arr))
         return int(np.count_nonzero(self.data))
 
     def set_zero(self):

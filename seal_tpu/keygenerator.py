@@ -180,6 +180,14 @@ class KeyGenerator:
         key_cd = ctx.key_context_data()
         if not ctx.using_keyswitching:
             raise RuntimeError("keyswitching is not supported by the context")
+        if seeds_out is not None and c1_refs is not None:
+            # the reference only seed-compresses keys whose c1 it sampled
+            # itself; with an overridden c1 the freshly drawn seed would NOT
+            # regenerate it, and a seed-compressed save would silently expand
+            # to a different key on load
+            raise ValueError(
+                "save_seed cannot be combined with c1 overrides: the "
+                "recorded seed would not regenerate the overridden c1")
         key_moduli = key_cd.key_moduli()
         data_count = len(ctx.first_context_data().key_moduli())
         alpha = key_cd.parms.special_modulus_size

@@ -298,12 +298,15 @@ def encrypt_zero_symmetric(
     """
     # native fast path with LAZY device data (r4): keygen/public-key flows
     # were paying ~0.5 ms of eager to_device+stack per call that the
-    # encrypt path no longer pays
-    r = encrypt_zero_symmetric_parts_np(
-        secret_key, context, parms_id, c1_override, c1_seed,
-        is_ntt_form=is_ntt_form, save_seed=save_seed)
-    if r is not None and (c1_override is None
-                          or isinstance(c1_override, np.ndarray)):
+    # encrypt path no longer pays. Only usable when c1_override is absent or
+    # already host data — a device-pair override must take the device path,
+    # so don't burn a full native encrypt only to discard it.
+    r = None
+    if c1_override is None or isinstance(c1_override, np.ndarray):
+        r = encrypt_zero_symmetric_parts_np(
+            secret_key, context, parms_id, c1_override, c1_seed,
+            is_ntt_form=is_ntt_form, save_seed=save_seed)
+    if r is not None:
         from seal_tpu.dtypes import _LazyHostData
 
         c0np, c1np, seed_info = r
