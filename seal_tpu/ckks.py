@@ -255,6 +255,121 @@ class CKKSEncoder:
         p.scale = float(scale)
         return p
 
+    # -- batch-amortized host paths (TPU-native API; ckks.h has only the
+    #    scalar overloads). Bit-identical to sequential encode/decode. -----
+
+    def encode_many(self, values_batch, scale: float,
+                    parms_id=None) -> list[Plaintext]:
+        """Encode B slot vectors [B, m] at one common scale with ONE native
+        crossing per kernel (DWT, signed reduce, NTT). Bit-identical to
+        [encode(v, scale) for v in values_batch]."""
+        ctx = self.context
+        if parms_id is None:
+            parms_id = ctx.first_parms_id
+        cd = ctx.get_context_data(parms_id)
+        if cd is None:
+            raise ValueError("parms_id is not valid for encryption parameters")
+        v = np.asarray(values_batch, dtype=np.complex128)
+        if v.ndim != 2:
+            raise ValueError("values_batch must be [B, m]")
+        B, k = v.shape
+        if k > self.slots:
+            raise ValueError("values_size is too large")
+        if scale <= 0 or (int(np.log2(scale)) + 1) >= \
+                cd.total_coeff_modulus_bit_count:
+            raise ValueError("scale out of bounds")
+        from seal_tpu.native import poly as native_poly
+
+        npoly = native_poly.for_context_data(cd)
+        if npoly is None or not hasattr(npoly.lib,
+                                        "sealtpu_reduce_signed_rows_many"):
+            return [self.encode(row, scale, parms_id) for row in v]
+
+        n = self.n
+        re = np.zeros((B, n), dtype=np.float64)
+        im = np.zeros((B, n), dtype=np.float64)
+        re[:, self._index_map[:k]] = v.real
+        im[:, self._index_map[:k]] = v.imag
+        re[:, self._index_map[self.slots: self.slots + k]] = v.real
+        im[:, self._index_map[self.slots: self.slots + k]] = -v.imag
+        fix = scale / float(n)
+        _, inv_roots = self._root_tables()
+        dwt.transform_from_rev_many(re, im, inv_roots, scalar=fix)
+
+        max_coeff = np.max(np.fabs(re), axis=1) if n else np.zeros(B)
+        max_bits = np.asarray([
+            int(math.ceil(math.log2(max(float(m), 1.0)))) + 1
+            for m in max_coeff])
+        if np.any(max_bits >= cd.total_coeff_modulus_bit_count):
+            raise ValueError("encoded values are too large")
+        if np.any(max_bits > 63):
+            # rare big-coefficient rows take the exact big-int path
+            return [self.encode(row, scale, parms_id) for row in v]
+
+        coeffd = dwt.round_half_away(re)
+        iv = np.ascontiguousarray(coeffd.astype(np.int64))
+        L = len(cd.key_moduli())
+        rows = npoly.reduce_signed_rows_many(iv, L)
+        npoly.ntt_forward_many(rows)
+        from seal_tpu.dtypes import _LazyHostData
+
+        plains = []
+        for b in range(B):
+            p = Plaintext()
+            p.rns_data = _LazyHostData(rows[b])
+            p.parms_id = tuple(parms_id)
+            p.scale = float(scale)
+            plains.append(p)
+        return plains
+
+    def decode_many(self, plains, complex_out: bool = False) -> np.ndarray:
+        """Decode B plaintexts (one common level and scale) -> [B, slots]
+        with ONE native crossing per kernel. Bit-identical to
+        [decode(p) for p in plains]; mixed levels/scales fall back to
+        sequential decode."""
+        plains = list(plains)
+        if not plains:
+            return np.empty((0, self.slots))
+        pid = tuple(plains[0].parms_id)
+        scale = plains[0].scale
+        uniform = all(
+            p.rns_data is not None and p.is_ntt_form
+            and tuple(p.parms_id) == pid and p.scale == scale
+            for p in plains)
+        cd = self.context.get_context_data(pid) if uniform else None
+        from seal_tpu.native import poly as native_poly
+
+        npoly = (native_poly.for_context_data(cd)
+                 if cd is not None else None)
+        if npoly is None or not hasattr(npoly.lib, "sealtpu_phase2_many"):
+            return np.stack(
+                [self.decode(p, complex_out) for p in plains])
+        B, n = len(plains), self.n
+        L = cd.coeff_modulus_size
+        rows = np.empty((B, L, n), dtype=np.uint64)
+        for b, p in enumerate(plains):
+            host = p.host_rns_u64()
+            rows[b] = (host if host is not None
+                       else np.ascontiguousarray(to_host(p.rns_data)))
+        npoly.ntt_inverse_many(rows)
+        composer = getattr(cd, "_crt_composer", None)
+        if composer is None:
+            from seal_tpu.native import CRTComposer
+
+            composer = CRTComposer(cd.rns_base)
+            cd._crt_composer = composer
+        vals = composer.decode_center_ref_many(rows, 1.0 / scale)
+        if vals is None:
+            return np.stack(
+                [self.decode(p, complex_out) for p in plains])
+        im = np.zeros((B, n), dtype=np.float64)
+        roots, _ = self._root_tables()
+        dwt.transform_to_rev_many(vals, im, roots)
+        sel = self._index_map[: self.slots]
+        if complex_out:
+            return vals[:, sel] + 1j * im[:, sel]
+        return vals[:, sel]
+
     # -- device paths (df64 FFT, VERDICT r1 item 4) ----------------------------------
 
     def _encode_fn(self, parms_id):

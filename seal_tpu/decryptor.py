@@ -340,6 +340,83 @@ class Decryptor:
             vals = (vals.astype(object) * fix % t).astype(np.uint64)
         return _trimmed_plain(vals)
 
+    # -- batch-amortized decryption (TPU-native API) -------------------------------
+
+    def decrypt_many(self, cts) -> list[Plaintext]:
+        """Decrypt B ciphertexts with ONE native crossing for the whole
+        batch (batch-amortized TPU-native API; decryptor.h has only the
+        scalar overload). Bit-identical to [decrypt(ct) for ct in cts].
+        Requires all ciphertexts at one level, size 2 (the common case);
+        anything else falls back to sequential decrypt calls."""
+        from seal_tpu.native import poly as native_poly
+
+        cts = list(cts)
+        if not cts:
+            return []
+        scheme = self.context.key_context_data().parms.scheme
+        pid = tuple(cts[0].parms_id)
+        uniform = all(
+            ct.size == 2 and tuple(ct.parms_id) == pid for ct in cts)
+        cd = self.context.get_context_data(pid) if uniform else None
+        npoly = (native_poly.for_context_data(cd)
+                 if cd is not None else None)
+        if (not uniform or npoly is None
+                or not hasattr(npoly.lib, "sealtpu_phase2_many")):
+            return [self.decrypt(ct) for ct in cts]
+        B = len(cts)
+        L = cd.coeff_modulus_size
+        n = cd.parms.poly_modulus_degree
+        stack = np.empty((B, 2, L, n), dtype=np.uint64)
+        for b, ct in enumerate(cts):
+            data = ct.host_u64()
+            if data is None:
+                data = to_host(ct.data)
+            stack[b] = data[:2, :L]
+        sk = self._powers_np(1, cd)[0]
+
+        if scheme == SchemeType.BFV:
+            for ct in cts:
+                if ct.is_ntt_form:
+                    raise ValueError("encrypted cannot be in NTT form")
+            ndt = native_poly.decrypt_tool_for(cd)
+            if ndt is None:
+                return [self.decrypt(ct) for ct in cts]
+            outs = ndt.bfv_decrypt_many(npoly, stack, sk)
+            return [_trimmed_plain(outs[b]) for b in range(B)]
+        if scheme == SchemeType.CKKS:
+            from seal_tpu.dtypes import _LazyHostData
+
+            for ct in cts:
+                if not ct.is_ntt_form:
+                    raise ValueError("encrypted must be in NTT form")
+            phases = npoly.phase2_many(stack, sk, True)
+            plains = []
+            for b, ct in enumerate(cts):
+                p = Plaintext()
+                p.rns_data = _LazyHostData(phases[b])
+                p.parms_id = pid
+                p.scale = ct.scale
+                plains.append(p)
+            return plains
+        if scheme == SchemeType.BGV:
+            for ct in cts:
+                if ct.is_ntt_form:
+                    raise ValueError("encrypted cannot be in NTT form")
+            ndt = native_poly.decrypt_tool_for(cd)
+            if ndt is None:
+                return [self.decrypt(ct) for ct in cts]
+            t = cd.parms.plain_modulus.value
+            phases = npoly.phase2_many(stack, sk, False)
+            plains = []
+            for b, ct in enumerate(cts):
+                vals = ndt.bgv_modt(phases[b])
+                if ct.correction_factor != 1:
+                    fix = numth.invert_uint_mod(ct.correction_factor, t)
+                    vals = (vals.astype(object) * fix % t).astype(np.uint64)
+                plains.append(_trimmed_plain(vals))
+            return plains
+        return [self.decrypt(ct) for ct in cts]
+
     # -- noise meter ---------------------------------------------------------------
 
     def invariant_noise_budget(self, ct: Ciphertext) -> int:

@@ -120,6 +120,85 @@ class BatchEncoder:
         p.data = to_host(out)[0]
         return p
 
+    def encode_many(self, values_batch) -> list[Plaintext]:
+        """Encode B slot vectors in ONE native crossing: values_batch is
+        [B, m] (m <= slot_count, integer ndarray or nested sequence) and the
+        result is B plaintexts, bit-identical to B encode() calls.
+
+        TPU-native batch-amortized API (no reference counterpart —
+        batchencoder.h has only the scalar overloads): the fixed per-call
+        Python/ctypes cost that dominates small-n encode is paid once per
+        batch instead of once per plaintext."""
+        t = self._t
+        v = values_batch
+        if not (isinstance(v, np.ndarray) and v.dtype.kind in "iu"):
+            v = np.asarray([list(row) for row in v], dtype=np.int64)
+        if v.ndim != 2:
+            raise ValueError("values_batch must be [B, m]")
+        if v.shape[1] > self.slots:
+            raise ValueError("values_matrix size is too large")
+        if v.dtype.kind == "u":
+            if v.size and int(v.max()) >= t:
+                raise ValueError("input value is larger than plain_modulus")
+            u = v.astype(np.uint64, copy=False)
+        else:
+            vmin = int(v.min()) if v.size else 0
+            vmax = int(v.max()) if v.size else 0
+            if vmax >= t or -vmin > (t - 1) // 2:
+                raise ValueError("input value is larger than plain_modulus")
+            u = (np.mod(v.astype(np.int64, copy=False), t).astype(np.uint64)
+                 if vmin < 0 else v.astype(np.uint64))
+        npoly = self._npoly
+        if not (npoly.available
+                and hasattr(npoly.lib, "sealtpu_batch_encode_many")):
+            return [self.encode(row) for row in u]
+        from seal_tpu.native.poly import _p, _pi64
+
+        u = np.ascontiguousarray(u, dtype=np.uint64)
+        B, m = u.shape
+        out_np = np.empty((B, self.slots), dtype=np.uint64)
+        tp = npoly._ptr0
+        npoly.lib.sealtpu_batch_encode_many(
+            _p(u), B, m, self.slots, _pi64(self._index_map), npoly.log_n,
+            tp["inv_op"], tp["inv_qt"], tp["inv_n_op"], tp["inv_n_qt"],
+            tp["last_op"], tp["last_qt"], tp["q"], _p(out_np))
+        plains = []
+        for b in range(B):
+            p = Plaintext()
+            p.data = out_np[b]
+            plains.append(p)
+        return plains
+
+    def decode_many(self, plains, signed: bool = False) -> np.ndarray:
+        """Decode B plaintexts in ONE native crossing -> [B, slot_count]
+        (uint64, or int64 when signed). Bit-identical to B decode() calls.
+        TPU-native batch-amortized API."""
+        npoly = self._npoly
+        if not (npoly.available
+                and hasattr(npoly.lib, "sealtpu_batch_decode_many")):
+            return np.stack([self.decode(p, signed) for p in plains])
+        B = len(plains)
+        data = np.zeros((B, self.slots), dtype=np.uint64)
+        for b, p in enumerate(plains):
+            if p.is_ntt_form:
+                raise ValueError("plain cannot be in NTT form")
+            d = p.data
+            data[b, : min(len(d), self.slots)] = d[: self.slots]
+        from seal_tpu.native.poly import _p, _pi64
+
+        values = np.empty((B, self.slots), dtype=np.uint64)
+        tp = npoly._ptr0
+        npoly.lib.sealtpu_batch_decode_many(
+            _p(data), B, self.slots, _pi64(self._index_map), npoly.log_n,
+            tp["fwd_op"], tp["fwd_qt"], tp["q"], _p(self._scratch),
+            _p(values))
+        if signed:
+            t = self._t
+            half = (t + 1) >> 1
+            return (values.astype(np.int64)
+                    - np.where(values >= half, t, 0).astype(np.int64))
+        return values
+
     def decode(self, plain: Plaintext, signed: bool = False):
         if plain.is_ntt_form:
             raise ValueError("plain cannot be in NTT form")

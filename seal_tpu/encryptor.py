@@ -343,6 +343,178 @@ class Encryptor:
             return ct
         raise ValueError("unsupported scheme")
 
+    # -- batch-amortized encryption (TPU-native API; one native crossing
+    #    per heavy kernel for the whole batch, bit-identical to sequential
+    #    encrypt calls — tests/test_batch_api.py) -------------------------
+
+    def _encrypt_zero_many_np(self, cd, B: int, asymmetric: bool,
+                              save_seed: bool):
+        """(c0s [B, L, N], c1s [B, L, N], seed_infos) or None when any leg
+        would need the JAX route (callers fall back to sequential)."""
+        from seal_tpu.native import poly as native_poly
+
+        ctx = self.context
+        scheme = cd.parms.scheme
+        is_ntt_form = scheme == SchemeType.CKKS
+        if asymmetric:
+            if self.public_key is None:
+                raise RuntimeError("public key is not set")
+            prev_cd = cd.prev_context_data
+            if prev_cd is None:
+                polys = rlwe.encrypt_zero_asymmetric_many_np(
+                    self.public_key, ctx, cd.parms_id, B, is_ntt_form)
+                return (None if polys is None
+                        else (polys[0], polys[1], [None] * B))
+            alpha = ctx.key_context_data().parms.special_modulus_size
+            hybrid_step = (alpha > 1 and tuple(prev_cd.parms_id)
+                           == tuple(ctx.key_parms_id))
+            if hybrid_step or scheme == SchemeType.BGV:
+                return None
+            polys = rlwe.encrypt_zero_asymmetric_many_np(
+                self.public_key, ctx, prev_cd.parms_id, B, is_ntt_form)
+            if polys is None:
+                return None
+            npoly = native_poly.for_context_data(prev_cd)
+            rescale = (npoly.rescale_ntt_many if is_ntt_form
+                       else npoly.rescale_coeff_many)
+            return rescale(polys[0]), rescale(polys[1]), [None] * B
+        if self.secret_key is None:
+            raise RuntimeError("secret key is not set")
+        r = rlwe.encrypt_zero_symmetric_many_np(
+            self.secret_key, ctx, cd.parms_id, B,
+            is_ntt_form=is_ntt_form, save_seed=save_seed)
+        if r is None:
+            return None
+        c0s, c1s, seed_infos = r
+        return c0s, c1s, (seed_infos if save_seed
+                          else [None] * B)
+
+    def _encrypt_internal_many(self, plains, asymmetric: bool,
+                               save_seed: bool = False) -> list[Ciphertext]:
+        import ctypes
+
+        from seal_tpu import native
+        from seal_tpu.dtypes import _LazyHostData
+        from seal_tpu.native import poly as native_poly
+
+        ctx = self.context
+        scheme = ctx.key_context_data().parms.scheme
+        B = len(plains)
+        if B == 0:
+            return []
+        lib = native.get_lib()
+        seq = None  # set when the batch path is unavailable
+
+        if scheme == SchemeType.BFV:
+            cd = ctx.first_context_data()
+            n = cd.parms.poly_modulus_degree
+            moduli = cd.key_moduli()
+            L = len(moduli)
+            m_pad = np.zeros((B, n), dtype=np.uint64)
+            for b, plain in enumerate(plains):   # validate BEFORE sampling
+                if plain.is_ntt_form:
+                    raise ValueError("plain cannot be in NTT form")
+                d = plain.data
+                m_pad[b, : min(len(d), n)] = d[:n]
+            fast = (None if lib is None
+                    or not hasattr(lib, "sealtpu_scaled_plain_add_many")
+                    else self._encrypt_zero_many_np(
+                        cd, B, asymmetric, save_seed))
+            if fast is None:
+                seq = plains
+            else:
+                c0s, c1s, seed_infos = fast
+                q_arr = np.asarray([int(q) for q in moduli], dtype=np.uint64)
+                d_arr = np.asarray(
+                    [int(d) for d in cd.coeff_div_plain_modulus],
+                    dtype=np.uint64)
+                p = ctypes.POINTER(ctypes.c_uint64)
+                lib.sealtpu_scaled_plain_add_many(
+                    m_pad.ctypes.data_as(p), B, L, n,
+                    q_arr.ctypes.data_as(p), d_arr.ctypes.data_as(p),
+                    int(cd.coeff_modulus_mod_plain_modulus),
+                    int(cd.plain_upper_half_threshold),
+                    int(cd.parms.plain_modulus.value),
+                    c0s.ctypes.data_as(p), L * n)
+                scales = [1.0] * B
+        elif scheme == SchemeType.CKKS:
+            pid = plains[0].parms_id
+            for plain in plains:
+                if not plain.is_ntt_form or plain.rns_data is None:
+                    raise ValueError("plain must be in NTT form")
+                if tuple(plain.parms_id) != tuple(pid):
+                    raise ValueError(
+                        "encrypt_many requires one common level")
+            cd = ctx.get_context_data(pid)
+            if cd is None:
+                raise ValueError(
+                    "plain is not valid for encryption parameters")
+            n = cd.parms.poly_modulus_degree
+            L = cd.coeff_modulus_size
+            hosts = [p.host_rns_u64() for p in plains]
+            fast = (None if any(h is None or h.shape[0] != L
+                                for h in hosts)
+                    else self._encrypt_zero_many_np(
+                        cd, B, asymmetric, save_seed))
+            if fast is None:
+                seq = plains
+            else:
+                c0s, c1s, seed_infos = fast
+                npoly = native_poly.for_context_data(cd)
+                rows = np.stack(hosts)
+                npoly.add_inplace_many(c0s, np.ascontiguousarray(rows))
+                scales = [p.scale for p in plains]
+        elif scheme == SchemeType.BGV:
+            cd = ctx.first_context_data()
+            n = cd.parms.poly_modulus_degree
+            moduli = cd.key_moduli()
+            L = len(moduli)
+            rows = np.zeros((B, L, n), dtype=np.uint64)
+            for b, plain in enumerate(plains):   # validate BEFORE sampling
+                if plain.is_ntt_form:
+                    raise ValueError("plain cannot be in NTT form")
+                d = plain.data
+                # coefficients < t < every q_j: the lift is a copy
+                rows[b, :, : min(len(d), n)] = d[None, :n]
+            fast = self._encrypt_zero_many_np(cd, B, asymmetric, save_seed)
+            if fast is None:
+                seq = plains
+            else:
+                c0s, c1s, seed_infos = fast
+                npoly = native_poly.for_context_data(cd)
+                npoly.add_inplace_many(c0s, rows)
+                scales = [1.0] * B
+        else:
+            raise ValueError("unsupported scheme")
+
+        if seq is not None:
+            return [self._encrypt_internal(p, asymmetric, save_seed)
+                    for p in seq]
+        polys = np.stack([c0s, c1s], axis=1)   # [B, 2, L, N] contiguous
+        is_ntt = scheme == SchemeType.CKKS
+        cts = []
+        for b in range(B):
+            ct = Ciphertext(
+                _LazyHostData(polys[b]), parms_id=tuple(cd.parms_id),
+                is_ntt_form=is_ntt, scale=scales[b], correction_factor=1,
+            )
+            if seed_infos[b] is not None:
+                ct.seed_info = seed_infos[b]
+            cts.append(ct)
+        return cts
+
+    def encrypt_many(self, plains) -> list[Ciphertext]:
+        """Encrypt B plaintexts with ONE native crossing per heavy kernel
+        (batch-amortized TPU-native API; encryptor.h has only scalar
+        overloads). Bit-identical to [encrypt(p) for p in plains]."""
+        return self._encrypt_internal_many(list(plains), asymmetric=True)
+
+    def encrypt_symmetric_many(self, plains,
+                               save_seed: bool = False) -> list[Ciphertext]:
+        """Symmetric twin of encrypt_many."""
+        return self._encrypt_internal_many(
+            list(plains), asymmetric=False, save_seed=save_seed)
+
     def encrypt(self, plain: Plaintext) -> Ciphertext:
         return self._encrypt_internal(plain, asymmetric=True)
 

@@ -220,6 +220,69 @@ def get_lib():
             ctypes.c_uint64, c_u64p, c_u64p, c_u64p, c_u64p,
         ]
         lib.sealtpu_build_ntt_tables.restype = None
+        # batched (_many) entry points — one crossing per batch (guarded:
+        # a stale prebuilt .so without them must not break the load)
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        try:
+            c_f64p = ctypes.POINTER(ctypes.c_double)
+            sz = ctypes.c_size_t
+            lib.sealtpu_ntt_forward_many.argtypes = [
+                c_u64p, sz, sz, sz, c_u64p, c_u64p, c_u64p, ctypes.c_int]
+            lib.sealtpu_ntt_forward_many.restype = None
+            lib.sealtpu_ntt_inverse_many.argtypes = [
+                c_u64p, sz, sz, sz, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p,
+                c_u64p, c_u64p, ctypes.c_int]
+            lib.sealtpu_ntt_inverse_many.restype = None
+            lib.sealtpu_keygen_c0_many.argtypes = [
+                c_u64p, c_u64p, c_u64p, c_u64p, sz, sz, sz, c_u64p, c_u64p,
+                c_u64p]
+            lib.sealtpu_keygen_c0_many.restype = None
+            lib.sealtpu_dyadic_mul_shared_many.argtypes = [
+                c_u64p, c_u64p, c_u64p, sz, sz, sz, c_u64p, c_u64p, c_u64p]
+            lib.sealtpu_dyadic_mul_shared_many.restype = None
+            lib.sealtpu_add_inplace_many.argtypes = [
+                c_u64p, c_u64p, sz, sz, sz, c_u64p]
+            lib.sealtpu_add_inplace_many.restype = None
+            lib.sealtpu_add_neg_inplace_many.argtypes = [
+                c_u64p, c_u64p, sz, sz, sz, c_u64p]
+            lib.sealtpu_add_neg_inplace_many.restype = None
+            lib.sealtpu_scaled_plain_add_many.argtypes = [
+                c_u64p, sz, sz, sz, c_u64p, c_u64p, ctypes.c_uint64,
+                ctypes.c_uint64, ctypes.c_uint64, c_u64p, sz]
+            lib.sealtpu_scaled_plain_add_many.restype = None
+            lib.sealtpu_batch_encode_many.argtypes = [
+                c_u64p, sz, sz, sz, c_i64p, sz, c_u64p, c_u64p, c_u64p, c_u64p,
+                c_u64p, c_u64p, c_u64p, c_u64p]
+            lib.sealtpu_batch_encode_many.restype = None
+            lib.sealtpu_batch_decode_many.argtypes = [
+                c_u64p, sz, sz, c_i64p, sz, c_u64p, c_u64p, c_u64p, c_u64p,
+                c_u64p]
+            lib.sealtpu_batch_decode_many.restype = None
+            lib.sealtpu_bfv_decrypt_plan_many.argtypes = [
+                ctypes.c_void_p, c_u64p, sz, c_u64p, c_u64p]
+            lib.sealtpu_bfv_decrypt_plan_many.restype = None
+            lib.sealtpu_phase2_many.argtypes = [
+                c_u64p, c_u64p, sz, sz, sz, sz, c_u64p, c_u64p, c_u64p, c_u64p,
+                c_u64p, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p,
+                ctypes.c_int, c_u64p]
+            lib.sealtpu_phase2_many.restype = None
+            lib.sealtpu_dwt_from_rev_many.argtypes = [
+                c_f64p, c_f64p, sz, sz, c_f64p, c_f64p, ctypes.c_int,
+                ctypes.c_double]
+            lib.sealtpu_dwt_from_rev_many.restype = None
+            lib.sealtpu_dwt_to_rev_many.argtypes = [
+                c_f64p, c_f64p, sz, sz, c_f64p, c_f64p, ctypes.c_int,
+                ctypes.c_double]
+            lib.sealtpu_dwt_to_rev_many.restype = None
+            lib.sealtpu_reduce_signed_rows_many.argtypes = [
+                c_i64p, sz, sz, sz, c_u64p, c_u64p, c_u64p]
+            lib.sealtpu_reduce_signed_rows_many.restype = None
+            lib.sealtpu_crt_decode_center_ref_many.argtypes = [
+                c_u64p, sz, sz, sz, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p, sz,
+                ctypes.c_double, c_f64p]
+            lib.sealtpu_crt_decode_center_ref_many.restype = None
+        except AttributeError:  # stale .so without _many
+            pass
         _lib = lib
         return _lib
 
@@ -321,6 +384,26 @@ class CRTComposer:
         out = np.empty(n, dtype=np.float64)
         get_lib().sealtpu_crt_decode_center_ref(
             self._ptr(rows), self.L, n, self._ptr(self.y_mul),
+            self._ptr(self.moduli), self._ptr(self.qhat), self._ptr(self.Q),
+            self._ptr(self.half), self.W, ctypes.c_double(inv_scale),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out
+
+    def decode_center_ref_many(self, rows, inv_scale: float):
+        """rows: np.uint64 [B, L, n] -> [B, n] reference-exact decode
+        doubles (one crossing; bit-identical to per-ct decode_center_ref),
+        or None if the native library is unavailable."""
+        import numpy as np
+
+        if not self.available or not hasattr(
+                get_lib(), "sealtpu_crt_decode_center_ref_many"):
+            return None
+        rows = np.ascontiguousarray(rows, dtype=np.uint64)
+        B, _, n = rows.shape
+        out = np.empty((B, n), dtype=np.float64)
+        get_lib().sealtpu_crt_decode_center_ref_many(
+            self._ptr(rows), B, self.L, n, self._ptr(self.y_mul),
             self._ptr(self.moduli), self._ptr(self.qhat), self._ptr(self.Q),
             self._ptr(self.half), self.W, ctypes.c_double(inv_scale),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),

@@ -200,6 +200,151 @@ class NativePolyOps:
             _p(x), L, self.n, _p(s_op), _p(s_qt), self._tp("q"))
         return x
 
+    # -- batched (_many) twins: [B, L_sub, n] stacks, one crossing ---------
+
+    def ntt_forward_many(self, x: np.ndarray, lazy: bool = False,
+                         row0: int = 0) -> np.ndarray:
+        """In-place forward NTT over [B, L_sub, n] (bit-identical to B
+        sequential ntt_forward calls)."""
+        B = x.shape[0]
+        L = self._rows(row0 + x.shape[1]) - row0
+        assert x.flags.c_contiguous and x.dtype == np.uint64
+        self.lib.sealtpu_ntt_forward_many(
+            _p(x), B, L, self.log_n, self._tp("fwd_op", row0),
+            self._tp("fwd_qt", row0), self._tp("q", row0), int(lazy))
+        return x
+
+    def ntt_inverse_many(self, x: np.ndarray, lazy: bool = False,
+                         row0: int = 0) -> np.ndarray:
+        B = x.shape[0]
+        L = self._rows(row0 + x.shape[1]) - row0
+        assert x.flags.c_contiguous and x.dtype == np.uint64
+        self.lib.sealtpu_ntt_inverse_many(
+            _p(x), B, L, self.log_n, self._tp("inv_op", row0),
+            self._tp("inv_qt", row0), self._tp("inv_n_op", row0),
+            self._tp("inv_n_qt", row0), self._tp("last_op", row0),
+            self._tp("last_qt", row0), self._tp("q", row0), int(lazy))
+        return x
+
+    def rescale_ntt_many(self, x: np.ndarray) -> np.ndarray:
+        """Batched rescale_ntt: [B, L, N] NTT -> [B, L-1, N], value-
+        identical to B sequential rescale_ntt calls (same kernels; the
+        numpy glue broadcasts over the batch axis)."""
+        B, L = x.shape[0], x.shape[1]
+        q = [int(v) for v in self.q[:L]]
+        last = np.ascontiguousarray(x[:, L - 1:])
+        self.ntt_inverse_many(last, row0=L - 1)
+        half = q[-1] >> 1
+        lastv = last[:, 0] + np.uint64(half)
+        lastv = np.where(lastv >= np.uint64(q[-1]),
+                         lastv - np.uint64(q[-1]), lastv)
+        keep_q = np.asarray(q[:-1], dtype=np.uint64)
+        temp = lastv[:, None, :] % keep_q[None, :, None]
+        half_mod = np.asarray([half % qi for qi in q[:-1]], dtype=np.uint64)
+        temp = np.ascontiguousarray(temp + (keep_q - half_mod)[None, :, None])
+        self.ntt_forward_many(temp, lazy=True)           # < 4q
+        diff = np.ascontiguousarray(
+            x[:, :L - 1] + (keep_q << np.uint64(2))[None, :, None] - temp)
+        _mul_scalar_rows(self.lib, diff.reshape(B * (L - 1), self.n),
+                         None, None, pairs=self._inv_last_pairs(L, B))
+        return diff
+
+    def _inv_last_pairs(self, L: int, B: int):
+        """Tiled Shoup pairs for q_last^{-1} mod q_i over B stacked polys
+        (the per-row Python big-int quotients cost ~10 us each; computed
+        once per (L, B) and cached)."""
+        from seal_tpu.utils import numth
+
+        cache = getattr(self, "_ilp_cache", None)
+        if cache is None:
+            cache = self._ilp_cache = {}
+        pairs = cache.get((L, B))
+        if pairs is None:
+            q = [int(v) for v in self.q[:L]]
+            inv = [numth.invert_uint_mod(q[-1], qi) for qi in q[:-1]]
+            s_op, s_qt, qa = _shoup_pairs(inv, q[:-1])
+            pairs = (np.tile(s_op, B), np.tile(s_qt, B), np.tile(qa, B))
+            cache[(L, B)] = pairs
+        return pairs
+
+    def rescale_coeff_many(self, x: np.ndarray) -> np.ndarray:
+        """Batched rescale_coeff: [B, L, N] coeff -> [B, L-1, N]."""
+        B, L = x.shape[0], x.shape[1]
+        q = [int(v) for v in self.q[:L]]
+        half = q[-1] >> 1
+        lastv = x[:, L - 1] + np.uint64(half)
+        lastv = np.where(lastv >= np.uint64(q[-1]),
+                         lastv - np.uint64(q[-1]), lastv)
+        keep_q = np.asarray(q[:-1], dtype=np.uint64)
+        temp = lastv[:, None, :] % keep_q[None, :, None]
+        half_mod = np.asarray([half % qi for qi in q[:-1]], dtype=np.uint64)
+        temp = (temp + (keep_q - half_mod)[None, :, None]) \
+            % keep_q[None, :, None]
+        diff = np.ascontiguousarray(
+            (x[:, :L - 1] + keep_q[None, :, None] - temp)
+            % keep_q[None, :, None])
+        _mul_scalar_rows(self.lib, diff.reshape(B * (L - 1), self.n),
+                         None, None, pairs=self._inv_last_pairs(L, B))
+        return diff
+
+    def keygen_c0_many(self, a: np.ndarray, s: np.ndarray, e: np.ndarray
+                       ) -> np.ndarray:
+        """out[b] = -(a[b]*s + e[b]) over [B, L_sub, n]; s is the shared
+        [L_sub, n] secret key."""
+        B, L = a.shape[0], self._rows(a.shape[1])
+        out = np.empty_like(a)
+        tp = self._ptr0
+        self.lib.sealtpu_keygen_c0_many(
+            _p(a), _p(s), _p(e), _p(out), B, L, self.n, tp["q"], tp["r0"],
+            tp["r1"])
+        return out
+
+    def dyadic_mul_shared_many(self, a: np.ndarray, s: np.ndarray
+                               ) -> np.ndarray:
+        """out[b] = a[b] * s over [B, L_sub, n]; s shared [L_sub, n]."""
+        B, L = a.shape[0], self._rows(a.shape[1])
+        out = np.empty_like(a)
+        tp = self._ptr0
+        self.lib.sealtpu_dyadic_mul_shared_many(
+            _p(a), _p(s), _p(out), B, L, self.n, tp["q"], tp["r0"],
+            tp["r1"])
+        return out
+
+    def add_inplace_many(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        B, L = a.shape[0], self._rows(a.shape[1])
+        self.lib.sealtpu_add_inplace_many(
+            _p(a), _p(b), B, L, self.n, self._ptr0["q"])
+        return a
+
+    def add_neg_inplace_many(self, a: np.ndarray, b: np.ndarray
+                             ) -> np.ndarray:
+        B, L = a.shape[0], self._rows(a.shape[1])
+        self.lib.sealtpu_add_neg_inplace_many(
+            _p(a), _p(b), B, L, self.n, self._ptr0["q"])
+        return a
+
+    def phase2_many(self, cts: np.ndarray, sk_ntt: np.ndarray,
+                    ntt_form: bool) -> np.ndarray:
+        """B fused size-2 decrypt phases: cts [B, 2, L, n] -> [B, L, n]."""
+        B, L = cts.shape[0], cts.shape[2]
+        out = np.empty((B, L, self.n), dtype=np.uint64)
+        tp = self._ptr0
+        self.lib.sealtpu_phase2_many(
+            _p(cts), _p(sk_ntt), B, L, self.n, self.log_n,
+            tp["fwd_op"], tp["fwd_qt"], tp["inv_op"], tp["inv_qt"],
+            tp["inv_n_op"], tp["inv_n_qt"], tp["last_op"], tp["last_qt"],
+            tp["q"], tp["r0"], tp["r1"], int(ntt_form), _p(out))
+        return out
+
+    def reduce_signed_rows_many(self, v: np.ndarray, L: int) -> np.ndarray:
+        """[B, n] int64 signed coefficients -> [B, L, n] RNS residues."""
+        B = v.shape[0]
+        out = np.empty((B, L, self.n), dtype=np.uint64)
+        self.lib.sealtpu_reduce_signed_rows_many(
+            _pi64(v), B, self.n, L, self._ptr0["q"], self._ptr0["r1"],
+            _p(out))
+        return out
+
     def absorb(self, c0: np.ndarray, key: np.ndarray, factors) -> np.ndarray:
         """In-place c0[l] += key[l] * factors[l] mod q (0-factor rows are
         no-ops) — the kswitch-key digit absorb."""
@@ -332,6 +477,21 @@ class NativeDecryptTool:
         dest = np.empty(self.n, dtype=np.uint64)
         self.lib.sealtpu_bfv_decrypt_plan(
             plan, _p(c0), _p(c1), _p(sk_ntt), _p(dest))
+        return dest
+
+    def bfv_decrypt_many(self, npoly: "NativePolyOps", cts: np.ndarray,
+                         sk_ntt: np.ndarray) -> np.ndarray:
+        """B whole size-2 BFV decrypts through the plan handle: cts is the
+        stacked [B, 2, L, n] u64 data, returns [B, n] plaintext
+        coefficients (bit-identical to B bfv_decrypt2 calls)."""
+        if getattr(self, "_plan", None) is None:
+            # build the plan via the single-ct entry (shares all constants)
+            self.bfv_decrypt2(npoly, np.ascontiguousarray(cts[0, 0]),
+                              np.ascontiguousarray(cts[0, 1]), sk_ntt)
+        B = cts.shape[0]
+        dest = np.empty((B, self.n), dtype=np.uint64)
+        self.lib.sealtpu_bfv_decrypt_plan_many(
+            self._plan, _p(cts), B, _p(sk_ntt), _p(dest))
         return dest
 
     def __del__(self):

@@ -768,4 +768,209 @@ void sealtpu_build_ntt_tables(size_t log_n, uint64_t q, uint64_t root,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Batched (_many) entry points: B polynomials/ciphertexts sharing one
+// tower's tables, ONE Python<->native crossing for the whole batch. These
+// amortize the fixed per-call interpreter/ctypes cost that dominates the
+// small-n host-API rows (BASELINE.md "Fair-measurement note"); each is a
+// thin outer loop over the exact single-call kernels above, so batch
+// results are bit-identical to B sequential calls.
+// ---------------------------------------------------------------------------
+
+void sealtpu_ntt_forward_many(uint64_t *x, size_t B, size_t L, size_t log_n,
+                              const uint64_t *w_op, const uint64_t *w_qt,
+                              const uint64_t *moduli, int lazy)
+{
+    const size_t stride = L << log_n;
+    for (size_t b = 0; b < B; b++)
+        sealtpu_ntt_forward(x + b * stride, L, log_n, w_op, w_qt, moduli,
+                            lazy);
+}
+
+void sealtpu_ntt_inverse_many(uint64_t *x, size_t B, size_t L, size_t log_n,
+                              const uint64_t *w_op, const uint64_t *w_qt,
+                              const uint64_t *inv_n_op,
+                              const uint64_t *inv_n_qt,
+                              const uint64_t *last_op,
+                              const uint64_t *last_qt,
+                              const uint64_t *moduli, int lazy)
+{
+    const size_t stride = L << log_n;
+    for (size_t b = 0; b < B; b++)
+        sealtpu_ntt_inverse(x + b * stride, L, log_n, w_op, w_qt, inv_n_op,
+                            inv_n_qt, last_op, last_qt, moduli, lazy);
+}
+
+// out[b] = -(a[b]*s + e[b]) with a SHARED second operand s [L, n] (the
+// secret key): the symmetric encrypt-zero c0 for B ciphertexts.
+void sealtpu_keygen_c0_many(const uint64_t *a, const uint64_t *s,
+                            const uint64_t *e, uint64_t *out, size_t B,
+                            size_t L, size_t n, const uint64_t *moduli,
+                            const uint64_t *r0s, const uint64_t *r1s)
+{
+    const size_t stride = L * n;
+    for (size_t b = 0; b < B; b++)
+        sealtpu_keygen_c0(a + b * stride, s, e + b * stride,
+                          out + b * stride, L, n, moduli, r0s, r1s);
+}
+
+// out[b] = a[b] * s mod q with a SHARED second operand s [L, n] (secret or
+// public key row).
+void sealtpu_dyadic_mul_shared_many(const uint64_t *a, const uint64_t *s,
+                                    uint64_t *out, size_t B, size_t L,
+                                    size_t n, const uint64_t *moduli,
+                                    const uint64_t *r0s, const uint64_t *r1s)
+{
+    const size_t stride = L * n;
+    for (size_t b = 0; b < B; b++)
+        sealtpu_dyadic_mul(a + b * stride, s, out + b * stride, L, n,
+                           moduli, r0s, r1s);
+}
+
+void sealtpu_add_inplace_many(uint64_t *a, const uint64_t *b_arr, size_t B,
+                              size_t L, size_t n, const uint64_t *moduli)
+{
+    const size_t stride = L * n;
+    for (size_t b = 0; b < B; b++)
+        sealtpu_add_inplace(a + b * stride, b_arr + b * stride, L, n,
+                            moduli);
+}
+
+void sealtpu_add_neg_inplace_many(uint64_t *a, const uint64_t *b_arr,
+                                  size_t B, size_t L, size_t n,
+                                  const uint64_t *moduli)
+{
+    const size_t stride = L * n;
+    for (size_t b = 0; b < B; b++)
+        sealtpu_add_neg_inplace(a + b * stride, b_arr + b * stride, L, n,
+                                moduli);
+}
+
+// c0[b] += Delta*m[b] + fix for B ciphertexts in one pass: the BFV plain
+// embed (sealtpu_scaled_plain) FUSED with the add into each ciphertext's
+// c0 rows. cts points at [B, size, L, n] stacked ciphertext data
+// (ct_stride = size*L*n u64s between consecutive c0's); m is [B, n]
+// zero-padded. Equivalent to scaled_plain + add_inplace per ciphertext.
+void sealtpu_scaled_plain_add_many(const uint64_t *m, size_t B, size_t L,
+                                   size_t n, const uint64_t *moduli,
+                                   const uint64_t *delta, uint64_t q_mod_t,
+                                   uint64_t half_t, uint64_t t,
+                                   uint64_t *cts, size_t ct_stride)
+{
+    for (size_t b = 0; b < B; b++) {
+        const uint64_t *mb = m + b * n;
+        uint64_t *c0 = cts + b * ct_stride;
+        for (size_t i = 0; i < n; i++) {
+            const uint64_t mi = mb[i];
+            if (!mi) continue;
+            const uint64_t fix = (uint64_t)(
+                ((unsigned __int128)q_mod_t * mi + half_t) / t);
+            for (size_t j = 0; j < L; j++) {
+                const uint64_t q = moduli[j];
+                const uint64_t sv = (uint64_t)(
+                    (((unsigned __int128)delta[j] * mi) + fix) % q);
+                uint64_t r = c0[j * n + i] + sv;
+                if (r >= q) r -= q;
+                c0[j * n + i] = r;
+            }
+        }
+    }
+}
+
+// B BatchEncoder encodes in one call: v is [B, count] residues mod t
+// (already validated), out is [B, n] coefficient-form plaintext data.
+void sealtpu_batch_encode_many(const uint64_t *v, size_t B, size_t count,
+                               size_t n, const int64_t *index_map,
+                               size_t log_n, const uint64_t *inv_op,
+                               const uint64_t *inv_qt,
+                               const uint64_t *inv_n_op,
+                               const uint64_t *inv_n_qt,
+                               const uint64_t *last_op,
+                               const uint64_t *last_qt,
+                               const uint64_t *t_mod, uint64_t *out)
+{
+    for (size_t b = 0; b < B; b++)
+        sealtpu_batch_encode(v + b * count, count, n, index_map, log_n,
+                             inv_op, inv_qt, inv_n_op, inv_n_qt, last_op,
+                             last_qt, t_mod, out + b * n);
+}
+
+// B BatchEncoder decodes: data is [B, n] zero-padded coefficient arrays,
+// out is [B, n] slot values.
+void sealtpu_batch_decode_many(const uint64_t *data, size_t B, size_t n,
+                               const int64_t *index_map, size_t log_n,
+                               const uint64_t *fwd_op, const uint64_t *fwd_qt,
+                               const uint64_t *t_mod, uint64_t *scratch,
+                               uint64_t *out)
+{
+    for (size_t b = 0; b < B; b++)
+        sealtpu_batch_decode(data + b * n, n, n, index_map, log_n, fwd_op,
+                             fwd_qt, t_mod, scratch, out + b * n);
+}
+
+// B whole size-2 BFV decrypts through one plan handle: cts is the stacked
+// [B, 2, L, n] ciphertext data, out is [B, n] plaintext coefficients.
+void sealtpu_bfv_decrypt_plan_many(void *plan, const uint64_t *cts,
+                                   size_t B, const uint64_t *sk_ntt,
+                                   uint64_t *out)
+{
+    const BfvDecryptPlan *p = static_cast<BfvDecryptPlan *>(plan);
+    const size_t poly = p->L * p->n;
+    for (size_t b = 0; b < B; b++)
+        sealtpu_bfv_decrypt_plan(plan, cts + b * 2 * poly,
+                                 cts + b * 2 * poly + poly, sk_ntt,
+                                 out + b * p->n);
+}
+
+// B fused size-2 decrypt phases (CKKS/BGV decrypt front): cts [B, 2, L, n],
+// out [B, L, n].
+void sealtpu_phase2_many(const uint64_t *cts, const uint64_t *sk_ntt,
+                         size_t B, size_t L, size_t n, size_t log_n,
+                         const uint64_t *fwd_op, const uint64_t *fwd_qt,
+                         const uint64_t *inv_op, const uint64_t *inv_qt,
+                         const uint64_t *inv_n_op, const uint64_t *inv_n_qt,
+                         const uint64_t *last_op, const uint64_t *last_qt,
+                         const uint64_t *moduli, const uint64_t *r0s,
+                         const uint64_t *r1s, int ntt_form, uint64_t *out)
+{
+    const size_t poly = L * n;
+    for (size_t b = 0; b < B; b++)
+        sealtpu_phase2(cts + b * 2 * poly, cts + b * 2 * poly + poly,
+                       sk_ntt, L, n, log_n, fwd_op, fwd_qt, inv_op, inv_qt,
+                       inv_n_op, inv_n_qt, last_op, last_qt, moduli, r0s,
+                       r1s, ntt_form, out + b * poly);
+}
+
+// B CKKS encoder butterfly passes over [B, n] doubles.
+void sealtpu_dwt_from_rev_many(double *re, double *im, size_t B,
+                               size_t log_n, const double *r_re,
+                               const double *r_im, int use_scalar,
+                               double scalar)
+{
+    const size_t n = (size_t)1 << log_n;
+    for (size_t b = 0; b < B; b++)
+        sealtpu_dwt_from_rev(re + b * n, im + b * n, log_n, r_re, r_im,
+                             use_scalar, scalar);
+}
+
+void sealtpu_dwt_to_rev_many(double *re, double *im, size_t B, size_t log_n,
+                             const double *r_re, const double *r_im,
+                             int use_scalar, double scalar)
+{
+    const size_t n = (size_t)1 << log_n;
+    for (size_t b = 0; b < B; b++)
+        sealtpu_dwt_to_rev(re + b * n, im + b * n, log_n, r_re, r_im,
+                           use_scalar, scalar);
+}
+
+// B signed-coefficient RNS decomposes: v [B, n] int64, out [B, L, n].
+void sealtpu_reduce_signed_rows_many(const int64_t *v, size_t B, size_t n,
+                                     size_t L, const uint64_t *q,
+                                     const uint64_t *r1s, uint64_t *out)
+{
+    for (size_t b = 0; b < B; b++)
+        sealtpu_reduce_signed_rows(v + b * n, n, L, q, r1s,
+                                   out + b * L * n);
+}
+
 }  // extern "C"

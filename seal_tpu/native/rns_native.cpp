@@ -209,4 +209,21 @@ void sealtpu_crt_compose_words(
     }
 }
 
+
+// B reference-exact CKKS decode reconstructions: rows [B, L, n] -> out
+// [B, n] doubles, one crossing for the whole batch (bit-identical to B
+// sequential sealtpu_crt_decode_center_ref calls).
+void sealtpu_crt_decode_center_ref_many(
+    const u64 *rows, size_t B, size_t L, size_t n,
+    const u64 *y_mul, const u64 *moduli,
+    const u64 *qhat, const u64 *Q, const u64 *half, size_t W,
+    double inv_scale, double *out)
+{
+    for (size_t b = 0; b < B; b++)
+        sealtpu_crt_decode_center_ref(rows + b * L * n, L, n, y_mul, moduli,
+                                      qhat, Q, half, W, inv_scale,
+                                      out + b * n);
+}
+
 } // extern "C"
+

@@ -412,6 +412,209 @@ def encrypt_zero_symmetric_parts_np(
     return c0, c1_out, seed_info
 
 
+def _tiled_pairs(scalars, moduli, B):
+    """Shoup pairs for L rows tiled B times (one big-int quotient per
+    UNIQUE row, not per batch row)."""
+    from seal_tpu.native.poly import _shoup_pairs
+
+    s_op, s_qt, q = _shoup_pairs(scalars, moduli)
+    return np.tile(s_op, B), np.tile(s_qt, B), np.tile(q, B)
+
+
+def _uniform_batch_from_seeds(seeds, prng_type, moduli, n) -> np.ndarray:
+    """B uniform polys [B, L, n], each ct from its own seeded PRNG —
+    byte-identical to B sequential sample_poly_uniform calls (bulk fill,
+    then per-element redraws in (prime, coeff) order per ct)."""
+    B, L = len(seeds), len(moduli)
+    factory = randomgen.UniformRandomGeneratorFactory(prng_type)
+    prngs = [factory.create(s) for s in seeds]
+    raw = np.empty((B, L, n), dtype=np.uint64)
+    for b, prng in enumerate(prngs):
+        raw[b] = np.frombuffer(
+            prng.generate(L * n * 8), dtype="<u8").reshape(L, n)
+    max_random = 0xFFFFFFFFFFFFFFFF
+    maxm = np.asarray([max_random - (max_random % q) - 1 for q in moduli],
+                      dtype=np.uint64)
+    bad = raw >= maxm[None, :, None]
+    if bad.any():
+        # row-major argwhere = per-ct (prime, coeff) ascending — the exact
+        # sequential redraw order (per-ct PRNGs are independent, so the
+        # cross-ct interleave does not matter)
+        for b, j, i in np.argwhere(bad):
+            v = int(raw[b, j, i])
+            mm = int(maxm[j])
+            while v >= mm:
+                v = int(np.frombuffer(prngs[b].generate(8), dtype="<u8")[0])
+            raw[b, j, i] = v
+    raw %= np.asarray(moduli, dtype=np.uint64)[None, :, None]
+    return raw
+
+
+def encrypt_zero_symmetric_many_np(
+    secret_key: SecretKey, context: SEALContext, parms_id, B: int,
+    is_ntt_form: bool = True, save_seed: bool = False,
+):
+    """B native encrypt_zero_symmetric calls in stacked numpy form:
+    (c0s [B, L, N], c1s [B, L, N], seed_infos) or None when the native
+    batch path is unavailable. Byte-identical to B sequential
+    encrypt_zero_symmetric_parts_np calls: each ciphertext gets its own
+    fresh bootstrap PRNG (matching _prng_for's per-call semantics) whose
+    seed and noise bytes are taken in one combined stream read, and the
+    heavy kernels run through ONE native crossing for the whole batch
+    (TPU-native batch-amortized host API; no reference counterpart)."""
+    from seal_tpu import native as _native
+    from seal_tpu.native import poly as native_poly
+
+    cd = context.get_context_data(parms_id)
+    npoly = native_poly.for_context_data(cd)
+    if npoly is None or not hasattr(npoly.lib, "sealtpu_keygen_c0_many"):
+        return None
+    parms = cd.parms
+    moduli = [int(m) for m in cd.key_moduli()]
+    n = parms.poly_modulus_degree
+    L = len(moduli)
+    bgv = parms.scheme == SchemeType.BGV
+    prng_type = context.key_context_data().parms.prng_type
+
+    SEED_B = randomgen.PRNG_SEED_BYTE_COUNT
+    seeds, seed_infos, noise_parts = [], [], []
+    for _ in range(B):
+        # fresh bootstrap PRNG per ct (sequential parity); ONE stream read
+        # covers its seed draw + CBD noise draw
+        buf = _prng_for(context).generate(SEED_B + 6 * n)
+        public_seed = tuple(
+            np.frombuffer(buf[:SEED_B], dtype="<u8").tolist())
+        seeds.append(public_seed)
+        seed_infos.append((int(prng_type), public_seed))
+        noise_parts.append(buf[SEED_B:])
+    noise_all = _native.cbd_from_bytes(b"".join(noise_parts), B * n, moduli)
+    if noise_all is None:
+        return None
+    noise = np.ascontiguousarray(
+        noise_all.reshape(L, B, n).transpose(1, 0, 2))
+
+    raw = _uniform_batch_from_seeds(seeds, prng_type, moduli, n)
+    if is_ntt_form:
+        c1_ntt = raw
+        c1_out = raw
+    elif save_seed:
+        c1_ntt = npoly.ntt_forward_many(raw.copy())
+        c1_out = raw
+    else:
+        c1_ntt = raw
+        c1_out = npoly.ntt_inverse_many(raw.copy())
+
+    sk = np.ascontiguousarray(sk_host_u64(secret_key)[:L])
+    if bgv:
+        t = parms.plain_modulus.value
+        t_scalars = [t % q for q in moduli]
+    if is_ntt_form:
+        npoly.ntt_forward_many(noise)
+        if bgv:
+            native_poly._mul_scalar_rows(
+                npoly.lib, noise.reshape(B * L, n), None, None,
+                pairs=_tiled_pairs(t_scalars, moduli, B))
+        c0 = npoly.keygen_c0_many(c1_ntt, sk, noise)
+    else:
+        c0 = npoly.dyadic_mul_shared_many(c1_ntt, sk)
+        npoly.ntt_inverse_many(c0)
+        if bgv:
+            native_poly._mul_scalar_rows(
+                npoly.lib, noise.reshape(B * L, n), None, None,
+                pairs=_tiled_pairs(t_scalars, moduli, B))
+        npoly.add_neg_inplace_many(c0, noise)
+    return c0, c1_out, seed_infos
+
+
+def encrypt_zero_asymmetric_many_np(
+    public_key: PublicKey, context: SEALContext, parms_id, B: int,
+    is_ntt_form: bool,
+):
+    """B native encrypt_zero_asymmetric calls in stacked form: list of
+    per-poly arrays [size][B, L, N], or None when unavailable. Byte-
+    identical to B sequential encrypt_zero_asymmetric_np calls (fresh
+    per-ct PRNG; u, e_0, e_1 drawn in order from one combined read)."""
+    from seal_tpu import native as _native
+    from seal_tpu.native import poly as native_poly
+
+    cd = context.get_context_data(parms_id)
+    npoly = native_poly.for_context_data(cd)
+    if npoly is None or not hasattr(npoly.lib, "sealtpu_keygen_c0_many"):
+        return None
+    parms = cd.parms
+    moduli = [int(m) for m in cd.key_moduli()]
+    n = parms.poly_modulus_degree
+    scheme = parms.scheme
+    size = public_key.data.size
+    if size != 2:
+        return None
+    L = len(moduli)
+
+    r_batch = np.empty((B, n), dtype=np.uint64)
+    noise_parts = []
+    for b in range(B):
+        prng = _prng_for(context)
+        # stream cursor over ONE prefetched read: a ternary rejection
+        # (zero 32-bit word, ~n/2^32 per ct) consumes the NEXT stream
+        # bytes — i.e. bytes prefetched for the noise — exactly like the
+        # sequential sampler would, keeping byte-for-byte parity
+        buf = prng.generate(4 * n + 6 * n * size)
+        pos = 4 * n
+        words = np.frombuffer(buf, dtype="<u4", count=n)
+        accepted = words[words != 0]
+        while len(accepted) < n:
+            need = 4 * (n - len(accepted))
+            if pos + need > len(buf):
+                buf += prng.generate(pos + need - len(buf))
+            extra = np.frombuffer(buf, dtype="<u4",
+                                  count=need // 4, offset=pos)
+            pos += need
+            accepted = np.concatenate([accepted, extra[extra != 0]])
+        r_batch[b] = ((accepted[:n].astype(np.uint64) * np.uint64(3))
+                      >> np.uint64(32))
+        need = 6 * n * size
+        if pos + need > len(buf):
+            buf += prng.generate(pos + need - len(buf))
+        noise_parts.append(buf[pos:pos + need])
+    # ternary lift per prime: r - 1 mod q (r = 0 -> q - 1)
+    u = np.empty((B, L, n), dtype=np.uint64)
+    for j, q in enumerate(moduli):
+        u[:, j] = np.where(r_batch == 0, np.uint64(q - 1),
+                           r_batch - np.uint64(1))
+    noise_all = _native.cbd_from_bytes(
+        b"".join(noise_parts), B * size * n, moduli)
+    if noise_all is None:
+        return None
+    # [L, B*size*n] -> [size, B, L, n] (ct-major within each poly index)
+    noise = np.ascontiguousarray(
+        noise_all.reshape(L, B, size, n).transpose(2, 1, 0, 3))
+
+    npoly.ntt_forward_many(u)
+    pk = pk_host_u64(public_key)
+    polys = []
+    for j in range(size):
+        cj = npoly.dyadic_mul_shared_many(
+            u, np.ascontiguousarray(pk[j, :L]))
+        if not is_ntt_form:
+            npoly.ntt_inverse_many(cj)
+        polys.append(cj)
+    if scheme == SchemeType.BGV:
+        t = parms.plain_modulus.value
+        t_scalars = [t % q for q in moduli]
+    for j in range(size):
+        e = np.ascontiguousarray(noise[j])
+        if scheme == SchemeType.BGV:
+            if is_ntt_form:
+                npoly.ntt_forward_many(e, lazy=True)
+            native_poly._mul_scalar_rows(
+                npoly.lib, e.reshape(B * L, n), None, None,
+                pairs=_tiled_pairs(t_scalars, moduli, B))
+        elif is_ntt_form:
+            npoly.ntt_forward_many(e)
+        npoly.add_inplace_many(polys[j], e)
+    return polys
+
+
 def encrypt_zero_asymmetric_np(
     public_key: PublicKey, context: SEALContext, parms_id, is_ntt_form: bool
 ) -> np.ndarray | None:
