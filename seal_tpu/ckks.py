@@ -286,17 +286,45 @@ class CKKSEncoder:
             return [self.encode(row, scale, parms_id) for row in v]
 
         n = self.n
-        re = np.zeros((B, n), dtype=np.float64)
-        im = np.zeros((B, n), dtype=np.float64)
-        re[:, self._index_map[:k]] = v.real
-        im[:, self._index_map[:k]] = v.imag
-        re[:, self._index_map[self.slots: self.slots + k]] = v.real
-        im[:, self._index_map[self.slots: self.slots + k]] = -v.imag
+        L = len(cd.key_moduli())
+        import ctypes
+
+        from seal_tpu.native.poly import _p, _pi64
+
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib = npoly.lib
+        fused = hasattr(lib, "sealtpu_ckks_scatter_many")
+        re = np.empty((B, n), dtype=np.float64)
+        im = np.empty((B, n), dtype=np.float64)
+        if fused:
+            # scatter + conjugate fill in ONE crossing (the numpy fancy
+            # scatter cost ~8 us/ct at n=1024 — more than the FFT)
+            vre = np.ascontiguousarray(v.real)
+            vim = np.ascontiguousarray(v.imag)
+            lib.sealtpu_ckks_scatter_many(
+                vre.ctypes.data_as(f64p), vim.ctypes.data_as(f64p), B, k,
+                self.slots, n, _pi64(self._index_map),
+                re.ctypes.data_as(f64p), im.ctypes.data_as(f64p))
+        else:
+            re[:] = 0.0
+            im[:] = 0.0
+            re[:, self._index_map[:k]] = v.real
+            im[:, self._index_map[:k]] = v.imag
+            re[:, self._index_map[self.slots: self.slots + k]] = v.real
+            im[:, self._index_map[self.slots: self.slots + k]] = -v.imag
         fix = scale / float(n)
         _, inv_roots = self._root_tables()
         dwt.transform_from_rev_many(re, im, inv_roots, scalar=fix)
 
-        max_coeff = np.max(np.fabs(re), axis=1) if n else np.zeros(B)
+        if fused:
+            rows = np.empty((B, L, n), dtype=np.uint64)
+            max_coeff = np.empty(B, dtype=np.float64)
+            lib.sealtpu_ckks_round_reduce_many(
+                re.ctypes.data_as(f64p), B, n, L, npoly._ptr0["q"],
+                npoly._ptr0["r1"], _p(rows),
+                max_coeff.ctypes.data_as(f64p))
+        else:
+            max_coeff = np.max(np.fabs(re), axis=1) if n else np.zeros(B)
         max_bits = np.asarray([
             int(math.ceil(math.log2(max(float(m), 1.0)))) + 1
             for m in max_coeff])
@@ -305,11 +333,10 @@ class CKKSEncoder:
         if np.any(max_bits > 63):
             # rare big-coefficient rows take the exact big-int path
             return [self.encode(row, scale, parms_id) for row in v]
-
-        coeffd = dwt.round_half_away(re)
-        iv = np.ascontiguousarray(coeffd.astype(np.int64))
-        L = len(cd.key_moduli())
-        rows = npoly.reduce_signed_rows_many(iv, L)
+        if not fused:
+            coeffd = dwt.round_half_away(re)
+            iv = np.ascontiguousarray(coeffd.astype(np.int64))
+            rows = npoly.reduce_signed_rows_many(iv, L)
         npoly.ntt_forward_many(rows)
         from seal_tpu.dtypes import _LazyHostData
 

@@ -330,7 +330,9 @@ class Decryptor:
         t = cd.parms.plain_modulus.value
         ndt = native_poly.decrypt_tool_for(cd)
         if ndt is not None:
-            vals = ndt.bgv_modt(self._phase_np(ct, cd))
+            phase = self._phase_np(ct, cd)
+            many = ndt.bgv_modt_many(phase[None])
+            vals = many[0] if many is not None else ndt.bgv_modt(phase)
         else:
             dot, v_q = self._phase_core(ct, "bgv")
             d, vq = to_host(dot)[0], to_host(v_q)[0]
@@ -407,9 +409,11 @@ class Decryptor:
                 return [self.decrypt(ct) for ct in cts]
             t = cd.parms.plain_modulus.value
             phases = npoly.phase2_many(stack, sk, False)
+            vals_all = ndt.bgv_modt_many(phases)
             plains = []
             for b, ct in enumerate(cts):
-                vals = ndt.bgv_modt(phases[b])
+                vals = (vals_all[b] if vals_all is not None
+                        else ndt.bgv_modt(phases[b]))
                 if ct.correction_factor != 1:
                     fix = numth.invert_uint_mod(ct.correction_factor, t)
                     vals = (vals.astype(object) * fix % t).astype(np.uint64)
@@ -507,8 +511,11 @@ class Decryptor:
 
 
 def _trimmed_plain(vals: np.ndarray) -> Plaintext:
-    nz = np.nonzero(vals)[0]
-    count = int(nz[-1]) + 1 if len(nz) else 1
-    p = Plaintext(count)
-    p.data[:] = vals[:count]
+    # last-nonzero via reversed argmax: no index-array allocation
+    # (np.nonzero built a full index vector — ~6 us/ct at n=1024, more
+    # than the decrypt tail after the r5 batch kernels)
+    nz = vals != 0
+    count = (len(vals) - int(np.argmax(nz[::-1]))) if nz.any() else 1
+    p = Plaintext()
+    p.data = np.ascontiguousarray(vals[:count])
     return p

@@ -281,6 +281,26 @@ def get_lib():
                 c_u64p, sz, sz, sz, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p, sz,
                 ctypes.c_double, c_f64p]
             lib.sealtpu_crt_decode_center_ref_many.restype = None
+            lib.sealtpu_ckks_scatter_many.argtypes = [
+            c_f64p, c_f64p, sz, sz, sz, sz, c_i64p, c_f64p, c_f64p]
+            lib.sealtpu_ckks_scatter_many.restype = None
+            lib.sealtpu_ckks_round_reduce_many.argtypes = [
+            c_f64p, sz, sz, sz, c_u64p, c_u64p, c_u64p, c_f64p]
+            lib.sealtpu_ckks_round_reduce_many.restype = None
+            lib.sealtpu_bgv_modt_many.argtypes = [
+                c_u64p, sz, sz, sz, c_u64p, c_u64p, c_u64p, c_u64p,
+                ctypes.c_uint64, c_u64p, c_u64p, c_u64p, c_u64p,
+                ctypes.c_uint64, c_u64p]
+            lib.sealtpu_bgv_modt_many.restype = None
+            lib.sealtpu_rescale_coeff_many.argtypes = [
+                c_u64p, sz, sz, sz, c_u64p, c_u64p, c_u64p, c_u64p,
+                c_u64p, c_u64p]
+            lib.sealtpu_rescale_coeff_many.restype = None
+            lib.sealtpu_rescale_ntt_many.argtypes = [
+                c_u64p, sz, sz, sz, c_u64p, c_u64p, c_u64p, c_u64p,
+                c_u64p, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p,
+                c_u64p, c_u64p, c_u64p, c_u64p]
+            lib.sealtpu_rescale_ntt_many.restype = None
         except AttributeError:  # stale .so without _many
             pass
         _lib = lib

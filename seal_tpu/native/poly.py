@@ -226,11 +226,43 @@ class NativePolyOps:
             self._tp("last_qt", row0), self._tp("q", row0), int(lazy))
         return x
 
+    def _rescale_consts(self, L: int):
+        """(half_mod, inv_op, inv_qt) u64 arrays for dividing by q[L-1]."""
+        from seal_tpu.utils import numth
+
+        cache = getattr(self, "_rsc_cache", None)
+        if cache is None:
+            cache = self._rsc_cache = {}
+        c = cache.get(L)
+        if c is None:
+            q = [int(v) for v in self.q[:L]]
+            half = q[-1] >> 1
+            inv = [numth.invert_uint_mod(q[-1], qi) for qi in q[:-1]]
+            c = (np.asarray([half % qi for qi in q[:-1]], dtype=np.uint64),
+                 np.asarray(inv, dtype=np.uint64),
+                 np.asarray([(v << 64) // qi for v, qi in zip(inv, q[:-1])],
+                            dtype=np.uint64))
+            cache[L] = c
+        return c
+
     def rescale_ntt_many(self, x: np.ndarray) -> np.ndarray:
         """Batched rescale_ntt: [B, L, N] NTT -> [B, L-1, N], value-
         identical to B sequential rescale_ntt calls (same kernels; the
         numpy glue broadcasts over the batch axis)."""
         B, L = x.shape[0], x.shape[1]
+        if hasattr(self.lib, "sealtpu_rescale_ntt_many"):
+            half_mod, inv_op, inv_qt = self._rescale_consts(L)
+            scratch = np.empty((B, self.n), dtype=np.uint64)
+            out = np.empty((B, L - 1, self.n), dtype=np.uint64)
+            x = np.ascontiguousarray(x)
+            tp = self._ptr0
+            self.lib.sealtpu_rescale_ntt_many(
+                _p(x), B, L, self.log_n, tp["inv_op"], tp["inv_qt"],
+                tp["inv_n_op"], tp["inv_n_qt"], tp["last_op"],
+                tp["last_qt"], tp["fwd_op"], tp["fwd_qt"], tp["q"],
+                tp["r1"], _p(half_mod), _p(inv_op), _p(inv_qt),
+                _p(scratch), _p(out))
+            return out
         q = [int(v) for v in self.q[:L]]
         last = np.ascontiguousarray(x[:, L - 1:])
         self.ntt_inverse_many(last, row0=L - 1)
@@ -270,6 +302,14 @@ class NativePolyOps:
     def rescale_coeff_many(self, x: np.ndarray) -> np.ndarray:
         """Batched rescale_coeff: [B, L, N] coeff -> [B, L-1, N]."""
         B, L = x.shape[0], x.shape[1]
+        if hasattr(self.lib, "sealtpu_rescale_coeff_many"):
+            half_mod, inv_op, inv_qt = self._rescale_consts(L)
+            out = np.empty((B, L - 1, self.n), dtype=np.uint64)
+            x = np.ascontiguousarray(x)
+            self.lib.sealtpu_rescale_coeff_many(
+                _p(x), B, L, self.n, self._ptr0["q"], self._ptr0["r1"],
+                _p(half_mod), _p(inv_op), _p(inv_qt), _p(out))
+            return out
         q = [int(v) for v in self.q[:L]]
         half = q[-1] >> 1
         lastv = x[:, L - 1] + np.uint64(half)
@@ -516,6 +556,23 @@ class NativeDecryptTool:
             _p(n_op), _p(n_qt), int(self.t), int(self.gamma),
             self._invg_op, self._invg_qt, _p(self._scratch), _p(dest))
         return dest
+
+    def bgv_modt_many(self, phases: np.ndarray) -> np.ndarray | None:
+        """B BGV decrypt tails in ONE crossing: phases [B, Li, n] (consumed
+        as scratch) -> [B, n] mod-t values, bit-identical to per-ct
+        bgv_modt calls."""
+        if not hasattr(self.lib, "sealtpu_bgv_modt_many"):
+            return None
+        B = phases.shape[0]
+        phases = np.ascontiguousarray(phases[:, :self.Li])
+        s_op, s_qt, q = self._invp_pairs
+        out = np.empty((B, self.n), dtype=np.uint64)
+        self.lib.sealtpu_bgv_modt_many(
+            _p(phases), B, self.Li, self.n, _p(s_op), _p(s_qt), _p(q),
+            _p(self.M_t), int(self.t), _p(self.t_r0), _p(self.t_r1),
+            _p(self.ratio_lo), _p(self.ratio_hi), int(self.q_mod_t),
+            _p(out))
+        return out
 
     def bgv_modt(self, phase: np.ndarray) -> np.ndarray:
         """[Lq, N] phase -> [N] mod t (exact conversion + v-correction)."""

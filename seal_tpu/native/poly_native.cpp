@@ -70,6 +70,586 @@ static inline uint64_t barrett64(uint64_t x, uint64_t q, uint64_t r1)
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// AVX-512 Harvey butterflies (8 u64 lanes). Same exact integer arithmetic
+// as the scalar path — mulhi via four vpmuludq 32x32 partial products,
+// low half via vpmullq, the lazy [0,2q) conditional subtract via vpminuq
+// (u >= 2q  <=>  u - 2q did not wrap) — so results are bit-identical; the
+// scalar loops below remain for the sub-vector gap tail and non-AVX512
+// builds. This is the host-side analogue of the reference's optional HEXL
+// AVX-512 NTT (CMakeLists.txt:216-221, util/ntt.cpp:395-458), which this
+// sandbox cannot build (network fetch); measured ~3x on the bulk stages.
+// ---------------------------------------------------------------------------
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#include <immintrin.h>
+#define SEALTPU_AVX512_NTT 1
+
+static inline __m512i mulhi64_v(__m512i x, __m512i y)
+{
+    const __m512i lo32 = _mm512_set1_epi64((long long)0xFFFFFFFFull);
+    const __m512i x1 = _mm512_srli_epi64(x, 32);
+    const __m512i y1 = _mm512_srli_epi64(y, 32);
+    const __m512i ll = _mm512_mul_epu32(x, y);
+    const __m512i hl = _mm512_mul_epu32(x1, y);
+    const __m512i lh = _mm512_mul_epu32(x, y1);
+    const __m512i hh = _mm512_mul_epu32(x1, y1);
+    const __m512i cross = _mm512_add_epi64(
+        _mm512_add_epi64(_mm512_srli_epi64(ll, 32),
+                         _mm512_and_si512(hl, lo32)),
+        _mm512_and_si512(lh, lo32));
+    return _mm512_add_epi64(
+        _mm512_add_epi64(hh, _mm512_srli_epi64(hl, 32)),
+        _mm512_add_epi64(_mm512_srli_epi64(lh, 32),
+                         _mm512_srli_epi64(cross, 32)));
+}
+
+// w*x - q*floor(x*wq / 2^64) mod 2^64  (result < 2q, Shoup lazy)
+static inline __m512i mul_shoup_lazy_v(__m512i x, __m512i w, __m512i wq,
+                                       __m512i q)
+{
+    const __m512i hi = mulhi64_v(x, wq);
+    return _mm512_sub_epi64(_mm512_mullo_epi64(x, w),
+                            _mm512_mullo_epi64(q, hi));
+}
+
+// u (< 4q) -> u mod-ish: subtract 2q when u >= 2q (stay lazy < 2q)
+static inline __m512i csub2q_v(__m512i u, __m512i two_q)
+{
+    return _mm512_min_epu64(u, _mm512_sub_epi64(u, two_q));
+}
+
+// full-reduce Shoup multiply (mul_shoup parity)
+static inline __m512i mul_shoup_v(__m512i x, __m512i w, __m512i wq,
+                                  __m512i q)
+{
+    const __m512i r = mul_shoup_lazy_v(x, w, wq, q);
+    return _mm512_min_epu64(r, _mm512_sub_epi64(r, q));
+}
+
+// barrett64 parity: x (any u64) -> canonical mod q
+static inline __m512i barrett64_v(__m512i x, __m512i q, __m512i r1)
+{
+    const __m512i tmp = mulhi64_v(x, r1);
+    const __m512i r = _mm512_sub_epi64(x, _mm512_mullo_epi64(tmp, q));
+    return _mm512_min_epu64(r, _mm512_sub_epi64(r, q));
+}
+
+// barrett128 parity ((xhi:xlo) mod q with r0/r1 = floor(2^128/q) words):
+// the same add/carry schedule as the scalar helper, lane-wise.
+static inline __m512i barrett128_v(__m512i xlo, __m512i xhi, __m512i q,
+                                   __m512i r0, __m512i r1)
+{
+    const __m512i one = _mm512_set1_epi64(1);
+    const __m512i carry = mulhi64_v(xlo, r0);
+    const __m512i tlo = _mm512_mullo_epi64(xlo, r1);
+    const __m512i thi = mulhi64_v(xlo, r1);
+    const __m512i tmp1 = _mm512_add_epi64(tlo, carry);
+    const __mmask8 c1 = _mm512_cmplt_epu64_mask(tmp1, tlo);
+    const __m512i tmp3 = _mm512_mask_add_epi64(thi, c1, thi, one);
+    const __m512i ulo = _mm512_mullo_epi64(xhi, r0);
+    const __m512i uhi = mulhi64_v(xhi, r0);
+    const __m512i tmp1b = _mm512_add_epi64(tmp1, ulo);
+    const __mmask8 c2 = _mm512_cmplt_epu64_mask(tmp1b, tmp1);
+    const __m512i carry2 = _mm512_mask_add_epi64(uhi, c2, uhi, one);
+    const __m512i quot = _mm512_add_epi64(
+        _mm512_add_epi64(_mm512_mullo_epi64(xhi, r1), tmp3), carry2);
+    const __m512i r = _mm512_sub_epi64(xlo, _mm512_mullo_epi64(quot, q));
+    return _mm512_min_epu64(r, _mm512_sub_epi64(r, q));
+}
+
+
+// ---------------------------------------------------------------------------
+// Batch-lane kernels: 8 polynomials in the 8 u64 lanes of one zmm vector.
+// The _many entry points transpose groups of 8 same-tower polys into a
+// column-major scratch ([n][8]), run the NTT/DWT with EVERY butterfly a
+// full 8-lane vector (roots broadcast once per block — no small-gap tail,
+// no per-j shuffle overhead), and transpose back. Bit-identical per lane
+// to the scalar kernels (exact integer ops; doubles use explicit
+// mul/add/sub — no FMA contraction, matching -ffp-contract=off).
+// This is the structural advantage of the batch-amortized host APIs over
+// a per-call C++ library: an 8-wide NTT the reference cannot express.
+// ---------------------------------------------------------------------------
+
+static inline void transpose8x8_u64(const __m512i r[8], __m512i o[8])
+{
+    const __m512i t0 = _mm512_unpacklo_epi64(r[0], r[1]);
+    const __m512i t1 = _mm512_unpackhi_epi64(r[0], r[1]);
+    const __m512i t2 = _mm512_unpacklo_epi64(r[2], r[3]);
+    const __m512i t3 = _mm512_unpackhi_epi64(r[2], r[3]);
+    const __m512i t4 = _mm512_unpacklo_epi64(r[4], r[5]);
+    const __m512i t5 = _mm512_unpackhi_epi64(r[4], r[5]);
+    const __m512i t6 = _mm512_unpacklo_epi64(r[6], r[7]);
+    const __m512i t7 = _mm512_unpackhi_epi64(r[6], r[7]);
+    const __m512i v0 = _mm512_shuffle_i64x2(t0, t2, 0x88);
+    const __m512i v1 = _mm512_shuffle_i64x2(t0, t2, 0xDD);
+    const __m512i v2 = _mm512_shuffle_i64x2(t1, t3, 0x88);
+    const __m512i v3 = _mm512_shuffle_i64x2(t1, t3, 0xDD);
+    const __m512i v4 = _mm512_shuffle_i64x2(t4, t6, 0x88);
+    const __m512i v5 = _mm512_shuffle_i64x2(t4, t6, 0xDD);
+    const __m512i v6 = _mm512_shuffle_i64x2(t5, t7, 0x88);
+    const __m512i v7 = _mm512_shuffle_i64x2(t5, t7, 0xDD);
+    o[0] = _mm512_shuffle_i64x2(v0, v4, 0x88);
+    o[4] = _mm512_shuffle_i64x2(v0, v4, 0xDD);
+    o[2] = _mm512_shuffle_i64x2(v1, v5, 0x88);
+    o[6] = _mm512_shuffle_i64x2(v1, v5, 0xDD);
+    o[1] = _mm512_shuffle_i64x2(v2, v6, 0x88);
+    o[5] = _mm512_shuffle_i64x2(v2, v6, 0xDD);
+    o[3] = _mm512_shuffle_i64x2(v3, v7, 0x88);
+    o[7] = _mm512_shuffle_i64x2(v3, v7, 0xDD);
+}
+
+// rows[k][i] (8 strided polys) -> cols[i*8 + k]
+static void lanes8_pack(uint64_t *const rows[8], size_t n, uint64_t *cols)
+{
+    __m512i r[8], o[8];
+    for (size_t i = 0; i < n; i += 8) {
+        for (int k = 0; k < 8; k++)
+            r[k] = _mm512_loadu_si512(rows[k] + i);
+        transpose8x8_u64(r, o);
+        for (int t = 0; t < 8; t++)
+            _mm512_storeu_si512(cols + (i + t) * 8, o[t]);
+    }
+}
+
+static void lanes8_unpack(const uint64_t *cols, size_t n,
+                          uint64_t *const rows[8])
+{
+    __m512i r[8], o[8];
+    for (size_t i = 0; i < n; i += 8) {
+        for (int t = 0; t < 8; t++)
+            r[t] = _mm512_loadu_si512(cols + (i + t) * 8);
+        transpose8x8_u64(r, o);
+        for (int k = 0; k < 8; k++)
+            _mm512_storeu_si512(rows[k] + i, o[k]);
+    }
+}
+
+// forward NTT over cols[n][8] (8 polys in lanes), one prime's tables
+static void ntt_fwd_lanes8(uint64_t *cols, size_t log_n, const uint64_t *op,
+                           const uint64_t *qt, uint64_t q, int lazy)
+{
+    const size_t n = (size_t)1 << log_n;
+    const __m512i qv = _mm512_set1_epi64((long long)q);
+    const __m512i tqv = _mm512_set1_epi64((long long)(2 * q));
+    for (size_t s = 0; s < log_n; s++) {
+        const size_t m = (size_t)1 << s;
+        const size_t gap = n >> (s + 1);
+        for (size_t j = 0; j < m; j++) {
+            const __m512i wv = _mm512_set1_epi64((long long)op[m + j]);
+            const __m512i wqv = _mm512_set1_epi64((long long)qt[m + j]);
+            uint64_t *p0 = cols + j * 2 * gap * 8;
+            uint64_t *p1 = p0 + gap * 8;
+            size_t i = 0;
+            for (; i + 2 <= gap; i += 2) {   // 2x unroll: two chains in flight
+                __m512i u0 = csub2q_v(_mm512_loadu_si512(p0 + i * 8), tqv);
+                __m512i u1 = csub2q_v(
+                    _mm512_loadu_si512(p0 + i * 8 + 8), tqv);
+                const __m512i x0 = _mm512_loadu_si512(p1 + i * 8);
+                const __m512i x1 = _mm512_loadu_si512(p1 + i * 8 + 8);
+                const __m512i t0 = mul_shoup_lazy_v(x0, wv, wqv, qv);
+                const __m512i t1 = mul_shoup_lazy_v(x1, wv, wqv, qv);
+                _mm512_storeu_si512(p0 + i * 8, _mm512_add_epi64(u0, t0));
+                _mm512_storeu_si512(p0 + i * 8 + 8,
+                                    _mm512_add_epi64(u1, t1));
+                _mm512_storeu_si512(
+                    p1 + i * 8,
+                    _mm512_sub_epi64(_mm512_add_epi64(u0, tqv), t0));
+                _mm512_storeu_si512(
+                    p1 + i * 8 + 8,
+                    _mm512_sub_epi64(_mm512_add_epi64(u1, tqv), t1));
+            }
+            for (; i < gap; i++) {
+                __m512i u = _mm512_loadu_si512(p0 + i * 8);
+                u = csub2q_v(u, tqv);
+                const __m512i xv = _mm512_loadu_si512(p1 + i * 8);
+                const __m512i t = mul_shoup_lazy_v(xv, wv, wqv, qv);
+                _mm512_storeu_si512(p0 + i * 8, _mm512_add_epi64(u, t));
+                _mm512_storeu_si512(
+                    p1 + i * 8,
+                    _mm512_sub_epi64(_mm512_add_epi64(u, tqv), t));
+            }
+        }
+    }
+    if (!lazy) {
+        for (size_t i = 0; i < n; i++) {
+            __m512i v = _mm512_loadu_si512(cols + i * 8);
+            v = _mm512_min_epu64(v, _mm512_sub_epi64(v, tqv));
+            v = _mm512_min_epu64(v, _mm512_sub_epi64(v, qv));
+            _mm512_storeu_si512(cols + i * 8, v);
+        }
+    }
+}
+
+static void ntt_inv_lanes8(uint64_t *cols, size_t log_n, const uint64_t *op,
+                           const uint64_t *qt, uint64_t in_op, uint64_t in_qt,
+                           uint64_t la_op, uint64_t la_qt, uint64_t q,
+                           int lazy)
+{
+    const size_t n = (size_t)1 << log_n;
+    const __m512i qv = _mm512_set1_epi64((long long)q);
+    const __m512i tqv = _mm512_set1_epi64((long long)(2 * q));
+    size_t offset = 1;
+    for (size_t s = log_n - 1; s >= 1; s--) {
+        const size_t m = (size_t)1 << s;
+        const size_t gap = n >> (s + 1);
+        for (size_t j = 0; j < m; j++) {
+            const __m512i wv = _mm512_set1_epi64((long long)op[offset + j]);
+            const __m512i wqv = _mm512_set1_epi64((long long)qt[offset + j]);
+            uint64_t *p0 = cols + j * 2 * gap * 8;
+            uint64_t *p1 = p0 + gap * 8;
+            for (size_t i = 0; i < gap; i++) {
+                const __m512i u = _mm512_loadu_si512(p0 + i * 8);
+                const __m512i v = _mm512_loadu_si512(p1 + i * 8);
+                _mm512_storeu_si512(
+                    p0 + i * 8, csub2q_v(_mm512_add_epi64(u, v), tqv));
+                const __m512i d = _mm512_sub_epi64(
+                    _mm512_add_epi64(u, tqv), v);
+                _mm512_storeu_si512(p1 + i * 8,
+                                    mul_shoup_lazy_v(d, wv, wqv, qv));
+            }
+        }
+        offset += m;
+    }
+    {
+        const size_t gap = n >> 1;
+        const __m512i inov = _mm512_set1_epi64((long long)in_op);
+        const __m512i inqv = _mm512_set1_epi64((long long)in_qt);
+        const __m512i laov = _mm512_set1_epi64((long long)la_op);
+        const __m512i laqv = _mm512_set1_epi64((long long)la_qt);
+        for (size_t i = 0; i < gap; i++) {
+            __m512i u = _mm512_loadu_si512(cols + i * 8);
+            u = csub2q_v(u, tqv);
+            const __m512i v = _mm512_loadu_si512(cols + (i + gap) * 8);
+            const __m512i s0 = csub2q_v(_mm512_add_epi64(u, v), tqv);
+            _mm512_storeu_si512(cols + i * 8,
+                                mul_shoup_lazy_v(s0, inov, inqv, qv));
+            const __m512i d = _mm512_sub_epi64(
+                _mm512_add_epi64(u, tqv), v);
+            _mm512_storeu_si512(cols + (i + gap) * 8,
+                                mul_shoup_lazy_v(d, laov, laqv, qv));
+        }
+    }
+    if (!lazy) {
+        for (size_t i = 0; i < n; i++) {
+            __m512i v = _mm512_loadu_si512(cols + i * 8);
+            v = _mm512_min_epu64(v, _mm512_sub_epi64(v, qv));
+            _mm512_storeu_si512(cols + i * 8, v);
+        }
+    }
+}
+
+// 32-bit-modulus batch-lane kernels (q < 2^30): every value fits 32 bits,
+// so the Shoup multiply is three single-uop vpmuludq (exact 32x32->64
+// products) with a 2^32-based quotient wq32 = wq64 >> 32 (exactly
+// floor(w*2^32/q)). Lazy intermediates differ from the 2^64-Shoup path by
+// a multiple of q, but every non-lazy output is canonical (< q) and
+// therefore bit-identical; _many entry points only select this kernel for
+// full-reduce calls. Range: t = w*x - q*floor(x*wq32/2^32) < 2q for
+// x < 4q when 4q < 2^32. This accelerates every BatchEncoder transform
+// (20-bit plain modulus) and the small-n coefficient towers.
+static inline __m512i mul_shoup_lazy32_v(__m512i x, __m512i w,
+                                         __m512i wq32, __m512i q)
+{
+    const __m512i hi = _mm512_srli_epi64(_mm512_mul_epu32(x, wq32), 32);
+    return _mm512_sub_epi64(_mm512_mul_epu32(w, x),
+                            _mm512_mul_epu32(q, hi));
+}
+
+static void ntt_fwd_lanes8_q32(uint64_t *cols, size_t log_n,
+                               const uint64_t *op, const uint64_t *qt,
+                               uint64_t q)
+{
+    const size_t n = (size_t)1 << log_n;
+    const __m512i qv = _mm512_set1_epi64((long long)q);
+    const __m512i tqv = _mm512_set1_epi64((long long)(2 * q));
+    for (size_t s = 0; s < log_n; s++) {
+        const size_t m = (size_t)1 << s;
+        const size_t gap = n >> (s + 1);
+        for (size_t j = 0; j < m; j++) {
+            const __m512i wv = _mm512_set1_epi64((long long)op[m + j]);
+            const __m512i wqv = _mm512_set1_epi64(
+                (long long)(qt[m + j] >> 32));
+            uint64_t *p0 = cols + j * 2 * gap * 8;
+            uint64_t *p1 = p0 + gap * 8;
+            size_t i = 0;
+            for (; i + 2 <= gap; i += 2) {
+                __m512i u0 = csub2q_v(_mm512_loadu_si512(p0 + i * 8), tqv);
+                __m512i u1 = csub2q_v(
+                    _mm512_loadu_si512(p0 + i * 8 + 8), tqv);
+                const __m512i x0 = _mm512_loadu_si512(p1 + i * 8);
+                const __m512i x1 = _mm512_loadu_si512(p1 + i * 8 + 8);
+                const __m512i t0 = mul_shoup_lazy32_v(x0, wv, wqv, qv);
+                const __m512i t1 = mul_shoup_lazy32_v(x1, wv, wqv, qv);
+                _mm512_storeu_si512(p0 + i * 8, _mm512_add_epi64(u0, t0));
+                _mm512_storeu_si512(p0 + i * 8 + 8,
+                                    _mm512_add_epi64(u1, t1));
+                _mm512_storeu_si512(
+                    p1 + i * 8,
+                    _mm512_sub_epi64(_mm512_add_epi64(u0, tqv), t0));
+                _mm512_storeu_si512(
+                    p1 + i * 8 + 8,
+                    _mm512_sub_epi64(_mm512_add_epi64(u1, tqv), t1));
+            }
+            for (; i < gap; i++) {
+                __m512i u = csub2q_v(_mm512_loadu_si512(p0 + i * 8), tqv);
+                const __m512i xv = _mm512_loadu_si512(p1 + i * 8);
+                const __m512i t = mul_shoup_lazy32_v(xv, wv, wqv, qv);
+                _mm512_storeu_si512(p0 + i * 8, _mm512_add_epi64(u, t));
+                _mm512_storeu_si512(
+                    p1 + i * 8,
+                    _mm512_sub_epi64(_mm512_add_epi64(u, tqv), t));
+            }
+        }
+    }
+    for (size_t i = 0; i < n; i++) {
+        __m512i v = _mm512_loadu_si512(cols + i * 8);
+        v = _mm512_min_epu64(v, _mm512_sub_epi64(v, tqv));
+        v = _mm512_min_epu64(v, _mm512_sub_epi64(v, qv));
+        _mm512_storeu_si512(cols + i * 8, v);
+    }
+}
+
+static void ntt_inv_lanes8_q32(uint64_t *cols, size_t log_n,
+                               const uint64_t *op, const uint64_t *qt,
+                               uint64_t in_op, uint64_t in_qt,
+                               uint64_t la_op, uint64_t la_qt, uint64_t q)
+{
+    const size_t n = (size_t)1 << log_n;
+    const __m512i qv = _mm512_set1_epi64((long long)q);
+    const __m512i tqv = _mm512_set1_epi64((long long)(2 * q));
+    size_t offset = 1;
+    for (size_t s = log_n - 1; s >= 1; s--) {
+        const size_t m = (size_t)1 << s;
+        const size_t gap = n >> (s + 1);
+        for (size_t j = 0; j < m; j++) {
+            const __m512i wv = _mm512_set1_epi64((long long)op[offset + j]);
+            const __m512i wqv = _mm512_set1_epi64(
+                (long long)(qt[offset + j] >> 32));
+            uint64_t *p0 = cols + j * 2 * gap * 8;
+            uint64_t *p1 = p0 + gap * 8;
+            size_t i = 0;
+            for (; i + 2 <= gap; i += 2) {
+                const __m512i u0 = _mm512_loadu_si512(p0 + i * 8);
+                const __m512i u1 = _mm512_loadu_si512(p0 + i * 8 + 8);
+                const __m512i v0 = _mm512_loadu_si512(p1 + i * 8);
+                const __m512i v1 = _mm512_loadu_si512(p1 + i * 8 + 8);
+                _mm512_storeu_si512(
+                    p0 + i * 8, csub2q_v(_mm512_add_epi64(u0, v0), tqv));
+                _mm512_storeu_si512(
+                    p0 + i * 8 + 8,
+                    csub2q_v(_mm512_add_epi64(u1, v1), tqv));
+                const __m512i d0 = _mm512_sub_epi64(
+                    _mm512_add_epi64(u0, tqv), v0);
+                const __m512i d1 = _mm512_sub_epi64(
+                    _mm512_add_epi64(u1, tqv), v1);
+                _mm512_storeu_si512(p1 + i * 8,
+                                    mul_shoup_lazy32_v(d0, wv, wqv, qv));
+                _mm512_storeu_si512(p1 + i * 8 + 8,
+                                    mul_shoup_lazy32_v(d1, wv, wqv, qv));
+            }
+            for (; i < gap; i++) {
+                const __m512i u = _mm512_loadu_si512(p0 + i * 8);
+                const __m512i v = _mm512_loadu_si512(p1 + i * 8);
+                _mm512_storeu_si512(
+                    p0 + i * 8, csub2q_v(_mm512_add_epi64(u, v), tqv));
+                const __m512i d = _mm512_sub_epi64(
+                    _mm512_add_epi64(u, tqv), v);
+                _mm512_storeu_si512(p1 + i * 8,
+                                    mul_shoup_lazy32_v(d, wv, wqv, qv));
+            }
+        }
+        offset += m;
+    }
+    {
+        const size_t gap = n >> 1;
+        const __m512i inov = _mm512_set1_epi64((long long)in_op);
+        const __m512i inqv = _mm512_set1_epi64((long long)(in_qt >> 32));
+        const __m512i laov = _mm512_set1_epi64((long long)la_op);
+        const __m512i laqv = _mm512_set1_epi64((long long)(la_qt >> 32));
+        for (size_t i = 0; i < gap; i++) {
+            __m512i u = csub2q_v(_mm512_loadu_si512(cols + i * 8), tqv);
+            const __m512i v = _mm512_loadu_si512(cols + (i + gap) * 8);
+            const __m512i s0 = csub2q_v(_mm512_add_epi64(u, v), tqv);
+            _mm512_storeu_si512(cols + i * 8,
+                                mul_shoup_lazy32_v(s0, inov, inqv, qv));
+            const __m512i d = _mm512_sub_epi64(
+                _mm512_add_epi64(u, tqv), v);
+            _mm512_storeu_si512(cols + (i + gap) * 8,
+                                mul_shoup_lazy32_v(d, laov, laqv, qv));
+        }
+    }
+    for (size_t i = 0; i < n; i++) {
+        __m512i v = _mm512_loadu_si512(cols + i * 8);
+        v = _mm512_min_epu64(v, _mm512_sub_epi64(v, qv));
+        _mm512_storeu_si512(cols + i * 8, v);
+    }
+}
+
+// Batch-lane complex-double DWT (CKKS encoder FFT): 8 ciphertexts in the
+// 8 double lanes; explicit mul/add/sub intrinsics (no FMA) keep each
+// lane's rounding identical to the scalar -ffp-contract=off build.
+static void dwt_from_rev_lanes8(double *re, double *im, size_t log_n,
+                                const double *r_re, const double *r_im,
+                                int use_scalar, double scalar)
+{
+    const size_t n = (size_t)1 << log_n;
+    size_t gap = 1, m = n >> 1, ridx = 1;
+    for (; m > 1; m >>= 1) {
+        size_t offset = 0;
+        for (size_t i = 0; i < m; i++) {
+            const __m512d wr = _mm512_set1_pd(r_re[ridx]);
+            const __m512d wi = _mm512_set1_pd(r_im[ridx]);
+            ridx++;
+            double *xr = re + offset * 8, *xi = im + offset * 8;
+            double *yr = xr + gap * 8, *yi = xi + gap * 8;
+            for (size_t j = 0; j < gap; j++) {
+                const __m512d ur = _mm512_loadu_pd(xr + j * 8);
+                const __m512d ui = _mm512_loadu_pd(xi + j * 8);
+                const __m512d vr = _mm512_loadu_pd(yr + j * 8);
+                const __m512d vi = _mm512_loadu_pd(yi + j * 8);
+                _mm512_storeu_pd(xr + j * 8, _mm512_add_pd(ur, vr));
+                _mm512_storeu_pd(xi + j * 8, _mm512_add_pd(ui, vi));
+                const __m512d sr = _mm512_sub_pd(ur, vr);
+                const __m512d si = _mm512_sub_pd(ui, vi);
+                _mm512_storeu_pd(
+                    yr + j * 8, _mm512_sub_pd(_mm512_mul_pd(sr, wr),
+                                              _mm512_mul_pd(si, wi)));
+                _mm512_storeu_pd(
+                    yi + j * 8, _mm512_add_pd(_mm512_mul_pd(sr, wi),
+                                              _mm512_mul_pd(si, wr)));
+            }
+            offset += gap << 1;
+        }
+        gap <<= 1;
+    }
+    const double wr0 = r_re[ridx], wi0 = r_im[ridx];
+    double *xr = re, *xi = im, *yr = re + gap * 8, *yi = im + gap * 8;
+    if (use_scalar) {
+        const __m512d sc = _mm512_set1_pd(scalar);
+        const __m512d swr = _mm512_set1_pd(wr0 * scalar);
+        const __m512d swi = _mm512_set1_pd(wi0 * scalar);
+        for (size_t j = 0; j < gap; j++) {
+            const __m512d ur = _mm512_loadu_pd(xr + j * 8);
+            const __m512d ui = _mm512_loadu_pd(xi + j * 8);
+            const __m512d vr = _mm512_loadu_pd(yr + j * 8);
+            const __m512d vi = _mm512_loadu_pd(yi + j * 8);
+            _mm512_storeu_pd(
+                xr + j * 8, _mm512_mul_pd(_mm512_add_pd(ur, vr), sc));
+            _mm512_storeu_pd(
+                xi + j * 8, _mm512_mul_pd(_mm512_add_pd(ui, vi), sc));
+            const __m512d sr = _mm512_sub_pd(ur, vr);
+            const __m512d si = _mm512_sub_pd(ui, vi);
+            _mm512_storeu_pd(
+                yr + j * 8, _mm512_sub_pd(_mm512_mul_pd(sr, swr),
+                                          _mm512_mul_pd(si, swi)));
+            _mm512_storeu_pd(
+                yi + j * 8, _mm512_add_pd(_mm512_mul_pd(sr, swi),
+                                          _mm512_mul_pd(si, swr)));
+        }
+    } else {
+        const __m512d wr = _mm512_set1_pd(wr0);
+        const __m512d wi = _mm512_set1_pd(wi0);
+        for (size_t j = 0; j < gap; j++) {
+            const __m512d ur = _mm512_loadu_pd(xr + j * 8);
+            const __m512d ui = _mm512_loadu_pd(xi + j * 8);
+            const __m512d vr = _mm512_loadu_pd(yr + j * 8);
+            const __m512d vi = _mm512_loadu_pd(yi + j * 8);
+            _mm512_storeu_pd(xr + j * 8, _mm512_add_pd(ur, vr));
+            _mm512_storeu_pd(xi + j * 8, _mm512_add_pd(ui, vi));
+            const __m512d sr = _mm512_sub_pd(ur, vr);
+            const __m512d si = _mm512_sub_pd(ui, vi);
+            _mm512_storeu_pd(
+                yr + j * 8, _mm512_sub_pd(_mm512_mul_pd(sr, wr),
+                                          _mm512_mul_pd(si, wi)));
+            _mm512_storeu_pd(
+                yi + j * 8, _mm512_add_pd(_mm512_mul_pd(sr, wi),
+                                          _mm512_mul_pd(si, wr)));
+        }
+    }
+}
+
+static void dwt_to_rev_lanes8(double *re, double *im, size_t log_n,
+                              const double *r_re, const double *r_im,
+                              int use_scalar, double scalar)
+{
+    const size_t n = (size_t)1 << log_n;
+    size_t gap = n >> 1, m = 1, ridx = 1;
+    for (; m < (n >> 1); m <<= 1) {
+        size_t offset = 0;
+        for (size_t i = 0; i < m; i++) {
+            const __m512d wr = _mm512_set1_pd(r_re[ridx]);
+            const __m512d wi = _mm512_set1_pd(r_im[ridx]);
+            ridx++;
+            double *xr = re + offset * 8, *xi = im + offset * 8;
+            double *yr = xr + gap * 8, *yi = xi + gap * 8;
+            for (size_t j = 0; j < gap; j++) {
+                const __m512d ur = _mm512_loadu_pd(xr + j * 8);
+                const __m512d ui = _mm512_loadu_pd(xi + j * 8);
+                const __m512d vr = _mm512_loadu_pd(yr + j * 8);
+                const __m512d vi = _mm512_loadu_pd(yi + j * 8);
+                const __m512d pr = _mm512_sub_pd(_mm512_mul_pd(vr, wr),
+                                                 _mm512_mul_pd(vi, wi));
+                const __m512d pi = _mm512_add_pd(_mm512_mul_pd(vr, wi),
+                                                 _mm512_mul_pd(vi, wr));
+                _mm512_storeu_pd(xr + j * 8, _mm512_add_pd(ur, pr));
+                _mm512_storeu_pd(xi + j * 8, _mm512_add_pd(ui, pi));
+                _mm512_storeu_pd(yr + j * 8, _mm512_sub_pd(ur, pr));
+                _mm512_storeu_pd(yi + j * 8, _mm512_sub_pd(ui, pi));
+            }
+            offset += gap << 1;
+        }
+        gap >>= 1;
+    }
+    for (size_t i = 0; i < m; i++) {
+        const double wr0 = r_re[ridx], wi0 = r_im[ridx];
+        ridx++;
+        double *xr = re + 2 * i * 8, *xi = im + 2 * i * 8;
+        __m512d ur = _mm512_loadu_pd(xr);
+        __m512d ui = _mm512_loadu_pd(xi);
+        const __m512d vr = _mm512_loadu_pd(xr + 8);
+        const __m512d vi = _mm512_loadu_pd(xi + 8);
+        __m512d pr, pi;
+        if (use_scalar) {
+            const __m512d sc = _mm512_set1_pd(scalar);
+            const __m512d swr = _mm512_set1_pd(wr0 * scalar);
+            const __m512d swi = _mm512_set1_pd(wi0 * scalar);
+            ur = _mm512_mul_pd(ur, sc);
+            ui = _mm512_mul_pd(ui, sc);
+            pr = _mm512_sub_pd(_mm512_mul_pd(vr, swr),
+                               _mm512_mul_pd(vi, swi));
+            pi = _mm512_add_pd(_mm512_mul_pd(vr, swi),
+                               _mm512_mul_pd(vi, swr));
+        } else {
+            const __m512d wr = _mm512_set1_pd(wr0);
+            const __m512d wi = _mm512_set1_pd(wi0);
+            pr = _mm512_sub_pd(_mm512_mul_pd(vr, wr),
+                               _mm512_mul_pd(vi, wi));
+            pi = _mm512_add_pd(_mm512_mul_pd(vr, wi),
+                               _mm512_mul_pd(vi, wr));
+        }
+        _mm512_storeu_pd(xr, _mm512_add_pd(ur, pr));
+        _mm512_storeu_pd(xi, _mm512_add_pd(ui, pi));
+        _mm512_storeu_pd(xr + 8, _mm512_sub_pd(ur, pr));
+        _mm512_storeu_pd(xi + 8, _mm512_sub_pd(ui, pi));
+    }
+}
+
+// scratch for the column-major lanes ([n][8] u64 / doubles x2)
+static __thread uint64_t *g_lanes_buf = nullptr;
+static __thread size_t g_lanes_cap = 0;
+
+static uint64_t *lanes_scratch(size_t words)
+{
+    if (g_lanes_cap < words) {
+        delete[] g_lanes_buf;
+        g_lanes_buf = new uint64_t[words];
+        g_lanes_cap = words;
+    }
+    return g_lanes_buf;
+}
+
+#endif
+
 extern "C" {
 
 // Forward negacyclic NTT over [L, n] u64 coefficients, in place.
@@ -226,7 +806,70 @@ void sealtpu_bfv_decrypt_tail(
     }
     const uint64_t half_g = gamma >> 1;
     const uint64_t *Mt = M, *Mg = M + Li;
-    for (size_t i = 0; i < n; i++) {
+    size_t i0 = 0;
+#ifdef SEALTPU_AVX512_NTT
+    {
+        // vectorized {t, gamma} correction — 8 coefficients per iteration
+        // with the exact scalar schedule per lane (the scalar loop below
+        // was ~60% of the whole small-n BFV decrypt)
+        const __m512i one = _mm512_set1_epi64(1);
+        const __m512i tv_q = _mm512_set1_epi64((long long)tg[0]);
+        const __m512i tv_r0 = _mm512_set1_epi64((long long)tg_r0[0]);
+        const __m512i tv_r1 = _mm512_set1_epi64((long long)tg_r1[0]);
+        const __m512i gv_q = _mm512_set1_epi64((long long)tg[1]);
+        const __m512i gv_r0 = _mm512_set1_epi64((long long)tg_r0[1]);
+        const __m512i gv_r1 = _mm512_set1_epi64((long long)tg_r1[1]);
+        const __m512i n0_op = _mm512_set1_epi64((long long)neg_op[0]);
+        const __m512i n0_qt = _mm512_set1_epi64((long long)neg_qt[0]);
+        const __m512i n1_op = _mm512_set1_epi64((long long)neg_op[1]);
+        const __m512i n1_qt = _mm512_set1_epi64((long long)neg_qt[1]);
+        const __m512i tv_t = _mm512_set1_epi64((long long)t);
+        const __m512i gv_g = _mm512_set1_epi64((long long)gamma);
+        const __m512i hg = _mm512_set1_epi64((long long)half_g);
+        const __m512i ig_op = _mm512_set1_epi64((long long)inv_g_op);
+        const __m512i ig_qt = _mm512_set1_epi64((long long)inv_g_qt);
+        for (; i0 + 8 <= n; i0 += 8) {
+            __m512i at_lo = _mm512_setzero_si512();
+            __m512i at_hi = _mm512_setzero_si512();
+            __m512i ag_lo = _mm512_setzero_si512();
+            __m512i ag_hi = _mm512_setzero_si512();
+            for (size_t j = 0; j < Li; j++) {
+                const __m512i x = _mm512_loadu_si512(scratch + j * n + i0);
+                const __m512i mt = _mm512_set1_epi64((long long)Mt[j]);
+                const __m512i mg = _mm512_set1_epi64((long long)Mg[j]);
+                __m512i plo = _mm512_mullo_epi64(x, mt);
+                __m512i phi = mulhi64_v(x, mt);
+                at_lo = _mm512_add_epi64(at_lo, plo);
+                at_hi = _mm512_add_epi64(
+                    at_hi, _mm512_mask_add_epi64(
+                        phi, _mm512_cmplt_epu64_mask(at_lo, plo), phi,
+                        one));
+                plo = _mm512_mullo_epi64(x, mg);
+                phi = mulhi64_v(x, mg);
+                ag_lo = _mm512_add_epi64(ag_lo, plo);
+                ag_hi = _mm512_add_epi64(
+                    ag_hi, _mm512_mask_add_epi64(
+                        phi, _mm512_cmplt_epu64_mask(ag_lo, plo), phi,
+                        one));
+            }
+            __m512i tv = barrett128_v(at_lo, at_hi, tv_q, tv_r0, tv_r1);
+            __m512i gv = barrett128_v(ag_lo, ag_hi, gv_q, gv_r0, gv_r1);
+            tv = mul_shoup_v(tv, n0_op, n0_qt, tv_t);
+            gv = mul_shoup_v(gv, n1_op, n1_qt, gv_g);
+            const __mmask8 hi_half = _mm512_cmpgt_epu64_mask(gv, hg);
+            const __m512i d_hi = _mm512_add_epi64(
+                tv, barrett64_v(_mm512_sub_epi64(gv_g, gv), tv_t, tv_r1));
+            const __m512i d_lo = _mm512_add_epi64(
+                tv, _mm512_sub_epi64(tv_t,
+                                     barrett64_v(gv, tv_t, tv_r1)));
+            __m512i d = _mm512_mask_blend_epi64(hi_half, d_lo, d_hi);
+            d = _mm512_min_epu64(d, _mm512_sub_epi64(d, tv_t));
+            _mm512_storeu_si512(out + i0,
+                                mul_shoup_v(d, ig_op, ig_qt, tv_t));
+        }
+    }
+#endif
+    for (size_t i = i0; i < n; i++) {
         unsigned __int128 at = 0, ag = 0;
         for (size_t j = 0; j < Li; j++) {
             at += (unsigned __int128)scratch[j * n + i] * Mt[j];
@@ -781,7 +1424,35 @@ void sealtpu_ntt_forward_many(uint64_t *x, size_t B, size_t L, size_t log_n,
                               const uint64_t *w_op, const uint64_t *w_qt,
                               const uint64_t *moduli, int lazy)
 {
+    const size_t n = (size_t)1 << log_n;
     const size_t stride = L << log_n;
+#ifdef SEALTPU_AVX512_NTT
+    if (log_n >= 3) {
+        // groups of 8 same-prime rows ride the batch-lane kernel
+        uint64_t *cols = lanes_scratch(n * 8);
+        for (size_t l = 0; l < L; l++) {
+            size_t b = 0;
+            for (; b + 8 <= B; b += 8) {
+                uint64_t *rows[8];
+                for (int k = 0; k < 8; k++)
+                    rows[k] = x + (b + k) * stride + l * n;
+                lanes8_pack(rows, n, cols);
+                if (!lazy && moduli[l] < ((uint64_t)1 << 30))
+                    ntt_fwd_lanes8_q32(cols, log_n, w_op + l * n,
+                                       w_qt + l * n, moduli[l]);
+                else
+                    ntt_fwd_lanes8(cols, log_n, w_op + l * n, w_qt + l * n,
+                                   moduli[l], lazy);
+                lanes8_unpack(cols, n, rows);
+            }
+            for (; b < B; b++)
+                sealtpu_ntt_forward(x + b * stride + l * n, 1, log_n,
+                                    w_op + l * n, w_qt + l * n,
+                                    moduli + l, lazy);
+        }
+        return;
+    }
+#endif
     for (size_t b = 0; b < B; b++)
         sealtpu_ntt_forward(x + b * stride, L, log_n, w_op, w_qt, moduli,
                             lazy);
@@ -795,7 +1466,39 @@ void sealtpu_ntt_inverse_many(uint64_t *x, size_t B, size_t L, size_t log_n,
                               const uint64_t *last_qt,
                               const uint64_t *moduli, int lazy)
 {
+    const size_t n = (size_t)1 << log_n;
     const size_t stride = L << log_n;
+#ifdef SEALTPU_AVX512_NTT
+    if (log_n >= 3) {
+        uint64_t *cols = lanes_scratch(n * 8);
+        for (size_t l = 0; l < L; l++) {
+            size_t b = 0;
+            for (; b + 8 <= B; b += 8) {
+                uint64_t *rows[8];
+                for (int k = 0; k < 8; k++)
+                    rows[k] = x + (b + k) * stride + l * n;
+                lanes8_pack(rows, n, cols);
+                if (!lazy && moduli[l] < ((uint64_t)1 << 30))
+                    ntt_inv_lanes8_q32(cols, log_n, w_op + l * n,
+                                       w_qt + l * n, inv_n_op[l],
+                                       inv_n_qt[l], last_op[l],
+                                       last_qt[l], moduli[l]);
+                else
+                    ntt_inv_lanes8(cols, log_n, w_op + l * n, w_qt + l * n,
+                                   inv_n_op[l], inv_n_qt[l], last_op[l],
+                                   last_qt[l], moduli[l], lazy);
+                lanes8_unpack(cols, n, rows);
+            }
+            for (; b < B; b++)
+                sealtpu_ntt_inverse(x + b * stride + l * n, 1, log_n,
+                                    w_op + l * n, w_qt + l * n,
+                                    inv_n_op + l, inv_n_qt + l,
+                                    last_op + l, last_qt + l,
+                                    moduli + l, lazy);
+        }
+        return;
+    }
+#endif
     for (size_t b = 0; b < B; b++)
         sealtpu_ntt_inverse(x + b * stride, L, log_n, w_op, w_qt, inv_n_op,
                             inv_n_qt, last_op, last_qt, moduli, lazy);
@@ -889,10 +1592,16 @@ void sealtpu_batch_encode_many(const uint64_t *v, size_t B, size_t count,
                                const uint64_t *last_qt,
                                const uint64_t *t_mod, uint64_t *out)
 {
-    for (size_t b = 0; b < B; b++)
-        sealtpu_batch_encode(v + b * count, count, n, index_map, log_n,
-                             inv_op, inv_qt, inv_n_op, inv_n_qt, last_op,
-                             last_qt, t_mod, out + b * n);
+    for (size_t b = 0; b < B; b++) {
+        uint64_t *ob = out + b * n;
+        std::memset(ob, 0, n * sizeof(uint64_t));
+        const uint64_t *vb = v + b * count;
+        for (size_t i = 0; i < count; i++) ob[index_map[i]] = vb[i];
+    }
+    // batch-lane INTT mod t across the whole batch (q32 kernel for the
+    // typical <= 29-bit plain modulus)
+    sealtpu_ntt_inverse_many(out, B, 1, log_n, inv_op, inv_qt, inv_n_op,
+                             inv_n_qt, last_op, last_qt, t_mod, 0);
 }
 
 // B BatchEncoder decodes: data is [B, n] zero-padded coefficient arrays,
@@ -903,23 +1612,46 @@ void sealtpu_batch_decode_many(const uint64_t *data, size_t B, size_t n,
                                const uint64_t *t_mod, uint64_t *scratch,
                                uint64_t *out)
 {
-    for (size_t b = 0; b < B; b++)
-        sealtpu_batch_decode(data + b * n, n, n, index_map, log_n, fwd_op,
-                             fwd_qt, t_mod, scratch, out + b * n);
+    std::memcpy(out, data, B * n * sizeof(uint64_t));
+    sealtpu_ntt_forward_many(out, B, 1, log_n, fwd_op, fwd_qt, t_mod, 0);
+    for (size_t b = 0; b < B; b++) {
+        uint64_t *ob = out + b * n;
+        std::memcpy(scratch, ob, n * sizeof(uint64_t));
+        for (size_t i = 0; i < n; i++) ob[i] = scratch[index_map[i]];
+    }
 }
 
 // B whole size-2 BFV decrypts through one plan handle: cts is the stacked
 // [B, 2, L, n] ciphertext data, out is [B, n] plaintext coefficients.
+// The phase runs through the batch-lane NTT kernels (phase2_many), the
+// {t, gamma} tail per ciphertext.
+void sealtpu_phase2_many(const uint64_t *cts, const uint64_t *sk_ntt,
+                         size_t B, size_t L, size_t n, size_t log_n,
+                         const uint64_t *fwd_op, const uint64_t *fwd_qt,
+                         const uint64_t *inv_op, const uint64_t *inv_qt,
+                         const uint64_t *inv_n_op, const uint64_t *inv_n_qt,
+                         const uint64_t *last_op, const uint64_t *last_qt,
+                         const uint64_t *moduli, const uint64_t *r0s,
+                         const uint64_t *r1s, int ntt_form, uint64_t *out);
+
 void sealtpu_bfv_decrypt_plan_many(void *plan, const uint64_t *cts,
                                    size_t B, const uint64_t *sk_ntt,
                                    uint64_t *out)
 {
     const BfvDecryptPlan *p = static_cast<BfvDecryptPlan *>(plan);
     const size_t poly = p->L * p->n;
+    uint64_t *phases = new uint64_t[B * poly];
+    sealtpu_phase2_many(cts, sk_ntt, B, p->L, p->n, p->log_n, p->fwd_op,
+                        p->fwd_qt, p->inv_op, p->inv_qt, p->inv_n_op,
+                        p->inv_n_qt, p->last_op, p->last_qt, p->moduli,
+                        p->r0s, p->r1s, 0, phases);
     for (size_t b = 0; b < B; b++)
-        sealtpu_bfv_decrypt_plan(plan, cts + b * 2 * poly,
-                                 cts + b * 2 * poly + poly, sk_ntt,
-                                 out + b * p->n);
+        sealtpu_bfv_decrypt_tail(phases + b * poly, p->L, p->n, p->s_op,
+                                 p->s_qt, p->moduli, p->M, p->tg, p->tg_r0,
+                                 p->tg_r1, p->neg_op, p->neg_qt, p->t,
+                                 p->gamma, p->inv_g_op, p->inv_g_qt,
+                                 p->tail_scratch, out + b * p->n);
+    delete[] phases;
 }
 
 // B fused size-2 decrypt phases (CKKS/BGV decrypt front): cts [B, 2, L, n],
@@ -935,20 +1667,80 @@ void sealtpu_phase2_many(const uint64_t *cts, const uint64_t *sk_ntt,
 {
     const size_t poly = L * n;
     for (size_t b = 0; b < B; b++)
-        sealtpu_phase2(cts + b * 2 * poly, cts + b * 2 * poly + poly,
-                       sk_ntt, L, n, log_n, fwd_op, fwd_qt, inv_op, inv_qt,
-                       inv_n_op, inv_n_qt, last_op, last_qt, moduli, r0s,
-                       r1s, ntt_form, out + b * poly);
+        std::memcpy(out + b * poly, cts + b * 2 * poly + poly,
+                    poly * sizeof(uint64_t));
+    if (!ntt_form)
+        // non-lazy (vs the scalar path's lazy=1): the canonical values
+        // feed barrett128 below, whose full reduction of the exact
+        // product makes the dyadic output identical either way — this
+        // frees the q32 batch-lane kernel for small moduli
+        sealtpu_ntt_forward_many(out, B, L, log_n, fwd_op, fwd_qt, moduli,
+                                 0);
+    for (size_t b = 0; b < B; b++) {
+        uint64_t *ob = out + b * poly;
+        for (size_t l = 0; l < L; l++) {
+            const uint64_t q = moduli[l], r0 = r0s[l], r1 = r1s[l];
+            const uint64_t *sl = sk_ntt + l * n;
+            uint64_t *ol = ob + l * n;
+            for (size_t i = 0; i < n; i++) {
+                const unsigned __int128 p =
+                    (unsigned __int128)ol[i] * sl[i];
+                ol[i] = barrett128((uint64_t)p, (uint64_t)(p >> 64), q,
+                                   r0, r1);
+            }
+        }
+    }
+    if (!ntt_form)
+        sealtpu_ntt_inverse_many(out, B, L, log_n, inv_op, inv_qt,
+                                 inv_n_op, inv_n_qt, last_op, last_qt,
+                                 moduli, 0);
+    for (size_t b = 0; b < B; b++) {
+        const uint64_t *c0b = cts + b * 2 * poly;
+        uint64_t *ob = out + b * poly;
+        for (size_t l = 0; l < L; l++) {
+            const uint64_t q = moduli[l];
+            const uint64_t *cl = c0b + l * n;
+            uint64_t *ol = ob + l * n;
+            for (size_t i = 0; i < n; i++) {
+                uint64_t r = ol[i] + cl[i];
+                if (r >= q) r -= q;
+                ol[i] = r;
+            }
+        }
+    }
 }
 
-// B CKKS encoder butterfly passes over [B, n] doubles.
+// B CKKS encoder butterfly passes over [B, n] doubles — groups of 8 ride
+// the batch-lane DWT kernel (transpose in, butterflies with every vector
+// full, transpose out); remainder rows take the scalar kernel.
 void sealtpu_dwt_from_rev_many(double *re, double *im, size_t B,
                                size_t log_n, const double *r_re,
                                const double *r_im, int use_scalar,
                                double scalar)
 {
     const size_t n = (size_t)1 << log_n;
-    for (size_t b = 0; b < B; b++)
+    size_t b = 0;
+#ifdef SEALTPU_AVX512_NTT
+    if (log_n >= 3) {
+        uint64_t *scratch = lanes_scratch(n * 16);
+        double *rc = (double *)scratch;
+        double *ic = (double *)(scratch + n * 8);
+        for (; b + 8 <= B; b += 8) {
+            uint64_t *rrows[8], *irows[8];
+            for (int k = 0; k < 8; k++) {
+                rrows[k] = (uint64_t *)(re + (b + k) * n);
+                irows[k] = (uint64_t *)(im + (b + k) * n);
+            }
+            lanes8_pack(rrows, n, (uint64_t *)rc);
+            lanes8_pack(irows, n, (uint64_t *)ic);
+            dwt_from_rev_lanes8(rc, ic, log_n, r_re, r_im, use_scalar,
+                                scalar);
+            lanes8_unpack((uint64_t *)rc, n, rrows);
+            lanes8_unpack((uint64_t *)ic, n, irows);
+        }
+    }
+#endif
+    for (; b < B; b++)
         sealtpu_dwt_from_rev(re + b * n, im + b * n, log_n, r_re, r_im,
                              use_scalar, scalar);
 }
@@ -958,7 +1750,28 @@ void sealtpu_dwt_to_rev_many(double *re, double *im, size_t B, size_t log_n,
                              int use_scalar, double scalar)
 {
     const size_t n = (size_t)1 << log_n;
-    for (size_t b = 0; b < B; b++)
+    size_t b = 0;
+#ifdef SEALTPU_AVX512_NTT
+    if (log_n >= 3) {
+        uint64_t *scratch = lanes_scratch(n * 16);
+        double *rc = (double *)scratch;
+        double *ic = (double *)(scratch + n * 8);
+        for (; b + 8 <= B; b += 8) {
+            uint64_t *rrows[8], *irows[8];
+            for (int k = 0; k < 8; k++) {
+                rrows[k] = (uint64_t *)(re + (b + k) * n);
+                irows[k] = (uint64_t *)(im + (b + k) * n);
+            }
+            lanes8_pack(rrows, n, (uint64_t *)rc);
+            lanes8_pack(irows, n, (uint64_t *)ic);
+            dwt_to_rev_lanes8(rc, ic, log_n, r_re, r_im, use_scalar,
+                              scalar);
+            lanes8_unpack((uint64_t *)rc, n, rrows);
+            lanes8_unpack((uint64_t *)ic, n, irows);
+        }
+    }
+#endif
+    for (; b < B; b++)
         sealtpu_dwt_to_rev(re + b * n, im + b * n, log_n, r_re, r_im,
                            use_scalar, scalar);
 }
@@ -971,6 +1784,232 @@ void sealtpu_reduce_signed_rows_many(const int64_t *v, size_t B, size_t n,
     for (size_t b = 0; b < B; b++)
         sealtpu_reduce_signed_rows(v + b * n, n, L, q, r1s,
                                    out + b * L * n);
+}
+
+
+// CKKS encoder batch helpers: the numpy fancy-index scatter and the
+// round/cast/reduce passes cost more than the FFT at small n (r5 profile);
+// one crossing each for the whole batch.
+
+// re/im [B, n] <- scatter of B complex slot vectors through the encoder
+// index map with the conjugate upper half (ckks.h:493-502 layout).
+void sealtpu_ckks_scatter_many(const double *vre, const double *vim,
+                               size_t B, size_t k, size_t slots, size_t n,
+                               const int64_t *index_map, double *re,
+                               double *im)
+{
+    for (size_t b = 0; b < B; b++) {
+        double *rb = re + b * n, *ib = im + b * n;
+        std::memset(rb, 0, n * sizeof(double));
+        std::memset(ib, 0, n * sizeof(double));
+        const double *vr = vre + b * k, *vi = vim + b * k;
+        for (size_t i = 0; i < k; i++) {
+            const int64_t p0 = index_map[i];
+            const int64_t p1 = index_map[slots + i];
+            rb[p0] = vr[i];
+            ib[p0] = vi[i];
+            rb[p1] = vr[i];
+            ib[p1] = -vi[i];
+        }
+    }
+}
+
+// Per ct: max |re|, std::round (half away from zero), int64 cast, signed
+// Barrett reduce into [L, n] RNS rows. Cts whose max magnitude reaches
+// 2^62 are SKIPPED (out_max tells Python, which falls back to the exact
+// big-int path / raises) — the double->int64 cast would be UB there.
+void sealtpu_ckks_round_reduce_many(const double *re, size_t B, size_t n,
+                                    size_t L, const uint64_t *q,
+                                    const uint64_t *r1s, uint64_t *out,
+                                    double *out_max)
+{
+    for (size_t b = 0; b < B; b++) {
+        const double *rb = re + b * n;
+        double mx = 0.0;
+        for (size_t i = 0; i < n; i++) {
+            const double a = rb[i] < 0 ? -rb[i] : rb[i];
+            if (a > mx) mx = a;
+        }
+        out_max[b] = mx;
+        if (mx >= 4611686018427387904.0)  /* 2^62 */
+            continue;
+        uint64_t *ob = out + b * L * n;
+        size_t i0 = 0;
+#ifdef SEALTPU_AVX512_NTT
+        {
+            const __m512d half = _mm512_set1_pd(0.5);
+            const __m512d one = _mm512_set1_pd(1.0);
+            const __m512i zero = _mm512_setzero_si512();
+            for (; i0 + 8 <= n; i0 += 8) {
+                const __m512d x = _mm512_loadu_pd(rb + i0);
+                const __m512d ax = _mm512_abs_pd(x);
+                // std::round semantics: floor(|x|) + (frac >= 0.5)
+                const __m512d fl = _mm512_roundscale_pd(
+                    ax, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+                const __mmask8 up = _mm512_cmp_pd_mask(
+                    _mm512_sub_pd(ax, fl), half, _CMP_GE_OQ);
+                const __m512d r = _mm512_mask_add_pd(fl, up, fl, one);
+                const __m512i a = _mm512_cvttpd_epi64(r);  // exact: integral
+                const __mmask8 neg = _mm512_cmp_pd_mask(
+                    x, _mm512_setzero_pd(), _CMP_LT_OQ);
+                for (size_t l = 0; l < L; l++) {
+                    const __m512i qv = _mm512_set1_epi64((long long)q[l]);
+                    const __m512i r1v = _mm512_set1_epi64(
+                        (long long)r1s[l]);
+                    // barrett64 per lane
+                    const __m512i tmp = mulhi64_v(a, r1v);
+                    __m512i rr = _mm512_sub_epi64(
+                        a, _mm512_mullo_epi64(tmp, qv));
+                    rr = _mm512_min_epu64(rr, _mm512_sub_epi64(rr, qv));
+                    // negatives: q - rr where rr != 0
+                    const __mmask8 nz = _mm512_cmpneq_epi64_mask(rr, zero);
+                    rr = _mm512_mask_sub_epi64(rr, neg & nz, qv, rr);
+                    _mm512_storeu_si512(ob + l * n + i0, rr);
+                }
+            }
+        }
+#endif
+        for (size_t i = i0; i < n; i++) {
+            const double x = rb[i];
+            const double ax = x < 0 ? -x : x;
+            const double fl = __builtin_floor(ax);
+            double r = fl + (ax - fl >= 0.5 ? 1.0 : 0.0);
+            const int64_t v = (int64_t)(x < 0 ? -r : r);
+            const uint64_t a = (uint64_t)(v < 0 ? -v : v);
+            for (size_t l = 0; l < L; l++) {
+                uint64_t rr = barrett64(a, q[l], r1s[l]);
+                if (v < 0 && rr) rr = q[l] - rr;
+                ob[l * n + i] = rr;
+            }
+        }
+    }
+}
+
+
+// B BGV decrypt tails in one crossing: per ct, scale the phase rows by
+// qhat^{-1} (Shoup), exact-convert to the single base {t} with the
+// CT-RSA v-correction (rns.cpp:465-539), exactly the Python
+// NativeDecryptTool.bgv_modt pipeline. phases [B, Li, n] are consumed as
+// scratch; out [B, n].
+void sealtpu_bgv_modt_many(uint64_t *phases, size_t B, size_t Li, size_t n,
+                           const uint64_t *s_op, const uint64_t *s_qt,
+                           const uint64_t *q, const uint64_t *M_t,
+                           uint64_t t, const uint64_t *t_r0,
+                           const uint64_t *t_r1, const uint64_t *ratio_lo,
+                           const uint64_t *ratio_hi, uint64_t q_mod_t,
+                           uint64_t *out)
+{
+    for (size_t b = 0; b < B; b++) {
+        uint64_t *xhat = phases + b * Li * n;
+        sealtpu_mul_scalar_shoup(xhat, Li, n, s_op, s_qt, q);
+        sealtpu_base_convert_dot(xhat, Li, n, M_t, 1, &t, t_r0, t_r1,
+                                 out + b * n);
+        sealtpu_exact_convert_fix(xhat, Li, n, ratio_lo, ratio_hi,
+                                  out + b * n, q_mod_t, t, 0, 0);
+    }
+}
+
+
+// Batched rescale (divide-and-round by the tower's last prime): the
+// Python-side numpy u64 '%' passes cost ~25 ns/element — more than the
+// transforms at small n. Exact value parity with NativePolyOps
+// rescale_coeff/rescale_ntt (ops/rns.py divide_and_round_q_last[_ntt],
+// rns.cpp:789-901): same adds, same Barrett residues, same Shoup multiply.
+
+// coefficient domain: x [B, L, n] -> out [B, L-1, n]
+void sealtpu_rescale_coeff_many(const uint64_t *x, size_t B, size_t L,
+                                size_t n, const uint64_t *q,
+                                const uint64_t *r1s,
+                                const uint64_t *half_mod,
+                                const uint64_t *inv_op,
+                                const uint64_t *inv_qt, uint64_t *out)
+{
+    const uint64_t q_last = q[L - 1];
+    const uint64_t half = q_last >> 1;
+    for (size_t b = 0; b < B; b++) {
+        const uint64_t *xb = x + b * L * n;
+        const uint64_t *lastr = xb + (L - 1) * n;
+        uint64_t *ob = out + b * (L - 1) * n;
+        for (size_t l = 0; l + 1 < L; l++) {
+            const uint64_t ql = q[l], r1 = r1s[l];
+            const uint64_t off = ql - half_mod[l];
+            const uint64_t w = inv_op[l], wq = inv_qt[l];
+            const uint64_t *xl = xb + l * n;
+            uint64_t *ol = ob + l * n;
+            for (size_t i = 0; i < n; i++) {
+                uint64_t lastv = lastr[i] + half;
+                if (lastv >= q_last) lastv -= q_last;
+                uint64_t tmp = barrett64(lastv, ql, r1) + off;
+                if (tmp >= ql) tmp -= ql;
+                uint64_t d = xl[i] + ql - tmp;
+                if (d >= ql) d -= ql;
+                ol[i] = mul_shoup(d, w, wq, ql);
+            }
+        }
+    }
+}
+
+// NTT domain: x [B, L, n] NTT rows -> out [B, L-1, n] NTT rows. Matches
+// NativePolyOps.rescale_ntt_many: INTT the last row, center, lift mod each
+// keep prime with the +q-half_mod offset (NO extra reduction — values stay
+// < 2q), lazy forward NTT (< 4q), then diff = x + 4q - temp and the full
+// Shoup reduce.
+void sealtpu_rescale_ntt_many(const uint64_t *x, size_t B, size_t L,
+                              size_t log_n, const uint64_t *inv_w_op,
+                              const uint64_t *inv_w_qt,
+                              const uint64_t *inv_n_op,
+                              const uint64_t *inv_n_qt,
+                              const uint64_t *last_op,
+                              const uint64_t *last_qt,
+                              const uint64_t *fwd_op, const uint64_t *fwd_qt,
+                              const uint64_t *q, const uint64_t *r1s,
+                              const uint64_t *half_mod,
+                              const uint64_t *inv_op, const uint64_t *inv_qt,
+                              uint64_t *scratch_last /* [B, n] */,
+                              uint64_t *out)
+{
+    const size_t n = (size_t)1 << log_n;
+    const uint64_t q_last = q[L - 1];
+    const uint64_t half = q_last >> 1;
+    // 1. last rows, coefficient domain
+    for (size_t b = 0; b < B; b++)
+        std::memcpy(scratch_last + b * n, x + b * L * n + (L - 1) * n,
+                    n * sizeof(uint64_t));
+    sealtpu_ntt_inverse_many(scratch_last, B, 1, log_n,
+                             inv_w_op + (L - 1) * n, inv_w_qt + (L - 1) * n,
+                             inv_n_op + (L - 1), inv_n_qt + (L - 1),
+                             last_op + (L - 1), last_qt + (L - 1),
+                             q + (L - 1), 0);
+    // 2. center and lift into every keep row of out (becomes `temp`)
+    for (size_t b = 0; b < B; b++) {
+        const uint64_t *lastr = scratch_last + b * n;
+        uint64_t *ob = out + b * (L - 1) * n;
+        for (size_t l = 0; l + 1 < L; l++) {
+            const uint64_t ql = q[l], r1 = r1s[l];
+            const uint64_t off = ql - half_mod[l];
+            uint64_t *ol = ob + l * n;
+            for (size_t i = 0; i < n; i++) {
+                uint64_t lastv = lastr[i] + half;
+                if (lastv >= q_last) lastv -= q_last;
+                ol[i] = barrett64(lastv, ql, r1) + off;   // < 2q
+            }
+        }
+    }
+    // 3. lazy forward NTT of temp (< 4q out)
+    sealtpu_ntt_forward_many(out, B, L - 1, log_n, fwd_op, fwd_qt, q, 1);
+    // 4. diff = x + 4q - temp, then the exact Shoup reduce
+    for (size_t b = 0; b < B; b++) {
+        const uint64_t *xb = x + b * L * n;
+        uint64_t *ob = out + b * (L - 1) * n;
+        for (size_t l = 0; l + 1 < L; l++) {
+            const uint64_t ql = q[l];
+            const uint64_t w = inv_op[l], wq = inv_qt[l];
+            const uint64_t *xl = xb + l * n;
+            uint64_t *ol = ob + l * n;
+            for (size_t i = 0; i < n; i++)
+                ol[i] = mul_shoup(xl[i] + 4 * ql - ol[i], w, wq, ql);
+        }
+    }
 }
 
 }  // extern "C"

@@ -22,6 +22,16 @@ static inline u64 mulmod(u64 a, u64 b, u64 q)
     return (u64)(((u128)a * b) % q);
 }
 
+// Shoup multiply by a FIXED operand b with precomputed bq = floor(b*2^64/q):
+// canonical result, identical value to mulmod (hot loops precompute bq once
+// per prime — the hardware 128/64 division in mulmod was ~60% of the whole
+// CKKS decode tail).
+static inline u64 mulmod_shoup(u64 a, u64 b, u64 bq, u64 q)
+{
+    u64 r = b * a - (u64)(((u128)a * bq) >> 64) * q;
+    return r >= q ? r - q : r;
+}
+
 // acc[W+1] += y * row[W]
 static inline void mul_add_scalar(u64 *acc, const u64 *row, u64 y, size_t W)
 {
@@ -132,8 +142,39 @@ void sealtpu_crt_decode_center_ref(
     u64 acc[WMAX + 1];
     u64 Qext[WMAX + 1];
     u64 halfext[WMAX + 1];
-    if (W > WMAX)
+    u64 ymq[64];
+    if (W > WMAX || L > 64)
         return;
+    for (size_t i = 0; i < L; i++)
+        ymq[i] = (u64)(((u128)y_mul[i] << 64) / moduli[i]);
+    if (W == 1)
+    {
+        // single-word base (every small-parms CKKS decode): no multiword
+        // buffers, straight u128 accumulation
+        const u64 Q0 = Q[0], h0 = half[0];
+        for (size_t j = 0; j < n; j++)
+        {
+            u128 acc1 = 0;
+            for (size_t i = 0; i < L; i++)
+                acc1 += (u128)qhat[i] * mulmod_shoup(
+                    rows[i * n + j], y_mul[i], ymq[i], moduli[i]);
+            while (acc1 >= Q0)
+                acc1 -= Q0;
+            const u64 a0 = (u64)acc1;
+            double res;
+            if (a0 >= h0)
+            {
+                u64 d = Q0 - a0;
+                res = d ? -((double)d * inv_scale) : 0.0;
+            }
+            else
+            {
+                res = a0 ? (double)a0 * inv_scale : 0.0;
+            }
+            out[j] = res;
+        }
+        return;
+    }
     std::memset(Qext, 0, sizeof(Qext));
     std::memcpy(Qext, Q, W * sizeof(u64));
     std::memset(halfext, 0, sizeof(halfext));
@@ -144,7 +185,8 @@ void sealtpu_crt_decode_center_ref(
         std::memset(acc, 0, (W + 1) * sizeof(u64));
         for (size_t i = 0; i < L; i++)
         {
-            u64 y = mulmod(rows[i * n + j], y_mul[i], moduli[i]);
+            u64 y = mulmod_shoup(rows[i * n + j], y_mul[i], ymq[i],
+                                 moduli[i]);
             mul_add_scalar(acc, qhat + i * W, y, W);
         }
         while (cmp_words(acc, Qext, W + 1) >= 0)

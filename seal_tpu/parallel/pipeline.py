@@ -114,7 +114,8 @@ def pipeline_apply(stage_fns, xs, mesh: Mesh, axis: str = "pp"):
     return fn(xs)
 
 
-def pipeline_apply_sharded(stage_fns, xs, mesh: Mesh, axis: str = "pp"):
+def pipeline_apply_sharded(stage_fns, xs, mesh: Mesh, axis: str = "pp",
+                           hlo_out: list | None = None):
     """Systolic pipeline with the microbatch feed SHARDED over the pp axis —
     per-device memory O(M/P + P) instead of the O(M) replication of
     `pipeline_apply` (VERDICT r1 item 8).
@@ -203,6 +204,9 @@ def pipeline_apply_sharded(stage_fns, xs, mesh: Mesh, axis: str = "pp"):
     spec = P(axis, *(None,) * (leaves[0].ndim - 1))
     fn = jax.jit(shard_map(
         local, mesh=mesh, in_specs=spec, out_specs=spec))
+    if hlo_out is not None:
+        # compiled HLO of the systolic schedule (collective census hook)
+        hlo_out.append(fn.lower(cyc).compile().as_text())
     out_cyc = fn(cyc)
     # undo the cyclic layout
     return jax.tree.map(

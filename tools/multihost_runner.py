@@ -47,6 +47,10 @@ def main() -> int:
     p.add_argument("--pid", type=int, required=True)
     p.add_argument("--nprocs", type=int, required=True)
     p.add_argument("--port", type=int, required=True)
+    p.add_argument("--legs", default="base", choices=["base", "r5", "all"],
+                   help="base: TP/DP/SP legs; r5: hoisted rotation batch + "
+                        "fused relinearize+rescale through the cross-process "
+                        "TP path; all: both")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -88,6 +92,13 @@ def main() -> int:
     # data-tower count = global device count so the TP decomposition splits
     # exactly over the whole mesh (tp=2 with 2x1, tp=4 with 2x2 local devices)
     SEED = (1, 2, 3, 4, 5, 6, 7, 8)
+    if args.legs in ("r5", "all"):
+        rc = _r5_legs(args, jax, devs, log, SEED)
+        if rc:
+            return rc
+        if args.legs == "r5":
+            log("ALL OK")
+            return 0
     parms = EncryptionParameters(SchemeType.BFV)
     parms.set_poly_modulus_degree(64)
     parms.set_coeff_modulus(CoeffModulus.create(64, [40] * (len(devs) + 1)))
@@ -199,6 +210,83 @@ def main() -> int:
         + ", ".join(f"{c.start}..{c.stop - 1}" for c in cols) + ")")
 
     log("ALL OK")
+    return 0
+
+
+def _r5_legs(args, jax, devs, log, SEED) -> int:
+    """r5 multihost legs (VERDICT r4 item 5): the hoisted rotation batch
+    (one shared sharded decompose, ONE psum for the whole batch) and the
+    fused relinearize+rescale tail, both through the CROSS-PROCESS TP
+    keyswitch on the mixed intra-process + gloo topology, bit-compared
+    against the single-chip Evaluator. Per-leg collective payloads (the
+    exact psum byte counts crossing the transport) are logged."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from seal_tpu import (
+        CoeffModulus,
+        EncryptionParameters,
+        Encryptor,
+        Evaluator,
+        KeyGenerator,
+        SEALContext,
+        SchemeType,
+        SecLevelType,
+    )
+    from seal_tpu.ckks import CKKSEncoder
+    from seal_tpu.parallel.keyswitch import TPEvaluator
+
+    n = 64
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [40] * (len(devs) + 1)))
+    parms.set_random_seed(SEED)
+    ctx = SEALContext(parms, sec_level=SecLevelType.NONE)
+    kg = KeyGenerator(ctx)
+    rk = kg.create_relin_keys()
+    steps = [1, -1]
+    gt = ctx.key_context_data().galois_tool
+    gk = kg.create_galois_keys(gt.get_elts_from_steps(steps))
+    enc = Encryptor(ctx, kg.create_public_key())
+    ev = Evaluator(ctx)
+    encoder = CKKSEncoder(ctx)
+    scale = 2.0 ** 30
+    vals = np.linspace(-1, 1, encoder.slot_count)
+    c1 = enc.encrypt(encoder.encode(vals, scale))
+    c2 = enc.encrypt(encoder.encode(vals + 0.5, scale))
+
+    mesh = Mesh(np.asarray(devs).reshape(1, len(devs)), ("dp", "tp"))
+    tpe = TPEvaluator(ctx, mesh)
+    tks = tpe._tks_for(c1.parms_id)
+    I = tks.L + tks.alpha
+
+    # hoisted rotation batch across the process boundary
+    ref_rots = ev.rotate_batch_hoisted(c1, steps, gk)
+    got_rots = tpe.rotate_batch_hoisted(c1, steps, gk)
+    for a, b in zip(ref_rots, got_rots):
+        for x, y in zip(a.data, b.data):
+            if not np.array_equal(np.asarray(x), np.asarray(y)):
+                log("hoisted rotation batch MISMATCH")
+                return 1
+    if len(steps) not in tks._hoisted_fns:
+        log("hoisted batch did not take the sharded path")
+        return 1
+    payload = len(steps) * 2 * 3 * I * n * 4
+    log(f"hoisted {len(steps)}-rotation batch over tp={len(devs)} across "
+        f"{args.nprocs} processes: BITEXACT vs single-chip "
+        f"(ONE psum, {payload} B stacked limb splits)")
+
+    # fused relinearize+rescale tail through the TP prod
+    ref_f = ev.relinearize_rescale(ev.multiply(c1, c2), rk)
+    got_f = tpe.relinearize_rescale(tpe.multiply(c1, c2), rk)
+    for x, y in zip(ref_f.data, got_f.data):
+        if not np.array_equal(np.asarray(x), np.asarray(y)):
+            log("fused relinearize+rescale MISMATCH")
+            return 1
+    payload = 2 * 3 * I * n * 4
+    log(f"fused relinearize+rescale over tp={len(devs)} across "
+        f"{args.nprocs} processes: BITEXACT vs single-chip "
+        f"(one psum, {payload} B)")
     return 0
 
 
