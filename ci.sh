@@ -32,7 +32,8 @@ if [[ "${1:-full}" == "quick" ]]; then
         --ignore=tests/test_tp_keyswitch.py \
         --ignore=tests/test_multihost.py \
         --ignore=tests/test_examples.py \
-        --ignore=tests/test_evaluator_reference.py
+        --ignore=tests/test_evaluator_reference.py \
+        --ignore=tests/test_noise_budget_chain.py
 else
     echo "== full suite =="
     python -m pytest tests/ -q

@@ -90,7 +90,7 @@ def _marginal(fn, x0, short=8, long_=520, repeats=4, extra=()):
 
 
 def bench_one(n: int, rotations: int = 8, alpha: int = 1,
-              core_only: bool = False):
+              core_only: bool = False, batch: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -145,6 +145,96 @@ def bench_one(n: int, rotations: int = 8, alpha: int = 1,
         c = ct_proto.copy()
         c.data = pair
         return c
+
+    if batch > 1:
+        # batched small-n device rows (VERDICT r4 item 2): the same chained
+        # differentials with every step vmapped over a B-ciphertext stack —
+        # the TPU's true per-ct throughput at small n, where B=1 shapes
+        # underutilize the VPU. Reported per-ct (marginal / B).
+        B = batch
+        bcast = lambda pair: tuple(
+            jnp.broadcast_to(a, (B,) + a.shape) for a in pair)
+        d1b, d2b = bcast(d1), bcast(d2)
+        with jax.default_device(target):
+            def mult_chain(x, steps_):
+                def step(cur):
+                    cm = ev.multiply(wrap(ct1, cur), wrap(ct2, d2))
+                    return (cm.data[0][:2], cm.data[1][:2])
+                return jax.lax.fori_loop(
+                    0, steps_, lambda i, cur: jax.vmap(step)(cur), x)
+            us["multiply"] = _marginal(mult_chain, d1b) * 1e6 / B
+
+            cm0 = jax.jit(jax.vmap(
+                lambda a, b: ev.multiply(wrap(ct1, a), wrap(ct2, b)).data)
+            )(d1b, d2b)
+            ct3 = ct1.copy()
+
+            from seal_tpu.dtypes import RelinKeys
+
+            def _rk_like(kt):
+                r = RelinKeys(); r.parms_id = rk.parms_id; r.keys = [kt]
+                return r
+
+            def relin_chain(x, steps_, key_tensor):
+                def step(cur):
+                    c = ct3.copy(); c.data = cur
+                    out = ev.relinearize(c, _rk_like(key_tensor))
+                    lo = jnp.concatenate([out.data[0], cur[0][2:]], axis=0)
+                    hi = jnp.concatenate([out.data[1], cur[1][2:]], axis=0)
+                    return (lo, hi)
+                return jax.lax.fori_loop(
+                    0, steps_, lambda i, cur: jax.vmap(step)(cur), x)
+            us["relinearize"] = _marginal(
+                relin_chain, cm0, extra=(rkt,)) * 1e6 / B
+
+            def rs_chain(x, steps_):
+                def step(cur):
+                    out = ev.rescale_to_next(wrap(ct1, cur))
+                    lo = jnp.concatenate(
+                        [out.data[0], cur[0][:, L - 1:]], axis=1)
+                    hi = jnp.concatenate(
+                        [out.data[1], cur[1][:, L - 1:]], axis=1)
+                    return (lo, hi)
+                return jax.lax.fori_loop(
+                    0, steps_, lambda i, cur: jax.vmap(step)(cur), x)
+            us["rescale"] = _marginal(rs_chain, d1b) * 1e6 / B
+
+            from seal_tpu.dtypes import GaloisKeys
+
+            def _gk_like(keys_list):
+                g = GaloisKeys()
+                g.parms_id = gk.parms_id
+                g.keys = list(keys_list)
+                return g
+
+            gkt = tuple(k for k in gk.keys if k is not None)
+            gk_map = [i for i, k in enumerate(gk.keys) if k is not None]
+
+            def _rebuild(keys_args):
+                full = [None] * len(gk.keys)
+                for slot, k in zip(gk_map, keys_args):
+                    full[slot] = k
+                return _gk_like(full)
+
+            def rot_chain(x, steps_, keys_args):
+                def step(cur):
+                    return ev.rotate_vector(
+                        wrap(ct1, cur), 1, _rebuild(keys_args)).data
+                return jax.lax.fori_loop(
+                    0, steps_, lambda i, cur: jax.vmap(step)(cur), x)
+            us["rotate_one"] = _marginal(
+                rot_chain, d1b, extra=(gkt,)) * 1e6 / B
+
+            def ntt_chain(x, steps_):
+                return jax.lax.fori_loop(
+                    0, steps_,
+                    lambda i, a: jax.vmap(
+                        lambda p: ntt_mod.ntt_forward(p, cd.ntt_tables))(a),
+                    x)
+            us[f"ntt_forward_L{L}"] = _marginal(
+                ntt_chain, (d1b[0][:, 0], d1b[1][:, 0])) * 1e6 / B
+        return {"n": n, "L": L, "alpha": alpha, "batch": B,
+                "us": {k: round(v, 2) for k, v in us.items()}}
 
     with jax.default_device(target):
         # multiply: keep first two rows so the loop carry keeps its shape
@@ -394,9 +484,11 @@ def bench_keygen(n: int):
             "us": {k: round(v, 1) for k, v in us.items()}}
 
 
-def bench_small(n: int):
+def bench_small(n: int, batch: int = 1):
     """n ∈ {1024, 2048} default-parms rows (single prime — no keyswitching,
-    matching bench.cpp:160-176's grid floor): BFV ops that exist there."""
+    matching bench.cpp:160-176's grid floor): BFV ops that exist there.
+    batch > 1 vmaps every chain step over a B-ciphertext stack and reports
+    per-ct marginals (VERDICT r4 item 2 small-n batched grid)."""
     import jax
     import jax.numpy as jnp
 
@@ -428,50 +520,63 @@ def bench_small(n: int):
     d1 = jax.device_put(ct1.data, target)
     d2 = jax.device_put(ct2.data, target)
     us = {}
+    B = batch
 
     def wrap(proto, pair):
         c = proto.copy()
         c.data = pair
         return c
 
+    if B > 1:
+        d1 = tuple(jnp.broadcast_to(a, (B,) + a.shape) for a in d1)
+        V = lambda step: (lambda cur: jax.vmap(step)(cur))
+    else:
+        V = lambda step: step
+
     with jax.default_device(target):
         def mult_chain(x, steps_):
-            def body(i, cur):
+            def step(cur):
                 cm = ev.multiply(wrap(ct1, cur), wrap(ct2, d2))
                 return (cm.data[0][:2], cm.data[1][:2])
-            return jax.lax.fori_loop(0, steps_, body, x)
-        us["multiply_behz"] = _marginal(mult_chain, d1, long_=136) * 1e6
+            return jax.lax.fori_loop(
+                0, steps_, lambda i, cur: V(step)(cur), x)
+        us["multiply_behz"] = _marginal(mult_chain, d1, long_=136) * 1e6 / B
 
         def sq_chain(x, steps_):
-            def body(i, cur):
+            def step(cur):
                 cm = ev.square(wrap(ct1, cur))
                 return (cm.data[0][:2], cm.data[1][:2])
-            return jax.lax.fori_loop(0, steps_, body, x)
-        us["square"] = _marginal(sq_chain, d1, long_=136) * 1e6
+            return jax.lax.fori_loop(
+                0, steps_, lambda i, cur: V(step)(cur), x)
+        us["square"] = _marginal(sq_chain, d1, long_=136) * 1e6 / B
 
         def addct_chain(x, steps_):
-            def body(i, cur):
+            def step(cur):
                 return ev.add(wrap(ct1, cur), wrap(ct2, d2)).data
-            return jax.lax.fori_loop(0, steps_, body, x)
-        us["add_ct"] = _marginal(addct_chain, d1) * 1e6
+            return jax.lax.fori_loop(
+                0, steps_, lambda i, cur: V(step)(cur), x)
+        us["add_ct"] = _marginal(addct_chain, d1) * 1e6 / B
 
         def neg_chain(x, steps_):
-            def body(i, cur):
+            def step(cur):
                 return ev.negate(wrap(ct1, cur)).data
-            return jax.lax.fori_loop(0, steps_, body, x)
-        us["negate"] = _marginal(neg_chain, d1) * 1e6
+            return jax.lax.fori_loop(
+                0, steps_, lambda i, cur: V(step)(cur), x)
+        us["negate"] = _marginal(neg_chain, d1) * 1e6 / B
 
         def tontt_chain(x, steps_):
-            def body(i, cur):
+            def step(cur):
                 up = ev.transform_to_ntt(wrap(ct1, cur))
                 return ev.transform_from_ntt(up).data
-            return jax.lax.fori_loop(0, steps_, body, x)
-        us["to_from_ntt"] = _marginal(tontt_chain, d1) * 1e6
+            return jax.lax.fori_loop(
+                0, steps_, lambda i, cur: V(step)(cur), x)
+        us["to_from_ntt"] = _marginal(tontt_chain, d1) * 1e6 / B
 
-    us.update(_host_api_rows(ctx, kg, enc, encoder, ct1, None, vals))
+    if B == 1:
+        us.update(_host_api_rows(ctx, kg, enc, encoder, ct1, None, vals))
     L = len(ctx.first_context_data().parms.coeff_modulus)
-    return {"n": n, "L": L, "scheme": "bfv", "mode": "small",
-            "us": {k: round(v, 1) for k, v in us.items()}}
+    return {"n": n, "L": L, "scheme": "bfv", "mode": "small", "batch": B,
+            "us": {k: round(v, 2) for k, v in us.items()}}
 
 
 def bench_bfv(n: int, scheme_name: str = "bfv"):
@@ -615,6 +720,10 @@ def main():
     ap.add_argument("--alpha", type=int, default=1,
                     help="hybrid keyswitch special-prime count (CKKS rows "
                          "only; 2 uses the BITS_ALPHA2 same-budget parms)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="vmap the core CKKS rows over a B-ciphertext "
+                         "stack and report per-ct marginals (small-n "
+                         "batched grid, VERDICT r4 item 2)")
     args = ap.parse_args()
     # persistent compile cache: tunnel compiles cost minutes; repeats hit disk
     import os
@@ -635,11 +744,11 @@ def main():
         t0 = time.time()
         if args.scheme == "ckks":
             rep = bench_one(n, args.rotations, args.alpha,
-                            core_only=args.core_only)
+                            core_only=args.core_only, batch=args.batch)
         elif args.scheme == "keygen":
             rep = bench_keygen(n)
         elif args.scheme == "small":
-            rep = bench_small(n)
+            rep = bench_small(n, batch=args.batch)
         else:
             rep = bench_bfv(n, args.scheme)
         rep["bench_wall_s"] = round(time.time() - t0, 1)

@@ -108,6 +108,27 @@ def main():
               f"{a2a_bytes/1e3:7.1f} kB vs gather {gather_bytes/1e3:7.1f} kB "
               f"({gather_bytes/a2a_bytes:4.1f}x less traffic; ratio -> P/2)")
 
+    print(f"\n== PP systolic pipeline (stage axis over chips) ==")
+    # parallel/pipeline.py pipeline_apply_sharded: per step each stage
+    # ppermutes its full payload (the [4, L, n] u32-pair microbatch slot,
+    # census-verified in dryrun_multichip's pp leg) to the next device;
+    # chunk feed all_gather + psum_scatter return add 2/P payloads per
+    # chunk. Steady-state efficiency = bubble term M/(M+P-1) times the
+    # compute/handoff ratio; XLA overlaps the async ppermute with the next
+    # step's compute, so the zero-overlap number is the floor.
+    pp_payload = 4 * L * n * 4 * 2          # [4, L, n] u32 (lo, hi)
+    t_stage = args.pipeline_us              # one mult+relin+rescale stage
+    for P in (2, 4, 8):
+        t_perm = pp_payload / (args.ici_gbs * 1e9) * 1e6
+        for Mb in (P, 8 * P):
+            bubble = Mb / (Mb + P - 1)
+            eff0 = bubble * t_stage / (t_stage + t_perm)
+            eff1 = bubble
+            print(f"  PP={P} M={Mb:3d}: handoff {pp_payload/1e6:.2f} MB = "
+                  f"{t_perm:5.1f} us/step -> efficiency "
+                  f"{eff0*100:5.1f}% (no overlap) .. {eff1*100:5.1f}% "
+                  f"(full overlap; bubble-limited)")
+
     print(f"\n== DP across hosts over DCN (BASELINE config #5) ==")
     # one-time distribution: relin keys [d, 2, L+1, 2, N] u32 pairs + ct batch
     d = args.L
