@@ -368,13 +368,19 @@ class Encryptor:
             alpha = ctx.key_context_data().parms.special_modulus_size
             hybrid_step = (alpha > 1 and tuple(prev_cd.parms_id)
                            == tuple(ctx.key_parms_id))
-            if hybrid_step or scheme == SchemeType.BGV:
+            if hybrid_step:
                 return None
             polys = rlwe.encrypt_zero_asymmetric_many_np(
                 self.public_key, ctx, prev_cd.parms_id, B, is_ntt_form)
             if polys is None:
                 return None
             npoly = native_poly.for_context_data(prev_cd)
+            if scheme == SchemeType.BGV:
+                t = cd.parms.plain_modulus.value
+                down = [npoly.bgv_modtq_many(p, int(t)) for p in polys]
+                if any(d is None for d in down):
+                    return None
+                return down[0], down[1], [None] * B
             rescale = (npoly.rescale_ntt_many if is_ntt_form
                        else npoly.rescale_coeff_many)
             return rescale(polys[0]), rescale(polys[1]), [None] * B

@@ -301,6 +301,11 @@ def get_lib():
                 c_u64p, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p, c_u64p,
                 c_u64p, c_u64p, c_u64p, c_u64p]
             lib.sealtpu_rescale_ntt_many.restype = None
+            lib.sealtpu_bgv_modtq_many.argtypes = [
+                c_u64p, sz, sz, sz, c_u64p, c_u64p, ctypes.c_uint64,
+                ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+                c_u64p, c_u64p, c_u64p, c_u64p, c_u64p]
+            lib.sealtpu_bgv_modtq_many.restype = None
         except AttributeError:  # stale .so without _many
             pass
         _lib = lib

@@ -327,6 +327,38 @@ class NativePolyOps:
                          None, None, pairs=self._inv_last_pairs(L, B))
         return diff
 
+    def bgv_modtq_many(self, x: np.ndarray, t: int) -> np.ndarray | None:
+        """Batched BGV modswitch: [B, L, N] coeff -> [B, L-1, N], exact
+        division by q[L-1] after adding a multiple of t (value-identical to
+        ops/rns.py mod_t_and_divide_q_last)."""
+        if not hasattr(self.lib, "sealtpu_bgv_modtq_many"):
+            return None
+        from seal_tpu.utils import numth
+
+        B, L = x.shape[0], x.shape[1]
+        cache = getattr(self, "_bgvmq_cache", None)
+        if cache is None:
+            cache = self._bgvmq_cache = {}
+        c = cache.get((L, t))
+        if c is None:
+            q = [int(v) for v in self.q[:L]]
+            ql = q[-1]
+            t_r1 = ((1 << 128) // t) >> 64
+            iqt = numth.invert_uint_mod(ql % t, t)
+            qlm = [ql % qi for qi in q[:-1]]
+            iql = [numth.invert_uint_mod(ql, qi) for qi in q[:-1]]
+            c = (int(t_r1), int(iqt), (iqt << 64) // t,
+                 _shoup_pairs(qlm, q[:-1]), _shoup_pairs(iql, q[:-1]))
+            cache[(L, t)] = c
+        t_r1, iqt_op, iqt_qt, qlm_pairs, iql_pairs = c
+        out = np.empty((B, L - 1, self.n), dtype=np.uint64)
+        x = np.ascontiguousarray(x)
+        self.lib.sealtpu_bgv_modtq_many(
+            _p(x), B, L, self.n, self._ptr0["q"], self._ptr0["r1"],
+            int(t), t_r1, iqt_op, iqt_qt, _p(qlm_pairs[0]),
+            _p(qlm_pairs[1]), _p(iql_pairs[0]), _p(iql_pairs[1]), _p(out))
+        return out
+
     def keygen_c0_many(self, a: np.ndarray, s: np.ndarray, e: np.ndarray
                        ) -> np.ndarray:
         """out[b] = -(a[b]*s + e[b]) over [B, L_sub, n]; s is the shared

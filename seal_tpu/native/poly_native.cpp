@@ -2012,4 +2012,39 @@ void sealtpu_rescale_ntt_many(const uint64_t *x, size_t B, size_t L,
     }
 }
 
+
+// Batched BGV modswitch (exact division by q_last after adding a multiple
+// of t; rns.cpp:1203-1240 / ops/rns.py mod_t_and_divide_q_last parity):
+// x [B, L, n] coeff-form -> out [B, L-1, n]. All steps canonical, so the
+// values equal the JAX limb path's bit-for-bit.
+// Per-level constant arrays (length L-1): qlm_op/qlm_qt = Shoup pairs of
+// (q_last mod q_l); iql_op/iql_qt = Shoup pairs of q_last^{-1} mod q_l.
+void sealtpu_bgv_modtq_many(const uint64_t *x, size_t B, size_t L, size_t n,
+                            const uint64_t *q, const uint64_t *r1s,
+                            uint64_t t, uint64_t t_r1, uint64_t iqt_op,
+                            uint64_t iqt_qt, const uint64_t *qlm_op,
+                            const uint64_t *qlm_qt, const uint64_t *iql_op,
+                            const uint64_t *iql_qt, uint64_t *out)
+{
+    for (size_t b = 0; b < B; b++) {
+        const uint64_t *xb = x + b * L * n;
+        const uint64_t *lastr = xb + (L - 1) * n;
+        uint64_t *ob = out + b * (L - 1) * n;
+        for (size_t i = 0; i < n; i++) {
+            const uint64_t cl = lastr[i];
+            uint64_t v = barrett64(cl, t, t_r1);
+            v = v ? t - v : 0;                       // -(cl mod t) mod t
+            const uint64_t neg_c = mul_shoup(v, iqt_op, iqt_qt, t);
+            for (size_t l = 0; l + 1 < L; l++) {
+                const uint64_t ql = q[l], r1 = r1s[l];
+                uint64_t delta = barrett64(neg_c, ql, r1);
+                delta = mul_shoup(delta, qlm_op[l], qlm_qt[l], ql);
+                const uint64_t clm = barrett64(cl, ql, r1);
+                const uint64_t acc = xb[l * n + i] + 2 * ql - clm - delta;
+                ob[l * n + i] = mul_shoup(acc, iql_op[l], iql_qt[l], ql);
+            }
+        }
+    }
+}
+
 }  // extern "C"

@@ -43,6 +43,24 @@ BITS_ALPHA2 = {
     32768: [52] * 15 + [50, 51],
 }
 
+# higher-alpha sweep (VERDICT r4 item 8, "fewer transforms"): same data
+# prime count and SAME TOTAL BUDGET per size, alpha special primes with
+# P >= any digit modulus (docs/HYBRID_KEYSWITCH.md noise requirement).
+# Fewer digits => fewer lifted NTT rows in the keyswitch decompose
+# (ceil(L/alpha)*(L+alpha) rows), at the cost of data-scale budget.
+BITS_BY_ALPHA = {
+    3: {
+        16384: [38] * 8 + [45, 45, 44],
+        32768: [48] * 14 + [47] + [54, 54, 54],
+    },
+    4: {
+        16384: [35] * 8 + [39, 39, 40, 40],
+    },
+    5: {
+        32768: [42] * 14 + [43] + [50] * 5,
+    },
+}
+
 
 def _marginal(fn, x0, short=8, long_=520, repeats=4, extra=()):
     """fn(x, steps, *extra) jitted; returns seconds per step (differential).
@@ -104,7 +122,12 @@ def bench_one(n: int, rotations: int = 8, alpha: int = 1,
 
     cpu = jax.devices("cpu")[0]
     target = jax.devices()[0]
-    bits = BITS[n] if alpha == 1 else BITS_ALPHA2[n]
+    if alpha == 1:
+        bits = BITS[n]
+    elif alpha == 2:
+        bits = BITS_ALPHA2[n]
+    else:
+        bits = BITS_BY_ALPHA[alpha][n]
     L = len(bits) - alpha
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
