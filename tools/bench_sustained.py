@@ -169,11 +169,23 @@ def run_stream(su, total: int, B: int, feed: bool, submap: int = 0):
     t0 = time.perf_counter()
     outs = []
     if feed:
+        # prefetch-depth pipeline: keep `prefetch` chunk uploads in flight
+        # ahead of the dispatches so host->device transfer overlaps device
+        # compute (device_put is asynchronous; depth 0 = the legacy
+        # upload-then-dispatch interleave)
+        from collections import deque
+
+        prefetch = int(os.environ.get("SEALTPU_FEED_PREFETCH", "0"))
+        pending: deque = deque()
         for c in range(chunks):
             lo, hi = _chunk(su, B, c)
             fed_bytes += lo.nbytes + hi.nbytes
-            x = jax.device_put((jnp.asarray(lo), jnp.asarray(hi)), target)
-            outs.append(fn(x, d2))
+            pending.append(jax.device_put(
+                (jnp.asarray(lo), jnp.asarray(hi)), target))
+            while len(pending) > prefetch:
+                outs.append(fn(pending.popleft(), d2))
+        while pending:
+            outs.append(fn(pending.popleft(), d2))
     else:
         for c in range(chunks):
             outs.append(fn(bufs[c % W], d2))
@@ -234,6 +246,45 @@ def main():
                 "unit": "ops/s/chip", "wall_s": round(r["wall_s"], 3),
                 "memory": mem,
             }), flush=True)
+        return
+
+    if "--overlap-analysis" in args:
+        # compute-under-transfer isolation (VERDICT r4 weak #7): measure
+        # the three legs separately so the feed number decomposes —
+        #   T_comp:  device-resident stream (no feed)
+        #   T_up:    uploads only (device_put every chunk, then force
+        #            completion with one fetch per buffer probe)
+        #   T_feed:  pipelined feed at prefetch depths {0, 2, 4}
+        # overlap efficiency = max(T_up, T_comp) / T_feed (1.0 = perfect
+        # compute/transfer overlap; the sum-bound floor is
+        # (T_up + T_comp) / T_feed <= 1).
+        import jax
+        import jax.numpy as jnp
+
+        target = su["target"]
+        chunks = total // B
+        rc = run_stream(su, total, B, feed=False)
+        t_comp = rc["wall_s"]
+        t0 = time.perf_counter()
+        ups = []
+        for c in range(chunks):
+            lo, hi = _chunk(su, B, c)
+            ups.append(jax.device_put(
+                (jnp.asarray(lo), jnp.asarray(hi)), target))
+        probe = jnp.stack([u[0][0, 0, 0, 0] for u in ups])
+        _ = np.asarray(probe)
+        t_up = time.perf_counter() - t0
+        rows = {"B": B, "total_cts": total,
+                "t_comp_s": round(t_comp, 3), "t_up_s": round(t_up, 3)}
+        for depth in (0, 2, 4):
+            os.environ["SEALTPU_FEED_PREFETCH"] = str(depth)
+            r = run_stream(su, total, B, feed=True)
+            rows[f"t_feed_d{depth}_s"] = round(r["wall_s"], 3)
+            rows[f"overlap_eff_d{depth}"] = round(
+                max(t_up, t_comp) / r["wall_s"], 3)
+            rows[f"feed_mbps_d{depth}"] = round(r["feed_mbps"], 1)
+        print(json.dumps({"metric": f"feed_overlap_{mode}", **rows}),
+              flush=True)
         return
 
     submap = int(args[args.index("--submap") + 1]) if "--submap" in args else 0
