@@ -83,6 +83,11 @@ def test_example_logreg_reduced():
     _import("10_encrypted_logreg.py").main(n=256)
 
 
+def test_example_batch_api_reduced():
+    """14_batch_api: batch-amortized host APIs at n=1024, B=8."""
+    _import("14_batch_api.py").main(n=1024, B=8)
+
+
 def test_example_threshold_ckks_reduced():
     """12_threshold_ckks: 4-party common keys + smudged distributed
     decryption at n=128."""
