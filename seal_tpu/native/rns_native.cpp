@@ -147,6 +147,26 @@ void sealtpu_crt_decode_center_ref(
         return;
     for (size_t i = 0; i < L; i++)
         ymq[i] = (u64)(((u128)y_mul[i] << 64) / moduli[i]);
+    if (W == 1 && L == 1)
+    {
+        // trivial base (single-prime CKKS): y_mul = qhat = 1, so decode is
+        // pure centering — no modular multiply at all
+        const u64 Q0 = Q[0], h0 = half[0];
+        for (size_t j = 0; j < n; j++)
+        {
+            const u64 v = rows[j] >= Q0 ? rows[j] - Q0 : rows[j];
+            if (v >= h0)
+            {
+                const u64 d = Q0 - v;
+                out[j] = d ? -((double)d * inv_scale) : 0.0;
+            }
+            else
+            {
+                out[j] = v ? (double)v * inv_scale : 0.0;
+            }
+        }
+        return;
+    }
     if (W == 1)
     {
         // single-word base (every small-parms CKKS decode): no multiword
