@@ -502,7 +502,38 @@ static void dwt_from_rev_lanes8(double *re, double *im, size_t log_n,
             ridx++;
             double *xr = re + offset * 8, *xi = im + offset * 8;
             double *yr = xr + gap * 8, *yi = xi + gap * 8;
-            for (size_t j = 0; j < gap; j++) {
+            size_t j = 0;
+            for (; j + 2 <= gap; j += 2) {   // 2 chains in flight
+                const __m512d ur0 = _mm512_loadu_pd(xr + j * 8);
+                const __m512d ui0 = _mm512_loadu_pd(xi + j * 8);
+                const __m512d vr0 = _mm512_loadu_pd(yr + j * 8);
+                const __m512d vi0 = _mm512_loadu_pd(yi + j * 8);
+                const __m512d ur1 = _mm512_loadu_pd(xr + j * 8 + 8);
+                const __m512d ui1 = _mm512_loadu_pd(xi + j * 8 + 8);
+                const __m512d vr1 = _mm512_loadu_pd(yr + j * 8 + 8);
+                const __m512d vi1 = _mm512_loadu_pd(yi + j * 8 + 8);
+                _mm512_storeu_pd(xr + j * 8, _mm512_add_pd(ur0, vr0));
+                _mm512_storeu_pd(xi + j * 8, _mm512_add_pd(ui0, vi0));
+                _mm512_storeu_pd(xr + j * 8 + 8, _mm512_add_pd(ur1, vr1));
+                _mm512_storeu_pd(xi + j * 8 + 8, _mm512_add_pd(ui1, vi1));
+                const __m512d sr0 = _mm512_sub_pd(ur0, vr0);
+                const __m512d si0 = _mm512_sub_pd(ui0, vi0);
+                const __m512d sr1 = _mm512_sub_pd(ur1, vr1);
+                const __m512d si1 = _mm512_sub_pd(ui1, vi1);
+                _mm512_storeu_pd(
+                    yr + j * 8, _mm512_sub_pd(_mm512_mul_pd(sr0, wr),
+                                              _mm512_mul_pd(si0, wi)));
+                _mm512_storeu_pd(
+                    yi + j * 8, _mm512_add_pd(_mm512_mul_pd(sr0, wi),
+                                              _mm512_mul_pd(si0, wr)));
+                _mm512_storeu_pd(
+                    yr + j * 8 + 8, _mm512_sub_pd(_mm512_mul_pd(sr1, wr),
+                                                  _mm512_mul_pd(si1, wi)));
+                _mm512_storeu_pd(
+                    yi + j * 8 + 8, _mm512_add_pd(_mm512_mul_pd(sr1, wi),
+                                                  _mm512_mul_pd(si1, wr)));
+            }
+            for (; j < gap; j++) {
                 const __m512d ur = _mm512_loadu_pd(xr + j * 8);
                 const __m512d ui = _mm512_loadu_pd(xi + j * 8);
                 const __m512d vr = _mm512_loadu_pd(yr + j * 8);
@@ -582,7 +613,34 @@ static void dwt_to_rev_lanes8(double *re, double *im, size_t log_n,
             ridx++;
             double *xr = re + offset * 8, *xi = im + offset * 8;
             double *yr = xr + gap * 8, *yi = xi + gap * 8;
-            for (size_t j = 0; j < gap; j++) {
+            size_t j = 0;
+            for (; j + 2 <= gap; j += 2) {   // 2 chains in flight
+                const __m512d vr0 = _mm512_loadu_pd(yr + j * 8);
+                const __m512d vi0 = _mm512_loadu_pd(yi + j * 8);
+                const __m512d vr1 = _mm512_loadu_pd(yr + j * 8 + 8);
+                const __m512d vi1 = _mm512_loadu_pd(yi + j * 8 + 8);
+                const __m512d pr0 = _mm512_sub_pd(_mm512_mul_pd(vr0, wr),
+                                                  _mm512_mul_pd(vi0, wi));
+                const __m512d pi0 = _mm512_add_pd(_mm512_mul_pd(vr0, wi),
+                                                  _mm512_mul_pd(vi0, wr));
+                const __m512d pr1 = _mm512_sub_pd(_mm512_mul_pd(vr1, wr),
+                                                  _mm512_mul_pd(vi1, wi));
+                const __m512d pi1 = _mm512_add_pd(_mm512_mul_pd(vr1, wi),
+                                                  _mm512_mul_pd(vi1, wr));
+                const __m512d ur0 = _mm512_loadu_pd(xr + j * 8);
+                const __m512d ui0 = _mm512_loadu_pd(xi + j * 8);
+                const __m512d ur1 = _mm512_loadu_pd(xr + j * 8 + 8);
+                const __m512d ui1 = _mm512_loadu_pd(xi + j * 8 + 8);
+                _mm512_storeu_pd(xr + j * 8, _mm512_add_pd(ur0, pr0));
+                _mm512_storeu_pd(xi + j * 8, _mm512_add_pd(ui0, pi0));
+                _mm512_storeu_pd(yr + j * 8, _mm512_sub_pd(ur0, pr0));
+                _mm512_storeu_pd(yi + j * 8, _mm512_sub_pd(ui0, pi0));
+                _mm512_storeu_pd(xr + j * 8 + 8, _mm512_add_pd(ur1, pr1));
+                _mm512_storeu_pd(xi + j * 8 + 8, _mm512_add_pd(ui1, pi1));
+                _mm512_storeu_pd(yr + j * 8 + 8, _mm512_sub_pd(ur1, pr1));
+                _mm512_storeu_pd(yi + j * 8 + 8, _mm512_sub_pd(ui1, pi1));
+            }
+            for (; j < gap; j++) {
                 const __m512d ur = _mm512_loadu_pd(xr + j * 8);
                 const __m512d ui = _mm512_loadu_pd(xi + j * 8);
                 const __m512d vr = _mm512_loadu_pd(yr + j * 8);
