@@ -358,3 +358,24 @@ def test_jit_evaluator_hybrid():
     got = encd.decode(dec.decrypt(out))
     assert np.max(np.abs(got - vals ** 2)) < 1e-4
     np.testing.assert_array_equal(np.asarray(out.data[0]), np.asarray(out2.data[0]))
+
+
+@pytest.mark.parametrize("alpha,nprimes", [(3, 8), (4, 8), (5, 15)])
+def test_higher_alpha_relin_rescale(alpha, nprimes):
+    """alpha in {3, 4, 5} GHS digits (the r5 fewer-transforms sweep parms,
+    tools/bench_ops_tpu.py BITS_BY_ALPHA): non-dividing digit remainders
+    (L=8, alpha=3 -> digits 3,3,2) and deep special towers must keyswitch
+    correctly end to end."""
+    ctx = _ckks_ctx(64, [40] * (nprimes + alpha), alpha=alpha)
+    kg = seal_tpu.KeyGenerator(ctx)
+    enc = seal_tpu.Encryptor(ctx, kg.create_public_key())
+    dec = seal_tpu.Decryptor(ctx, kg.secret_key())
+    ev = seal_tpu.Evaluator(ctx)
+    encd = seal_tpu.CKKSEncoder(ctx)
+    rk = kg.create_relin_keys()
+    vals = np.linspace(0.1, 1, encd.slot_count)
+    ct = enc.encrypt(encd.encode(vals, 2.0 ** 30))
+    out = encd.decode(dec.decrypt(
+        ev.rescale_to_next(ev.relinearize(ev.multiply(ct, ct), rk))))
+    # toy n=64 precision floor: rescaled scale is 2^20-ish
+    assert np.max(np.abs(out - vals ** 2)) < 1e-3
