@@ -330,8 +330,11 @@ class CKKSEncoder:
             for m in max_coeff])
         if np.any(max_bits >= cd.total_coeff_modulus_bit_count):
             raise ValueError("encoded values are too large")
-        if np.any(max_bits > 63):
-            # rare big-coefficient rows take the exact big-int path
+        if np.any(max_coeff >= 2.0 ** 62) or np.any(max_bits > 63):
+            # rare big-coefficient rows take the exact big-int path; the
+            # first condition mirrors the native kernel's skip threshold
+            # EXACTLY (sealtpu_ckks_round_reduce_many leaves rows whose
+            # max reaches 2^62 unwritten — the int64 cast would be UB)
             return [self.encode(row, scale, parms_id) for row in v]
         if not fused:
             coeffd = dwt.round_half_away(re)

@@ -517,5 +517,6 @@ def _trimmed_plain(vals: np.ndarray) -> Plaintext:
     nz = vals != 0
     count = (len(vals) - int(np.argmax(nz[::-1]))) if nz.any() else 1
     p = Plaintext()
-    p.data = np.ascontiguousarray(vals[:count])
+    # copy: a view would alias (and pin) the whole shared batch buffer
+    p.data = vals[:count].copy()
     return p

@@ -132,7 +132,12 @@ class BatchEncoder:
         t = self._t
         v = values_batch
         if not (isinstance(v, np.ndarray) and v.dtype.kind in "iu"):
-            v = np.asarray([list(row) for row in v], dtype=np.int64)
+            try:
+                v = np.asarray([list(row) for row in v], dtype=np.int64)
+            except OverflowError:
+                # match the scalar encode()'s error type for huge ints
+                raise ValueError(
+                    "input value is larger than plain_modulus")
         if v.ndim != 2:
             raise ValueError("values_batch must be [B, m]")
         if v.shape[1] > self.slots:
@@ -173,6 +178,11 @@ class BatchEncoder:
         """Decode B plaintexts in ONE native crossing -> [B, slot_count]
         (uint64, or int64 when signed). Bit-identical to B decode() calls.
         TPU-native batch-amortized API."""
+        plains = list(plains)
+        if not plains:
+            return np.empty(
+                (0, self.slots),
+                dtype=np.int64 if signed else np.uint64)
         npoly = self._npoly
         if not (npoly.available
                 and hasattr(npoly.lib, "sealtpu_batch_decode_many")):

@@ -283,19 +283,17 @@ class NativePolyOps:
 
     def _inv_last_pairs(self, L: int, B: int):
         """Tiled Shoup pairs for q_last^{-1} mod q_i over B stacked polys
-        (the per-row Python big-int quotients cost ~10 us each; computed
-        once per (L, B) and cached)."""
-        from seal_tpu.utils import numth
-
+        (one big-int quotient per UNIQUE row via the shared
+        _rescale_consts cache, then tiled)."""
         cache = getattr(self, "_ilp_cache", None)
         if cache is None:
             cache = self._ilp_cache = {}
         pairs = cache.get((L, B))
         if pairs is None:
-            q = [int(v) for v in self.q[:L]]
-            inv = [numth.invert_uint_mod(q[-1], qi) for qi in q[:-1]]
-            s_op, s_qt, qa = _shoup_pairs(inv, q[:-1])
-            pairs = (np.tile(s_op, B), np.tile(s_qt, B), np.tile(qa, B))
+            _, inv_op, inv_qt = self._rescale_consts(L)
+            qa = np.ascontiguousarray(self.q[:L - 1])
+            pairs = (np.tile(inv_op, B), np.tile(inv_qt, B),
+                     np.tile(qa, B))
             cache[(L, B)] = pairs
         return pairs
 

@@ -205,9 +205,14 @@ def pipeline_apply_sharded(stage_fns, xs, mesh: Mesh, axis: str = "pp",
     fn = jax.jit(shard_map(
         local, mesh=mesh, in_specs=spec, out_specs=spec))
     if hlo_out is not None:
-        # compiled HLO of the systolic schedule (collective census hook)
-        hlo_out.append(fn.lower(cyc).compile().as_text())
-    out_cyc = fn(cyc)
+        # compiled HLO of the systolic schedule (collective census hook);
+        # execute the SAME compiled object — re-calling fn would compile
+        # a second time (minutes on a tunneled backend)
+        compiled = fn.lower(cyc).compile()
+        hlo_out.append(compiled.as_text())
+        out_cyc = compiled(cyc)
+    else:
+        out_cyc = fn(cyc)
     # undo the cyclic layout
     return jax.tree.map(
         lambda a: a.reshape((Pn, chunks) + a.shape[1:])

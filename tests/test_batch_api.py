@@ -28,7 +28,10 @@ from seal_tpu import (
 )
 
 SEED = (1, 2, 3, 4, 5, 6, 7, 8)
-B = 5
+# B = 13 = one 8-lane AVX-512 batch group + a 5-ct scalar remainder, so
+# the bit-identity assertions exercise BOTH the batch-lane kernels
+# (lanes8 NTT/DWT, q32 Shoup) and the scalar fallback in one run
+B = 13
 
 
 def _bfv_ctx(n=64, plain=257, bits=(40, 40, 40)):
@@ -222,8 +225,8 @@ def test_bgv_encrypt_decrypt_many_bitexact(asymmetric):
     dec = Decryptor(ctx, kg.secret_key())
     from seal_tpu import Plaintext
 
-    plains = [Plaintext.from_hex_string(hex(29 * b + 5)[2:] + "x^2 + 1")
-              for b in range(B)]
+    plains = [Plaintext.from_hex_string(
+        hex((29 * b + 5) % 257)[2:] + "x^2 + 1") for b in range(B)]
     fn_many = enc.encrypt_many if asymmetric else enc.encrypt_symmetric_many
     fn_one = enc.encrypt if asymmetric else enc.encrypt_symmetric
     cts = fn_many(plains)

@@ -127,7 +127,14 @@ def bench_one(n: int, rotations: int = 8, alpha: int = 1,
     elif alpha == 2:
         bits = BITS_ALPHA2[n]
     else:
-        bits = BITS_BY_ALPHA[alpha][n]
+        grid = BITS_BY_ALPHA.get(alpha, {})
+        if n not in grid:
+            raise SystemExit(
+                f"no same-budget parms for alpha={alpha} at n={n}; "
+                f"defined: " + ", ".join(
+                    f"alpha={a}: n in {sorted(g)}"
+                    for a, g in sorted(BITS_BY_ALPHA.items())))
+        bits = grid[n]
     L = len(bits) - alpha
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
