@@ -204,7 +204,7 @@ def test_alpha2_halves_decompose_transform_count(monkeypatch):
 
     L = 8
     results = {}
-    for alpha in (1, 2, 3):
+    for alpha in (1, 2, 3, 4):
         bits = [30] * L + [30] * alpha
         ctx = _ckks_ctx(64, bits, alpha)
         kg = seal_tpu.KeyGenerator(ctx)
@@ -241,6 +241,11 @@ def test_alpha2_halves_decompose_transform_count(monkeypatch):
     # ragged alpha=3: ceil(8/3)=3 digits, last digit holds only 2 rows
     assert results[3]["fwd"] == -(-L // 3) * (L + 3) - L + tail  # 25 + 16 = 41
     assert results[3]["inv"] <= results[1]["inv"] + 2 * (3 - 1)
+    # alpha=4 (the r5 fewer-transforms sweep point): 2 digits of 12 rows
+    # -> decompose lifts 16, a further ~2x under alpha=2's 32 (at the cost
+    # of data-scale budget — BITS_BY_ALPHA keeps the total constant)
+    assert results[4]["fwd"] == -(-L // 4) * (L + 4) - L + tail  # 16 + 16 = 32
+    assert results[4]["inv"] <= results[1]["inv"] + 2 * (4 - 1)
 
 
 def test_pallas_keyswitch_kernel_hybrid_path():
